@@ -1,0 +1,298 @@
+"""Mask structures: BitMasks (device arrays) and PolygonMasks (host).
+
+Reference: detectron2/structures/masks.py:84 (``BitMasks``), :239
+(``PolygonMasks``), :20 (``polygons_to_bitmask``), :169/:369
+(``crop_and_resize`` producing 28x28 training targets).
+
+TPU re-design notes:
+* polygon rasterization is host-side (PIL scanline fill, replacing the
+  reference's pycocotools ``frPyObjects``) — it feeds the data pipeline, not
+  the compiled graph;
+* ``BitMasks.crop_and_resize`` is a jit-able bilinear ROI crop (the
+  reference routes this through the ROIAlign CUDA op).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterator, List, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def polygons_to_bitmask(polygons: List[np.ndarray], height: int, width: int) -> np.ndarray:
+    """Rasterize polygons to a (height, width) bool mask (host-side).
+
+    Reference: structures/masks.py:20 — uses pycocotools; here we scanline
+    fill via PIL which matches COCO rasterization to within boundary-pixel
+    rounding.
+    """
+    from PIL import Image, ImageDraw
+
+    assert len(polygons) >= 0
+    img = Image.new("L", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    any_poly = False
+    for p in polygons:
+        p = np.asarray(p, dtype=np.float64).reshape(-1)
+        if p.size < 6:
+            continue
+        xy = [(p[i], p[i + 1]) for i in range(0, len(p), 2)]
+        draw.polygon(xy, outline=1, fill=1)
+        any_poly = True
+    if not any_poly:
+        return np.zeros((height, width), dtype=bool)
+    return np.asarray(img, dtype=bool)
+
+
+def rasterize_polygons_within_box(
+    polygons: List[np.ndarray], box: np.ndarray, mask_size: int
+) -> np.ndarray:
+    """Crop+resize polygons into a mask_size x mask_size bool mask
+    (reference masks.py:32-80). Host-side; exact polygon-space transform, so
+    no resampling blur."""
+    w, h = box[2] - box[0], box[3] - box[1]
+    polygons = [np.asarray(p, dtype=np.float64).copy() for p in polygons]
+    for p in polygons:
+        p[0::2] = p[0::2] - box[0]
+        p[1::2] = p[1::2] - box[1]
+    ratio_h = mask_size / max(h, 0.1)
+    ratio_w = mask_size / max(w, 0.1)
+    for p in polygons:
+        p[0::2] *= ratio_w
+        p[1::2] *= ratio_h
+    return polygons_to_bitmask(polygons, mask_size, mask_size)
+
+
+def crop_and_resize_masks(masks: Array, boxes: Array, mask_size: int) -> Array:
+    """Bilinear crop of full-image (N, H, W) masks to (N, S, S) by the aligned
+    ROIAlign convention (half-pixel centers). jit-able; replaces the reference
+    route through the ROIAlign CUDA op (masks.py:169)."""
+    n = masks.shape[0]
+    s = mask_size
+
+    def one(mask, box):
+        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+        bin_w = (x1 - x0) / s
+        bin_h = (y1 - y0) / s
+        # sample one point per output bin at the bin center (sampling_ratio=1)
+        ys = y0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bin_h - 0.5
+        xs = x0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bin_w - 0.5
+        return _bilinear_sample_2d(mask.astype(jnp.float32), ys, xs)
+
+    out = jax.vmap(one)(masks, boxes)
+    return out
+
+
+def _bilinear_sample_2d(img: Array, ys: Array, xs: Array) -> Array:
+    """Sample img (H, W) at the grid ys x xs with zero padding outside."""
+    h, w = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def take(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = img[yc[:, None], xc[None, :]]
+        valid_y = ((yi >= 0) & (yi < h)).astype(img.dtype)
+        valid_x = ((xi >= 0) & (xi < w)).astype(img.dtype)
+        return vals * valid_y[:, None] * valid_x[None, :]
+
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x0i + 1)
+    v10 = take(y0i + 1, x0i)
+    v11 = take(y0i + 1, x0i + 1)
+    wy1c = wy1[:, None]
+    wx1c = wx1[None, :]
+    return (
+        v00 * (1 - wy1c) * (1 - wx1c)
+        + v01 * (1 - wy1c) * wx1c
+        + v10 * wy1c * (1 - wx1c)
+        + v11 * wy1c * wx1c
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class BitMasks:
+    """N full-image binary masks stored as one (N, H, W) array
+    (reference masks.py:84)."""
+
+    def __init__(self, tensor: Union[Array, np.ndarray]):
+        if isinstance(tensor, np.ndarray):
+            tensor = jnp.asarray(tensor)
+        assert tensor.ndim == 3, tensor.shape
+        self.tensor = tensor
+        self.image_size = tuple(int(x) for x in tensor.shape[1:])
+
+    def tree_flatten(self):
+        return (self.tensor,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.tensor = children[0]
+        obj.image_size = tuple(int(x) for x in children[0].shape[1:]) if hasattr(
+            children[0], "shape"
+        ) and len(children[0].shape) == 3 else (0, 0)
+        return obj
+
+    def to(self, *args, **kwargs) -> "BitMasks":
+        return self
+
+    def __getitem__(self, item) -> "BitMasks":
+        if isinstance(item, int):
+            return BitMasks(self.tensor[item : item + 1])
+        return BitMasks(self.tensor[item])
+
+    def __len__(self) -> int:
+        return self.tensor.shape[0]
+
+    def __repr__(self) -> str:
+        return f"BitMasks(num_instances={len(self)})"
+
+    def nonempty(self) -> Array:
+        return self.tensor.reshape(self.tensor.shape[0], -1).any(axis=1)
+
+    @staticmethod
+    def from_polygon_masks(polygon_masks, height: int, width: int) -> "BitMasks":
+        if isinstance(polygon_masks, PolygonMasks):
+            polygon_masks = polygon_masks.polygons
+        masks = [polygons_to_bitmask(p, height, width) for p in polygon_masks]
+        if len(masks) == 0:
+            return BitMasks(jnp.zeros((0, height, width), dtype=bool))
+        return BitMasks(jnp.asarray(np.stack(masks)))
+
+    def crop_and_resize(self, boxes: Array, mask_size: int) -> Array:
+        """Reference masks.py:169 — produce per-ROI mask targets."""
+        if isinstance(boxes, np.ndarray):
+            boxes = jnp.asarray(boxes)
+        out = crop_and_resize_masks(self.tensor, boxes, mask_size)
+        return out >= 0.5
+
+    def get_bounding_boxes(self):
+        from .boxes import Boxes
+
+        masks = np.asarray(self.tensor)
+        n = masks.shape[0]
+        boxes = np.zeros((n, 4), dtype=np.float32)
+        for i in range(n):
+            ys, xs = np.nonzero(masks[i])
+            if len(ys):
+                boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        return Boxes(jnp.asarray(boxes))
+
+    @staticmethod
+    def cat(bitmasks_list: List["BitMasks"]) -> "BitMasks":
+        assert len(bitmasks_list) > 0
+        return BitMasks(jnp.concatenate([bm.tensor for bm in bitmasks_list], axis=0))
+
+
+class PolygonMasks:
+    """Host-side list-of-polygons mask representation (reference masks.py:239).
+    NOT a pytree — it never enters the compiled graph; the data pipeline
+    rasterizes it to fixed-size targets first."""
+
+    def __init__(self, polygons: List[List[Union[np.ndarray, Any]]]):
+        assert isinstance(polygons, list), type(polygons)
+
+        def _make_array(t):
+            return np.asarray(t, dtype=np.float64)
+
+        def process_polygons(polygons_per_instance):
+            assert isinstance(polygons_per_instance, list), type(polygons_per_instance)
+            polygons_per_instance = [_make_array(p) for p in polygons_per_instance]
+            for polygon in polygons_per_instance:
+                assert len(polygon) % 2 == 0 and len(polygon) >= 6
+            return polygons_per_instance
+
+        self.polygons: List[List[np.ndarray]] = [
+            process_polygons(p) for p in polygons
+        ]
+
+    def to(self, *args, **kwargs) -> "PolygonMasks":
+        return self
+
+    def get_bounding_boxes(self):
+        from .boxes import Boxes
+
+        boxes = np.zeros((len(self.polygons), 4), dtype=np.float32)
+        for idx, polygons_per_instance in enumerate(self.polygons):
+            minxy = np.array([float("inf"), float("inf")])
+            maxxy = np.zeros(2)
+            for polygon in polygons_per_instance:
+                coords = polygon.reshape(-1, 2)
+                minxy = np.minimum(minxy, coords.min(axis=0))
+                maxxy = np.maximum(maxxy, coords.max(axis=0))
+            boxes[idx, :2] = minxy
+            boxes[idx, 2:] = maxxy
+        return Boxes(jnp.asarray(boxes))
+
+    def nonempty(self) -> np.ndarray:
+        keep = [1 if len(polygon) > 0 else 0 for polygon in self.polygons]
+        return np.asarray(keep, dtype=bool)
+
+    def __getitem__(self, item) -> "PolygonMasks":
+        if isinstance(item, int):
+            selected = [self.polygons[item]]
+        elif isinstance(item, slice):
+            selected = self.polygons[item]
+        elif isinstance(item, list):
+            selected = [self.polygons[i] for i in item]
+        elif isinstance(item, np.ndarray):
+            if item.dtype == bool:
+                assert item.ndim == 1, item.shape
+                selected = [self.polygons[i] for i in item.nonzero()[0]]
+            else:
+                selected = [self.polygons[int(i)] for i in item]
+        else:
+            raise ValueError(f"Unsupported index type: {type(item)}")
+        ret = object.__new__(PolygonMasks)
+        ret.polygons = selected
+        return ret
+
+    def __iter__(self) -> Iterator[List[np.ndarray]]:
+        return iter(self.polygons)
+
+    def __repr__(self) -> str:
+        return f"PolygonMasks(num_instances={len(self.polygons)})"
+
+    def __len__(self) -> int:
+        return len(self.polygons)
+
+    def crop_and_resize(self, boxes: np.ndarray, mask_size: int) -> Array:
+        """Host rasterization of each polygon within its box (reference
+        masks.py:369)."""
+        boxes = np.asarray(boxes)
+        assert len(boxes) == len(self), f"{len(boxes)} != {len(self)}"
+        results = [
+            rasterize_polygons_within_box(poly, box, mask_size)
+            for poly, box in zip(self.polygons, boxes)
+        ]
+        if len(results) == 0:
+            return jnp.zeros((0, mask_size, mask_size), dtype=bool)
+        return jnp.asarray(np.stack(results))
+
+    def area(self) -> np.ndarray:
+        area = []
+        for polygons_per_instance in self.polygons:
+            a = 0.0
+            for p in polygons_per_instance:
+                coords = p.reshape(-1, 2)
+                x, y = coords[:, 0], coords[:, 1]
+                a += 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
+            area.append(a)
+        return np.asarray(area)
+
+    @staticmethod
+    def cat(polymasks_list: List["PolygonMasks"]) -> "PolygonMasks":
+        ret = object.__new__(PolygonMasks)
+        ret.polygons = list(itertools.chain.from_iterable(pm.polygons for pm in polymasks_list))
+        return ret
