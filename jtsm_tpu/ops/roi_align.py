@@ -1,0 +1,165 @@
+"""RoIAlign as vectorized bilinear gather (forward + autodiff backward).
+
+Reference: detectron2/layers/roi_align.py:31 and the CUDA kernels in
+`layers/csrc/ROIAlign/`. TPU re-design: instead of a hand-written
+forward/backward kernel pair, the op is expressed as pure gathers +
+arithmetic, so XLA differentiates it (the backward becomes scatter-adds) and
+fuses the interpolation weights with the gather. Layout is NHWC.
+
+Semantics implemented: ROIAlign **v2** (``aligned=True`` — half-pixel
+correction, reference roi_align.py:44) and v1 (aligned=False). Sampling
+ratio must be static; the reference's adaptive ``sampling_ratio=0``
+(ceil(roi/out)) is dynamic per box, which cannot be compiled to a static
+graph — callers pass an explicit ratio (2 reproduces the standard zoo
+settings within noise).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _sample_grid(boxes: Array, ph: int, pw: int, s: int, spatial_scale: float, aligned: bool):
+    """Per-ROI bilinear sample coordinates, (R, P*S) along each axis."""
+    offset = 0.5 if aligned else 0.0
+    boxes = boxes.astype(jnp.float32) * spatial_scale - offset
+
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    bin_w = roi_w / pw
+    bin_h = roi_h / ph
+
+    grid_y = (
+        jnp.arange(ph, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    ).reshape(-1)
+    grid_x = (
+        jnp.arange(pw, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    ).reshape(-1)
+
+    ys = y0[:, None] + grid_y[None, :] * bin_h[:, None]
+    xs = x0[:, None] + grid_x[None, :] * bin_w[:, None]
+    return ys, xs
+
+
+def _prep(coords: Array, size: int):
+    """Bilinear corner index + fraction with the reference's boundary rules:
+    samples outside [-1, size] produce zeros; coords in [-1, 0] snap to 0;
+    coords >= size-1 clamp onto the last cell with frac 1."""
+    out_of_range = (coords < -1.0) | (coords > size)
+    coords = jnp.clip(coords, 0.0)
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo = lo.astype(jnp.int32)
+    hi_oob = lo >= size - 1
+    lo = jnp.where(hi_oob, size - 2, lo)
+    frac = jnp.where(hi_oob, 1.0, frac)
+    lo = jnp.clip(lo, 0, max(size - 2, 0))
+    return lo, frac, out_of_range
+
+
+def _gather_interpolate(
+    feat_flat: Array,  # (B*H*W, C) or (H*W, C)
+    row_base: Array,  # (R,) int flat offset of each ROI's image (0 for single)
+    ylo: Array,
+    yfrac: Array,
+    y_oob: Array,
+    xlo: Array,
+    xfrac: Array,
+    x_oob: Array,
+    w: int,
+    r: int,
+    ph: int,
+    pw: int,
+    s: int,
+):
+    c = feat_flat.shape[-1]
+    base = row_base[:, None, None] + ylo[:, :, None] * w + xlo[:, None, :]
+    zero = y_oob[:, :, None] | x_oob[:, None, :]
+
+    def gather(idx):
+        return jnp.take(feat_flat, idx.reshape(-1), axis=0).reshape(
+            r, ph * s, pw * s, c
+        )
+
+    v00 = gather(base)
+    v01 = gather(base + 1)
+    v10 = gather(base + w)
+    v11 = gather(base + w + 1)
+
+    wy = yfrac[:, :, None, None]
+    wx = xfrac[:, None, :, None]
+    val = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    val = jnp.where(zero[..., None], 0.0, val)
+    val = val.reshape(r, ph, s, pw, s, c)
+    return val.mean(axis=(2, 4))
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
+def roi_align(
+    features: Array,
+    boxes: Array,
+    output_size: int | tuple,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """features: (H, W, C); boxes: (R, 4) XYXY in image coords -> (R, P, P, C)."""
+    ph, pw = (output_size, output_size) if isinstance(output_size, int) else output_size
+    s = max(int(sampling_ratio), 1)
+    h, w, c = features.shape
+    r = boxes.shape[0]
+
+    ys, xs = _sample_grid(boxes, ph, pw, s, spatial_scale, aligned)
+    ylo, yfrac, y_oob = _prep(ys, h)
+    xlo, xfrac, x_oob = _prep(xs, w)
+    row_base = jnp.zeros((r,), dtype=jnp.int32)
+    return _gather_interpolate(
+        features.reshape(h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s
+    )
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
+def roi_align_batched(
+    features: Array,
+    boxes: Array,
+    batch_indices: Array,
+    output_size: int | tuple,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """features: (B, H, W, C); boxes: (R, 4); batch_indices: (R,) int32.
+
+    Static-shape analog of the reference's (batch_idx, x0, y0, x1, y1) ROI
+    format. Boundary clamping is applied per image before the batch offset is
+    added, so no sample ever bleeds into a neighboring image.
+    """
+    b, h, w, c = features.shape
+    ph, pw = (output_size, output_size) if isinstance(output_size, int) else output_size
+    s = max(int(sampling_ratio), 1)
+    r = boxes.shape[0]
+
+    ys, xs = _sample_grid(boxes, ph, pw, s, spatial_scale, aligned)
+    ylo, yfrac, y_oob = _prep(ys, h)
+    xlo, xfrac, x_oob = _prep(xs, w)
+    row_base = batch_indices.astype(jnp.int32) * (h * w)
+    return _gather_interpolate(
+        features.reshape(b * h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s
+    )

@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jtsm_tpu.ops import roi_align, roi_align_batched
+
+
+def roi_align_ref(feat_hwc, boxes, out_size, spatial_scale, sampling_ratio, aligned):
+    """Slow numpy reference implementing the documented ROIAlign semantics
+    (mirrors the reference CPU kernel layers/csrc/ROIAlign/ROIAlign_cpu.cpp)."""
+    h, w, c = feat_hwc.shape
+    r = len(boxes)
+    out = np.zeros((r, out_size, out_size, c), dtype=np.float64)
+    off = 0.5 if aligned else 0.0
+    for ri, box in enumerate(boxes):
+        x0, y0, x1, y1 = box * spatial_scale - off
+        rw, rh = x1 - x0, y1 - y0
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / out_size, rh / out_size
+        for py in range(out_size):
+            for px in range(out_size):
+                acc = np.zeros(c)
+                for iy in range(sampling_ratio):
+                    for ix in range(sampling_ratio):
+                        y = y0 + (py + (iy + 0.5) / sampling_ratio) * bh
+                        x = x0 + (px + (ix + 0.5) / sampling_ratio) * bw
+                        acc += bilinear(feat_hwc, y, x)
+                out[ri, py, px] = acc / (sampling_ratio**2)
+    return out
+
+
+def bilinear(feat, y, x):
+    h, w, _ = feat.shape
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(feat.shape[-1])
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    if y0 >= h - 1:
+        y0, fy = h - 2, 1.0
+        if h == 1:
+            y0, fy = 0, 0.0
+    else:
+        fy = y - y0
+    if x0 >= w - 1:
+        x0, fx = w - 2, 1.0
+        if w == 1:
+            x0, fx = 0, 0.0
+    else:
+        fx = x - x0
+    v = (
+        feat[y0, x0] * (1 - fy) * (1 - fx)
+        + feat[y0, x0 + 1] * (1 - fy) * fx
+        + feat[y0 + 1, x0] * fy * (1 - fx)
+        + feat[y0 + 1, x0 + 1] * fy * fx
+    )
+    return v
+
+
+def test_roi_align_matches_reference_semantics():
+    rng = np.random.RandomState(0)
+    feat = rng.rand(24, 32, 3).astype(np.float32)
+    boxes = np.array(
+        [
+            [4.0, 4.0, 20.0, 16.0],
+            [0.0, 0.0, 31.0, 23.0],
+            [10.5, 3.2, 25.9, 22.8],
+            [30.0, 20.0, 40.0, 30.0],  # partially outside
+        ],
+        dtype=np.float32,
+    )
+    for aligned in [True, False]:
+        got = np.asarray(
+            roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0, 2, aligned)
+        )
+        exp = roi_align_ref(feat, boxes, 7, 1.0, 2, aligned)
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+def test_roi_align_spatial_scale():
+    rng = np.random.RandomState(1)
+    feat = rng.rand(16, 16, 2).astype(np.float32)
+    boxes = np.array([[8.0, 8.0, 56.0, 40.0]], dtype=np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 5, 0.25, 2, True))
+    exp = roi_align_ref(feat, boxes, 5, 0.25, 2, True)
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+def test_roi_align_batched_no_bleed():
+    """A ROI at the bottom edge of image 0 must not read image 1."""
+    feat = np.zeros((2, 8, 8, 1), dtype=np.float32)
+    feat[1] = 100.0
+    boxes = np.array([[0.0, 4.0, 8.0, 8.0]], dtype=np.float32)
+    out = np.asarray(
+        roi_align_batched(
+            jnp.asarray(feat), jnp.asarray(boxes), jnp.asarray([0]), 4, 1.0, 2, True
+        )
+    )
+    assert np.abs(out).max() < 1e-6
+
+
+def test_roi_align_batched_selects_image():
+    feat = np.stack(
+        [np.full((8, 8, 1), v, dtype=np.float32) for v in [1.0, 2.0, 3.0]]
+    )
+    boxes = np.array([[2.0, 2.0, 6.0, 6.0]] * 3, dtype=np.float32)
+    out = np.asarray(
+        roi_align_batched(
+            jnp.asarray(feat), jnp.asarray(boxes), jnp.asarray([0, 1, 2]), 2, 1.0, 2, True
+        )
+    )
+    np.testing.assert_allclose(out[:, 0, 0, 0], [1.0, 2.0, 3.0])
+
+
+def test_roi_align_differentiable():
+    feat = jnp.ones((8, 8, 2))
+    boxes = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
+
+    def f(x):
+        return roi_align(x, boxes, 4, 1.0, 2, True).sum()
+
+    g = jax.grad(f)(feat)
+    assert g.shape == feat.shape
+    assert float(jnp.abs(g).sum()) > 0
