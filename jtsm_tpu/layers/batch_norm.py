@@ -1,0 +1,124 @@
+"""Normalization zoo (reference: detectron2/layers/batch_norm.py).
+
+TPU-native notes:
+* ``FrozenBatchNorm2d`` (reference :14) holds its four tensors in the
+  ``frozen`` variable collection so optimizers never see them; at apply time
+  it is a single fused multiply-add.
+* ``NaiveSyncBatchNorm`` (reference :171 — cross-GPU all-reduce of moments)
+  needs NO explicit collective here: under ``pjit`` with a batch-sharded
+  input, ``jnp.mean`` over the batch axis *is* the global mean (XLA inserts
+  the all-reduce over ICI). The reference's hand-written AllReduce autograd
+  function dissolves into the compiler.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class FrozenBatchNorm2d(nn.Module):
+    num_features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = self.num_features
+        weight = self.variable("frozen", "weight", lambda: jnp.ones((c,), jnp.float32)).value
+        bias = self.variable("frozen", "bias", lambda: jnp.zeros((c,), jnp.float32)).value
+        mean = self.variable(
+            "frozen", "running_mean", lambda: jnp.zeros((c,), jnp.float32)
+        ).value
+        var = self.variable(
+            "frozen", "running_var", lambda: jnp.ones((c,), jnp.float32)
+        ).value
+        scale = weight * jax.lax.rsqrt(var + self.eps)
+        shift = bias - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+class NaiveSyncBatchNorm(nn.Module):
+    """Batch norm whose statistics are global across the data mesh axis when
+    the batch is sharded (see module docstring). Running stats live in
+    ``batch_stats``."""
+
+    num_features: int
+    eps: float = 1e-5
+    momentum: float = 0.9
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        c = self.num_features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            meansqr = jnp.mean(xf * xf, axis=axes)
+            var = meansqr - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        mul = scale * jax.lax.rsqrt(var + self.eps)
+        add = bias - mean * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
+class GroupNorm32(nn.Module):
+    num_features: int
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gn = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=x.dtype, param_dtype=jnp.float32
+        )
+        return gn(x)
+
+
+class LayerNormCF(nn.Module):
+    """Channel-last layer norm."""
+
+    num_features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype, param_dtype=jnp.float32)(x)
+
+
+def get_norm(norm: str | Callable | None, out_channels: int):
+    """Reference batch_norm.py:128. Returns a flax Module instance or None."""
+    if norm is None or norm == "":
+        return None
+    if isinstance(norm, str):
+        norm_map = {
+            "BN": lambda c: NaiveSyncBatchNorm(c),
+            "SyncBN": lambda c: NaiveSyncBatchNorm(c),
+            "nnSyncBN": lambda c: NaiveSyncBatchNorm(c),
+            "naiveSyncBN": lambda c: NaiveSyncBatchNorm(c),
+            "FrozenBN": lambda c: FrozenBatchNorm2d(c),
+            "GN": lambda c: GroupNorm32(c),
+            "LN": lambda c: LayerNormCF(c),
+        }
+        if norm not in norm_map:
+            raise KeyError(f"Unknown norm type: {norm}")
+        return norm_map[norm](out_channels)
+    return norm(out_channels)

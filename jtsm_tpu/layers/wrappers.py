@@ -1,0 +1,149 @@
+"""Conv/Linear wrappers with fused norm+activation.
+
+Reference: detectron2/layers/wrappers.py:40 (``Conv2d``). The reference's
+empty-batch workarounds (:28 ``_NewEmptyTensorOp``) are unnecessary: XLA
+handles zero-size dimensions natively, and the static-shape pipeline never
+produces them anyway.
+
+Layout: NHWC activations, HWIO kernels (TPU-native). ``dtype`` is the
+computation dtype (bf16 on the hot path); parameters are stored f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _pair(x) -> Tuple[int, int]:
+    if isinstance(x, (tuple, list)):
+        return tuple(x)
+    return (x, x)
+
+
+class Conv2d(nn.Module):
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[str, int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = True
+    norm: Optional[Any] = None  # a flax Module instance (see get_norm) or None
+    activation: Optional[Callable] = None
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = _pair(self.kernel_size)
+        s = _pair(self.stride)
+        d = _pair(self.dilation)
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            p = _pair(self.padding)
+            padding = ((p[0], p[0]), (p[1], p[1]))
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=padding,
+            kernel_dilation=d,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+        )(x)
+        if self.norm is not None:
+            y = self.norm(y)
+        if self.activation is not None:
+            y = self.activation(y)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    stride: Union[int, Tuple[int, int]] = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.stride),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Linear(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+        )(x)
+
+
+def interpolate_nearest(x: Array, scale: int) -> Array:
+    """Nearest-neighbor x2-style upsampling for NHWC maps (FPN top-down)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def interpolate_bilinear(x: Array, out_hw: Tuple[int, int], align_corners: bool = False) -> Array:
+    """Bilinear resize of NHWC maps (torch F.interpolate semantics)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if align_corners and oh > 1 and ow > 1:
+        ys = jnp.linspace(0.0, h - 1.0, oh)
+        xs = jnp.linspace(0.0, w - 1.0, ow)
+    else:
+        ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
+        xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
+        ys = jnp.clip(ys, 0.0, h - 1.0)
+        xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, max(w - 2, 0))
+    fy = (ys - y0).astype(x.dtype)
+    fx = (xs - x0).astype(x.dtype)
+
+    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] + x[:, y0][:, :, x0 + 1] * fx[None, None, :, None]
+    bot = x[:, y0 + 1][:, :, x0] * (1 - fx)[None, None, :, None] + x[:, y0 + 1][:, :, x0 + 1] * fx[None, None, :, None]
+    return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
+
+
+def cat(tensors: Sequence[Array], axis: int = 0) -> Array:
+    """Reference wrappers.py:18."""
+    assert isinstance(tensors, (list, tuple))
+    if len(tensors) == 1:
+        return tensors[0]
+    return jnp.concatenate(tensors, axis=axis)
+
+
+def nonzero_tuple(x: Array):
+    """Reference wrappers.py:118 — note: host-side/debug only; dynamic shapes
+    do not jit. Inside compiled code use boolean masks instead."""
+    return jnp.nonzero(x)
+
+
+def shapes_to_tensor(x, device=None):
+    return jnp.asarray(x)

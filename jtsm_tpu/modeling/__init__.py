@@ -1,0 +1,27 @@
+from .anchor_generator import (
+    ANCHOR_GENERATOR_REGISTRY,
+    DefaultAnchorGenerator,
+    RotatedAnchorGenerator,
+    build_anchor_generator,
+)
+from .backbone.backbone import Backbone
+from .backbone.build import BACKBONE_REGISTRY, build_backbone
+from .backbone.fpn import FPN, build_resnet_fpn_backbone, build_retinanet_resnet_fpn_backbone
+from .backbone.resnet import ResNet, build_resnet_backbone
+from .meta_arch.build import META_ARCH_REGISTRY, build_model
+from .meta_arch.rcnn import GeneralizedRCNN, ProposalNetwork
+from .poolers import ROIPooler, assign_boxes_to_levels
+from .postprocessing import detector_postprocess_batched, sem_seg_postprocess
+from .proposal_generator.rpn import (
+    PROPOSAL_GENERATOR_REGISTRY,
+    RPN,
+    RPN_HEAD_REGISTRY,
+    StandardRPNHead,
+    build_proposal_generator,
+)
+from .roi_heads.box_head import ROI_BOX_HEAD_REGISTRY, FastRCNNConvFCHead, build_box_head
+from .roi_heads.fast_rcnn import FastRCNNOutputLayers
+from .roi_heads.mask_head import ROI_MASK_HEAD_REGISTRY, MaskRCNNConvUpsampleHead, build_mask_head
+from .roi_heads.roi_heads import ROI_HEADS_REGISTRY, StandardROIHeads, build_roi_heads
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

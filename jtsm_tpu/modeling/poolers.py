@@ -1,0 +1,104 @@
+"""Multi-level region feature extraction (reference:
+detectron2/modeling/poolers.py:98 ``ROIPooler``, :22
+``assign_boxes_to_levels`` — FPN paper eq. 1).
+
+TPU re-design: the reference scatters boxes into per-level batches and
+index_puts the outputs back; here every ROI carries a level id into a single
+unified-pyramid gather (`ops.roi_align_multilevel`), so the op is one static
+kernel regardless of how boxes distribute across levels.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.roi_align import roi_align_multilevel
+
+Array = jax.Array
+
+
+def assign_boxes_to_levels(
+    boxes: Array,  # (R, 4)
+    min_level: int,
+    max_level: int,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+) -> Array:
+    """FPN paper eq. (1) (reference poolers.py:22)."""
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    sqrt_area = jnp.sqrt(area)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.maximum(sqrt_area, 1e-8) / canonical_box_size + 1e-8)
+    )
+    lvl = jnp.clip(lvl, min_level, max_level)
+    return (lvl - min_level).astype(jnp.int32)
+
+
+class ROIPooler:
+    """Stateless callable (no params)."""
+
+    def __init__(
+        self,
+        output_size: int | Tuple[int, int],
+        scales: Sequence[float],
+        sampling_ratio: int,
+        pooler_type: str = "ROIAlignV2",
+        canonical_box_size: int = 224,
+        canonical_level: int = 4,
+    ):
+        self.output_size = (
+            (output_size, output_size) if isinstance(output_size, int) else tuple(output_size)
+        )
+        self.scales = tuple(scales)
+        # reference semantics: sampling_ratio=0 means adaptive; static graphs
+        # need a fixed ratio — 2 matches zoo numerics within noise.
+        self.sampling_ratio = int(sampling_ratio) if sampling_ratio > 0 else 2
+        assert pooler_type in ("ROIAlign", "ROIAlignV2"), pooler_type
+        self.aligned = pooler_type == "ROIAlignV2"
+        self.min_level = -int(math.log2(self.scales[0]))
+        self.max_level = -int(math.log2(self.scales[-1]))
+        assert self.max_level - self.min_level + 1 == len(self.scales)
+        self.canonical_box_size = canonical_box_size
+        self.canonical_level = canonical_level
+
+    def __call__(
+        self,
+        features: List[Array],  # per level (B, Hi, Wi, C)
+        boxes: Array,  # (R, 4)
+        batch_indices: Array,  # (R,) int32
+    ) -> Array:
+        if len(features) == 1:
+            from ..ops.roi_align import roi_align_batched
+
+            return roi_align_batched(
+                features[0],
+                boxes,
+                batch_indices,
+                self.output_size,
+                self.scales[0],
+                self.sampling_ratio,
+                self.aligned,
+            )
+        levels = assign_boxes_to_levels(
+            boxes,
+            self.min_level,
+            self.max_level,
+            self.canonical_box_size,
+            self.canonical_level,
+        )
+        return roi_align_multilevel(
+            tuple(features),
+            self.scales,
+            boxes,
+            batch_indices,
+            levels,
+            self.output_size,
+            self.sampling_ratio,
+            self.aligned,
+        )

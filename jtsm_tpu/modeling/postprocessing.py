@@ -1,0 +1,51 @@
+"""Output resolution mapping (reference: detectron2/modeling/postprocessing.py
+``detector_postprocess``, ``sem_seg_postprocess``)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import clip_boxes
+
+Array = jax.Array
+
+
+def detector_postprocess_batched(
+    detections: Dict[str, Array],
+    image_sizes: Array,  # (B, 2) network-input true sizes
+    orig_sizes: Array,  # (B, 2) original image sizes
+) -> Dict[str, Array]:
+    """Rescale detection boxes from network-input coords to original-image
+    coords (reference postprocessing.py:detector_postprocess). Masks stay as
+    (D, S, S) ROI probabilities; pasting happens in `ops.paste_masks` at the
+    original resolution (host or device side)."""
+    scale = orig_sizes.astype(jnp.float32) / jnp.maximum(
+        image_sizes.astype(jnp.float32), 1.0
+    )  # (B, 2) h_scale, w_scale
+    sx = scale[:, 1][:, None, None]
+    sy = scale[:, 0][:, None, None]
+    boxes = detections["boxes"]
+    boxes = jnp.stack(
+        [
+            boxes[..., 0] * sx[..., 0],
+            boxes[..., 1] * sy[..., 0],
+            boxes[..., 2] * sx[..., 0],
+            boxes[..., 3] * sy[..., 0],
+        ],
+        axis=-1,
+    )
+    boxes = jax.vmap(clip_boxes)(boxes, orig_sizes)
+    out = dict(detections)
+    out["boxes"] = boxes
+    return out
+
+
+def sem_seg_postprocess(result: Array, img_size, output_height, output_width) -> Array:
+    """Crop the padded logits to the true size and resize to output size."""
+    from ..layers.wrappers import interpolate_bilinear
+
+    result = result[: img_size[0], : img_size[1], :]
+    return interpolate_bilinear(result[None], (output_height, output_width))[0]

@@ -16,7 +16,7 @@ from .nms import (
     nms_rotated_mask,
 )
 from .paste_masks import paste_masks_in_image
-from .roi_align import roi_align, roi_align_batched
+from .roi_align import roi_align, roi_align_batched, roi_align_multilevel
 from .sampling import subsample_labels
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -53,10 +53,13 @@ def _sample_grid(boxes: Array, ph: int, pw: int, s: int, spatial_scale: float, a
     return ys, xs
 
 
-def _prep(coords: Array, size: int):
+def _prep(coords: Array, size):
     """Bilinear corner index + fraction with the reference's boundary rules:
     samples outside [-1, size] produce zeros; coords in [-1, 0] snap to 0;
-    coords >= size-1 clamp onto the last cell with frac 1."""
+    coords >= size-1 clamp onto the last cell with frac 1.
+
+    ``size`` may be a python int or a per-ROI (R, 1) array (multilevel path).
+    """
     out_of_range = (coords < -1.0) | (coords > size)
     coords = jnp.clip(coords, 0.0)
     lo = jnp.floor(coords)
@@ -65,7 +68,7 @@ def _prep(coords: Array, size: int):
     hi_oob = lo >= size - 1
     lo = jnp.where(hi_oob, size - 2, lo)
     frac = jnp.where(hi_oob, 1.0, frac)
-    lo = jnp.clip(lo, 0, max(size - 2, 0))
+    lo = jnp.clip(lo, 0, jnp.maximum(size - 2, 0))
     return lo, frac, out_of_range
 
 
@@ -78,14 +81,19 @@ def _gather_interpolate(
     xlo: Array,
     xfrac: Array,
     x_oob: Array,
-    w: int,
+    w,  # int, or (R,) per-ROI row stride for the multilevel path
     r: int,
     ph: int,
     pw: int,
     s: int,
 ):
     c = feat_flat.shape[-1]
-    base = row_base[:, None, None] + ylo[:, :, None] * w + xlo[:, None, :]
+    if isinstance(w, (int, float)):
+        w_arr = jnp.full((r,), int(w), dtype=jnp.int32)
+    else:
+        w_arr = w.astype(jnp.int32)
+    w_b = w_arr[:, None, None]
+    base = row_base[:, None, None] + ylo[:, :, None] * w_b + xlo[:, None, :]
     zero = y_oob[:, :, None] | x_oob[:, None, :]
 
     def gather(idx):
@@ -95,8 +103,8 @@ def _gather_interpolate(
 
     v00 = gather(base)
     v01 = gather(base + 1)
-    v10 = gather(base + w)
-    v11 = gather(base + w + 1)
+    v10 = gather(base + w_b)
+    v11 = gather(base + w_b + 1)
 
     wy = yfrac[:, :, None, None]
     wx = xfrac[:, None, :, None]
@@ -162,4 +170,77 @@ def roi_align_batched(
     row_base = batch_indices.astype(jnp.int32) * (h * w)
     return _gather_interpolate(
         features.reshape(b * h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s
+    )
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
+def roi_align_multilevel(
+    features: tuple,  # tuple of (B, Hi, Wi, C) NHWC maps, fine -> coarse
+    spatial_scales: tuple,  # per-level 1/stride
+    boxes: Array,  # (R, 4) XYXY image coords
+    batch_indices: Array,  # (R,) int32
+    levels: Array,  # (R,) int32 level assignment per ROI
+    output_size: int | tuple,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """Unified-pyramid ROIAlign: all levels are flattened into one
+    (sum_i B*Hi*Wi, C) buffer and every ROI samples its assigned level via a
+    per-ROI flat offset — one gather pass, no per-level branching. This is the
+    TPU-native replacement for the reference ROIPooler's per-level index_put
+    loop (detectron2/modeling/poolers.py:190-245).
+    """
+    ph, pw = (output_size, output_size) if isinstance(output_size, int) else output_size
+    s = max(int(sampling_ratio), 1)
+    r = boxes.shape[0]
+    c = features[0].shape[-1]
+    b = features[0].shape[0]
+
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    level_starts = []
+    acc = 0
+    hs, ws = [], []
+    for f in features:
+        level_starts.append(acc)
+        acc += f.shape[0] * f.shape[1] * f.shape[2]
+        hs.append(f.shape[1])
+        ws.append(f.shape[2])
+    level_starts = jnp.asarray(level_starts, dtype=jnp.int32)
+    hs = jnp.asarray(hs, dtype=jnp.int32)
+    ws = jnp.asarray(ws, dtype=jnp.int32)
+    scales = jnp.asarray(spatial_scales, dtype=jnp.float32)
+
+    lvl = jnp.clip(levels.astype(jnp.int32), 0, len(features) - 1)
+    roi_scale = scales[lvl]  # (R,)
+    roi_h = hs[lvl]
+    roi_w = ws[lvl]
+    row_base = level_starts[lvl] + batch_indices.astype(jnp.int32) * roi_h * roi_w
+
+    # sample grid with per-ROI scale
+    offset = 0.5 if aligned else 0.0
+    bx = boxes.astype(jnp.float32) * roi_scale[:, None] - offset
+    x0, y0, x1, y1 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
+    rw = x1 - x0
+    rh = y1 - y0
+    if not aligned:
+        rw = jnp.maximum(rw, 1.0)
+        rh = jnp.maximum(rh, 1.0)
+    bin_w = rw / pw
+    bin_h = rh / ph
+    grid_y = (
+        jnp.arange(ph, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    ).reshape(-1)
+    grid_x = (
+        jnp.arange(pw, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    ).reshape(-1)
+    ys = y0[:, None] + grid_y[None, :] * bin_h[:, None]
+    xs = x0[:, None] + grid_x[None, :] * bin_w[:, None]
+
+    ylo, yfrac, y_oob = _prep(ys, roi_h[:, None])
+    xlo, xfrac, x_oob = _prep(xs, roi_w[:, None])
+    return _gather_interpolate(
+        flat, row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, roi_w, r, ph, pw, s
     )
