@@ -1,0 +1,97 @@
+"""Benchmark: Mask R-CNN R50-FPN COCO inference throughput on one TPU chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published 0.043 s/im on 1xV100 (MODEL_ZOO.md:349-357)
+=> 23.26 img/s. North star (BASELINE.md): >= 60 img/s/chip on v5e.
+
+Measurement notes: inputs are generated ON DEVICE from a per-iteration seed —
+the axon tunnel runtime caches results for bit-identical inputs and charges
+a host->device transfer for new ones; device-side generation measures the
+actual model compute. Each iteration fetches a scalar to force full sync.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 1.0 / 0.043  # reference V100 inference
+
+
+def main():
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.modeling import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        )
+    )
+    model = build_model(cfg)
+
+    b = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 800, 1344
+    batch0 = {
+        "image": jnp.zeros((b, h, w, 3), jnp.float32),
+        "image_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+    }
+
+    rng = jax.random.key(0)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda r: model.init({"params": r, "sampling": r}, batch0, train=False)
+    )(rng)
+    jax.block_until_ready(variables)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def step(v, seed):
+        img = jax.random.uniform(jax.random.key(seed), (b, h, w, 3)) * 255.0
+        out = model.apply(v, dict(batch0, image=img), train=False)
+        # force materialization of every output head
+        return (
+            out["scores"].sum()
+            + out["boxes"].sum()
+            + out["masks"].sum()
+            + out["classes"].sum()
+        )
+
+    fwd = jax.jit(step)
+    t0 = time.time()
+    float(fwd(variables, 0))
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    float(fwd(variables, 1))  # warmup
+
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    t0 = time.time()
+    for i in range(2, 2 + iters):
+        val = float(fwd(variables, i))
+    dt = time.time() - t0
+    imgs_per_sec = b * iters / dt
+    print(
+        f"{imgs_per_sec:.2f} img/s  ({dt / iters * 1000:.1f} ms/batch of {b})",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "maskrcnn_r50fpn_coco_inference_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

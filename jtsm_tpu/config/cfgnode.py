@@ -184,8 +184,19 @@ def _merge_a_into_b(a: CfgNode, b: CfgNode) -> None:
 
 
 def _coerce_value(new: Any, old: Any, key: str) -> Any:
+    if isinstance(new, str) and not isinstance(old, str):
+        # yaml leaves python-literal syntax like "(60000, 80000)" as a string;
+        # yacs literal-evals it — match that behavior.
+        import ast
+
+        try:
+            new = ast.literal_eval(new)
+        except (ValueError, SyntaxError):
+            pass
     if isinstance(old, tuple) and isinstance(new, list):
         return tuple(new)
+    if isinstance(old, list) and isinstance(new, tuple):
+        return list(new)
     if isinstance(old, float) and isinstance(new, int):
         return float(new)
     return new

@@ -14,7 +14,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.nms import batched_nms_mask
+from ...ops.nms import nms_mask
 from ...structures.boxes import clip_boxes, nonempty_boxes
 
 Array = jax.Array
@@ -31,10 +31,15 @@ def find_top_rpn_proposals_single(
 ) -> Tuple[Array, Array]:
     """Returns (post_nms_topk, 4) boxes and (post_nms_topk,) scores with
     -inf marking padding."""
-    sel_boxes = []
-    sel_scores = []
-    sel_levels = []
-    for lvl, (b, s) in enumerate(zip(proposals, scores)):
+    # Reference semantics: per-level topk then one batched NMS keyed by level
+    # id, which never cross-suppresses — i.e. *independent per-level NMS*.
+    # We exploit that: stack levels into a (L, K) problem and vmap one NMS
+    # over it, which bounds the IoU matrix at K x K per level instead of
+    # (L*K)^2 (the latter OOMs HBM at batch 8).
+    k_cap = min(pre_nms_topk, max(s.shape[0] for s in scores))
+    lvl_boxes = []
+    lvl_scores = []
+    for b, s in zip(proposals, scores):
         n = s.shape[0]
         k = min(pre_nms_topk, n)
         topv, topi = jax.lax.top_k(s, k)
@@ -44,16 +49,20 @@ def find_top_rpn_proposals_single(
         # replace NaN/Inf garbage like the reference's training guard
         finite = jnp.all(jnp.isfinite(bb), axis=-1)
         topv = jnp.where(valid & finite, topv, -jnp.inf)
-        sel_boxes.append(bb)
-        sel_scores.append(topv)
-        sel_levels.append(jnp.full((k,), lvl, dtype=jnp.int32))
+        if k < k_cap:
+            bb = jnp.concatenate([bb, jnp.zeros((k_cap - k, 4), bb.dtype)])
+            topv = jnp.concatenate([topv, jnp.full((k_cap - k,), -jnp.inf)])
+        lvl_boxes.append(bb)
+        lvl_scores.append(topv)
 
-    all_boxes = jnp.concatenate(sel_boxes, axis=0)
-    all_scores = jnp.concatenate(sel_scores, axis=0)
-    all_levels = jnp.concatenate(sel_levels, axis=0)
+    stacked_boxes = jnp.stack(lvl_boxes)  # (L, K, 4)
+    stacked_scores = jnp.stack(lvl_scores)  # (L, K)
 
-    keep = batched_nms_mask(all_boxes, all_scores, all_levels, nms_thresh)
-    masked = jnp.where(keep, all_scores, -jnp.inf)
+    keep = jax.vmap(nms_mask, in_axes=(0, 0, None))(
+        stacked_boxes, stacked_scores, nms_thresh
+    )
+    masked = jnp.where(keep, stacked_scores, -jnp.inf).reshape(-1)
+    all_boxes = stacked_boxes.reshape(-1, 4)
     k = min(post_nms_topk, masked.shape[0])
     top_scores, idx = jax.lax.top_k(masked, k)
     top_boxes = all_boxes[idx]

@@ -88,6 +88,7 @@ def _gather_interpolate(
     s: int,
 ):
     c = feat_flat.shape[-1]
+    n = feat_flat.shape[0]
     if isinstance(w, (int, float)):
         w_arr = jnp.full((r,), int(w), dtype=jnp.int32)
     else:
@@ -106,15 +107,19 @@ def _gather_interpolate(
     v10 = gather(base + w_b)
     v11 = gather(base + w_b + 1)
 
-    wy = yfrac[:, :, None, None]
-    wx = xfrac[:, None, :, None]
+    # interpolate in the feature dtype (bf16 on the hot path) — avoids f32
+    # promotion that would double the already-bandwidth-bound buffers
+    dt = feat_flat.dtype
+    wy = yfrac[:, :, None, None].astype(dt)
+    wx = xfrac[:, None, :, None].astype(dt)
+    one = jnp.asarray(1.0, dt)
     val = (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
+        v00 * (one - wy) * (one - wx)
+        + v01 * (one - wy) * wx
+        + v10 * wy * (one - wx)
         + v11 * wy * wx
     )
-    val = jnp.where(zero[..., None], 0.0, val)
+    val = jnp.where(zero[..., None], jnp.asarray(0.0, dt), val)
     val = val.reshape(r, ph, s, pw, s, c)
     return val.mean(axis=(2, 4))
 

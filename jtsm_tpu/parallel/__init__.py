@@ -1,0 +1,3 @@
+from .mesh import batch_sharding, build_mesh, replicated, shard_batch_pytree
+
+__all__ = ["batch_sharding", "build_mesh", "replicated", "shard_batch_pytree"]

@@ -1,0 +1,126 @@
+"""Optimizer + LR schedule construction on optax.
+
+Reference: detectron2/solver/build.py:110 (``build_optimizer`` — SGD with
+per-parameter lr/weight-decay overrides), lr_scheduler.py:16/52
+(``WarmupMultiStepLR`` / ``WarmupCosineLR``).
+
+TPU re-design: per-param-group overrides become optax masks; the scheduler is
+a pure ``step -> lr`` function folded into the optimizer via
+``optax.scale_by_schedule``-style injection (we scale updates by lr at apply
+time so checkpointed optimizer state is lr-free).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import CfgNode
+
+
+def build_lr_schedule(cfg: CfgNode) -> Callable:
+    """Returns step -> lr multiplier * BASE_LR."""
+    name = cfg.SOLVER.LR_SCHEDULER_NAME
+    base_lr = cfg.SOLVER.BASE_LR
+    warmup_iters = cfg.SOLVER.WARMUP_ITERS
+    warmup_factor = cfg.SOLVER.WARMUP_FACTOR
+    warmup_method = cfg.SOLVER.WARMUP_METHOD
+    steps = tuple(cfg.SOLVER.STEPS)
+    gamma = cfg.SOLVER.GAMMA
+    max_iter = cfg.SOLVER.MAX_ITER
+
+    def warmup(step):
+        if warmup_method == "constant":
+            w = warmup_factor
+        else:  # linear
+            alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+            w = warmup_factor * (1 - alpha) + alpha
+        return jnp.where(step < warmup_iters, w, 1.0)
+
+    if name == "WarmupMultiStepLR":
+
+        def schedule(step):
+            decay = jnp.asarray(1.0)
+            for s in steps:
+                decay = decay * jnp.where(step >= s, gamma, 1.0)
+            return base_lr * warmup(step) * decay
+
+    elif name == "WarmupCosineLR":
+
+        def schedule(step):
+            progress = jnp.clip(step / max(max_iter, 1), 0.0, 1.0)
+            return base_lr * warmup(step) * 0.5 * (1.0 + jnp.cos(math.pi * progress))
+
+    elif name == "WarmupPolyLR":  # used by DeepLab project
+        power = getattr(cfg.SOLVER, "POLY_LR_POWER", 0.9)
+        const_ending = getattr(cfg.SOLVER, "POLY_LR_CONSTANT_ENDING", 0.0)
+
+        def schedule(step):
+            poly = (1.0 - jnp.clip(step / max(max_iter, 1), 0.0, 1.0)) ** power
+            poly = jnp.maximum(poly, const_ending)
+            return base_lr * warmup(step) * poly
+
+    else:
+        raise ValueError(f"Unknown LR scheduler: {name}")
+
+    return schedule
+
+
+def _param_label_fn(path: tuple, leaf) -> str:
+    """Classify a parameter for per-group overrides: bias / norm / regular.
+
+    Norm parameters in this codebase are named scale/bias inside *Norm
+    modules; FrozenBN lives in a non-trainable collection and never reaches
+    the optimizer.
+    """
+    names = [str(p) for p in path]
+    joined = "/".join(names).lower()
+    if any("norm" in n.lower() or "bn" in n.lower() or "gn" in n.lower() for n in names[:-1]):
+        return "norm"
+    if names and names[-1] in ("bias",):
+        return "bias"
+    return "regular"
+
+
+def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
+    """SGD + momentum with detectron2's per-group lr/wd rules."""
+    schedule = build_lr_schedule(cfg)
+    momentum = cfg.SOLVER.MOMENTUM
+    nesterov = cfg.SOLVER.NESTEROV
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    wd_norm = cfg.SOLVER.WEIGHT_DECAY_NORM
+    wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS
+    bias_lr_factor = cfg.SOLVER.BIAS_LR_FACTOR
+
+    labels = jax.tree_util.tree_map_with_path(_param_label_fn, params)
+
+    def make_sgd(weight_decay: float, lr_factor: float):
+        chain = []
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+        chain.append(
+            optax.scale_by_schedule(lambda step: -schedule(step) * lr_factor)
+        )
+        return optax.chain(*chain)
+
+    tx = optax.multi_transform(
+        {
+            "regular": make_sgd(wd, 1.0),
+            "bias": make_sgd(wd_bias, bias_lr_factor),
+            "norm": make_sgd(wd_norm, 1.0),
+        },
+        labels,
+    )
+
+    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
+            clip = optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+        else:
+            clip = optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+        tx = optax.chain(clip, tx)
+    return tx

@@ -45,6 +45,31 @@ def test_nms_matches_greedy_reference():
             assert got == expected, (trial, t)
 
 
+def test_nms_tiled_matches_greedy_multitile():
+    """Exercise the tiled fixpoint path with several tiles and heavy overlap."""
+    rng = np.random.RandomState(7)
+    n = 300
+    # clustered boxes -> long suppression chains
+    centers = rng.rand(n, 2) * 60
+    wh = rng.rand(n, 2) * 30 + 5
+    boxes = np.concatenate([centers, centers + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    from jtsm_tpu.ops.nms import nms_mask_sequential
+
+    for t in [0.3, 0.5, 0.7]:
+        keep_tiled = np.asarray(
+            __import__("jtsm_tpu.ops.nms", fromlist=["nms_mask"]).nms_mask(
+                jnp.asarray(boxes), jnp.asarray(scores), t, tile=64
+            )
+        )
+        keep_seq = np.asarray(
+            nms_mask_sequential(jnp.asarray(boxes), jnp.asarray(scores), t)
+        )
+        np.testing.assert_array_equal(keep_tiled, keep_seq)
+        expected = nms_ref(boxes, scores, t)
+        assert sorted(np.nonzero(keep_tiled)[0].tolist()) == expected
+
+
 def test_nms_padding_ignored():
     boxes = np.array(
         [[0, 0, 10, 10], [0, 0, 10, 10], [50, 50, 60, 60]], dtype=np.float32
