@@ -1,0 +1,12 @@
+from .build import (
+    build_detection_test_loader,
+    build_detection_train_loader,
+    get_detection_dataset_dicts,
+    load_proposals_into_dataset,
+)
+from .catalog import DatasetCatalog, Metadata, MetadataCatalog
+from .common import AspectRatioGroupedDataset, DatasetFromList, MapDataset
+from .dataset_mapper import DatasetMapper
+from . import detection_utils
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -1,0 +1,288 @@
+"""Data-loading entry points (reference: detectron2/data/build.py:209
+``get_detection_dataset_dicts``, :348 ``build_detection_train_loader``, :414
+``build_detection_test_loader``).
+
+TPU re-design: loaders yield **static padded batches** (dicts of numpy
+arrays with fixed shapes, see detection_utils.build_static_batch) instead of
+lists of per-image dicts. An optional background thread prefetches while the
+device computes (the reference uses torch DataLoader worker processes; this
+image has one CPU core, so threads + simplicity win).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import queue
+import threading
+from typing import Any, Callable, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import CfgNode
+from ..utils import comm
+from .catalog import DatasetCatalog, MetadataCatalog
+from .common import AspectRatioGroupedDataset, DatasetFromList, MapDataset
+from .dataset_mapper import DatasetMapper
+from .detection_utils import build_static_batch
+from .samplers import InferenceSampler, RepeatFactorTrainingSampler, TrainingSampler
+
+logger = logging.getLogger(__name__)
+
+
+def filter_images_with_only_crowd_annotations(dataset_dicts):
+    num_before = len(dataset_dicts)
+
+    def valid(anns):
+        return any(ann.get("iscrowd", 0) == 0 for ann in anns)
+
+    dataset_dicts = [x for x in dataset_dicts if valid(x.get("annotations", []))]
+    num_after = len(dataset_dicts)
+    logger.info(
+        f"Removed {num_before - num_after} images with no usable annotations. "
+        f"{num_after} images left."
+    )
+    return dataset_dicts
+
+
+def filter_images_with_few_keypoints(dataset_dicts, min_keypoints_per_image):
+    num_before = len(dataset_dicts)
+
+    def visible_keypoints_in_image(dic):
+        return sum(
+            (np.asarray(ann["keypoints"][2::3]) > 0).sum()
+            for ann in dic["annotations"]
+            if "keypoints" in ann
+        )
+
+    dataset_dicts = [
+        x for x in dataset_dicts if visible_keypoints_in_image(x) >= min_keypoints_per_image
+    ]
+    num_after = len(dataset_dicts)
+    logger.info(
+        f"Removed {num_before - num_after} images with fewer than "
+        f"{min_keypoints_per_image} keypoints."
+    )
+    return dataset_dicts
+
+
+def load_proposals_into_dataset(dataset_dicts, proposal_file):
+    """Reference build.py:166 — merge precomputed proposals (pickle)."""
+    import pickle
+
+    logger.info(f"Loading proposals from: {proposal_file}")
+    with open(proposal_file, "rb") as f:
+        proposals = pickle.load(f, encoding="latin1")
+
+    rename_keys = {"indexes": "ids", "scores": "objectness_logits"}
+    for key in rename_keys:
+        if key in proposals:
+            proposals[rename_keys[key]] = proposals.pop(key)
+
+    img_ids = set({str(record["image_id"]) for record in dataset_dicts})
+    id_to_index = {str(id): i for i, id in enumerate(proposals["ids"]) if str(id) in img_ids}
+
+    from ..structures import BoxMode
+
+    bbox_mode = BoxMode(proposals["bbox_mode"]) if "bbox_mode" in proposals else BoxMode.XYXY_ABS
+    for record in dataset_dicts:
+        i = id_to_index[str(record["image_id"])]
+        boxes = proposals["boxes"][i]
+        objectness_logits = proposals["objectness_logits"][i]
+        record["proposal_boxes"] = boxes
+        record["proposal_objectness_logits"] = objectness_logits
+        record["proposal_bbox_mode"] = bbox_mode
+    return dataset_dicts
+
+
+def get_detection_dataset_dicts(
+    names, filter_empty: bool = True, min_keypoints: int = 0, proposal_files=None
+):
+    """Reference build.py:209."""
+    if isinstance(names, str):
+        names = [names]
+    assert len(names), names
+    dataset_dicts = [DatasetCatalog.get(dataset_name) for dataset_name in names]
+    for dataset_name, dicts in zip(names, dataset_dicts):
+        assert len(dicts), f"Dataset '{dataset_name}' is empty!"
+
+    if proposal_files is not None:
+        assert len(names) == len(proposal_files)
+        dataset_dicts = [
+            load_proposals_into_dataset(dataset_i_dicts, proposal_file)
+            for dataset_i_dicts, proposal_file in zip(dataset_dicts, proposal_files)
+        ]
+
+    dataset_dicts = list(itertools.chain.from_iterable(dataset_dicts))
+
+    has_instances = "annotations" in dataset_dicts[0]
+    if filter_empty and has_instances:
+        dataset_dicts = filter_images_with_only_crowd_annotations(dataset_dicts)
+    if min_keypoints > 0 and has_instances:
+        dataset_dicts = filter_images_with_few_keypoints(dataset_dicts, min_keypoints)
+    return dataset_dicts
+
+
+class StaticBatchLoader:
+    """Iterates mapped per-image dicts -> static padded batches, with an
+    optional background prefetch thread."""
+
+    def __init__(
+        self,
+        dataset: MapDataset,
+        sampler,
+        batch_size: int,
+        buckets,
+        max_instances: int,
+        mask_crop_size: int = 0,
+        proposal_topk: int = 0,
+        aspect_ratio_grouping: bool = True,
+        prefetch: int = 2,
+        infinite: bool = True,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.buckets = [tuple(b) for b in buckets]
+        self.max_instances = max_instances
+        self.mask_crop_size = mask_crop_size
+        self.proposal_topk = proposal_topk
+        self.aspect_ratio_grouping = aspect_ratio_grouping
+        self.prefetch = prefetch
+        self.infinite = infinite
+
+    def _mapped_stream(self):
+        for idx in self.sampler:
+            yield self.dataset[idx]
+
+    def _batches(self) -> Iterator[dict]:
+        if self.aspect_ratio_grouping and self.infinite:
+            grouped = AspectRatioGroupedDataset(self._mapped_stream(), self.batch_size)
+            for group in grouped:
+                yield self._collate(group)
+        else:
+            it = self._mapped_stream()
+            while True:
+                group = list(itertools.islice(it, self.batch_size))
+                if not group:
+                    return
+                yield self._collate(group)
+
+    def _collate(self, group: List[dict]) -> dict:
+        batch = build_static_batch(
+            group,
+            self.buckets,
+            self.max_instances,
+            self.mask_crop_size,
+            self.proposal_topk,
+        )
+        batch["image_ids"] = np.asarray(
+            [g.get("image_id", -1) for g in group], dtype=np.int64
+        )
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+
+    def __len__(self):
+        if self.infinite:
+            raise TypeError("Infinite loader has no length")
+        n = len(self.sampler)
+        return (n + self.batch_size - 1) // self.batch_size
+
+
+def build_detection_train_loader(cfg: CfgNode, mapper: Optional[Callable] = None):
+    """Reference build.py:348. Per-host batch = total / process_count."""
+    dataset_dicts = get_detection_dataset_dicts(
+        cfg.DATASETS.TRAIN,
+        filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+        min_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE
+        if cfg.MODEL.KEYPOINT_ON
+        else 0,
+        proposal_files=cfg.DATASETS.PROPOSAL_FILES_TRAIN
+        if cfg.MODEL.LOAD_PROPOSALS
+        else None,
+    )
+    dataset = DatasetFromList(dataset_dicts, copy=False)
+    if mapper is None:
+        mapper = DatasetMapper(cfg, True)
+    dataset = MapDataset(dataset, mapper)
+
+    sampler_name = cfg.DATALOADER.SAMPLER_TRAIN
+    if sampler_name == "TrainingSampler":
+        sampler = TrainingSampler(len(dataset))
+    elif sampler_name == "RepeatFactorTrainingSampler":
+        repeat_factors = RepeatFactorTrainingSampler.repeat_factors_from_category_frequency(
+            dataset_dicts, cfg.DATALOADER.REPEAT_THRESHOLD
+        )
+        sampler = RepeatFactorTrainingSampler(repeat_factors)
+    else:
+        raise ValueError(f"Unknown training sampler: {sampler_name}")
+
+    world = comm.get_world_size()
+    total_batch = cfg.SOLVER.IMS_PER_BATCH
+    assert total_batch % world == 0, (total_batch, world)
+    return StaticBatchLoader(
+        dataset,
+        sampler,
+        total_batch // world,
+        cfg.TPU.IMAGE_BUCKETS,
+        cfg.TPU.MAX_GT_INSTANCES,
+        mask_crop_size=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION * 4 if cfg.MODEL.MASK_ON else 0,
+        proposal_topk=cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN
+        if cfg.MODEL.LOAD_PROPOSALS
+        else 0,
+        aspect_ratio_grouping=cfg.DATALOADER.ASPECT_RATIO_GROUPING,
+        infinite=True,
+    )
+
+
+def build_detection_test_loader(
+    cfg: CfgNode, dataset_name: str, mapper: Optional[Callable] = None, batch_size: int = 1
+):
+    """Reference build.py:414 (InferenceSampler, exact partition)."""
+    dataset_dicts = get_detection_dataset_dicts(
+        [dataset_name],
+        filter_empty=False,
+        proposal_files=[
+            cfg.DATASETS.PROPOSAL_FILES_TEST[list(cfg.DATASETS.TEST).index(dataset_name)]
+        ]
+        if cfg.MODEL.LOAD_PROPOSALS
+        else None,
+    )
+    dataset = DatasetFromList(dataset_dicts)
+    if mapper is None:
+        mapper = DatasetMapper(cfg, False)
+    dataset = MapDataset(dataset, mapper)
+    sampler = InferenceSampler(len(dataset))
+    return StaticBatchLoader(
+        dataset,
+        sampler,
+        batch_size,
+        cfg.TPU.IMAGE_BUCKETS,
+        max_instances=0,
+        proposal_topk=cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+        if cfg.MODEL.LOAD_PROPOSALS
+        else 0,
+        aspect_ratio_grouping=False,
+        infinite=False,
+    )

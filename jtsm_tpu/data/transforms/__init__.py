@@ -1,0 +1,30 @@
+from .augmentation import (
+    AugInput,
+    Augmentation,
+    AugmentationList,
+    RandomBrightness,
+    RandomContrast,
+    RandomCrop,
+    RandomExtent,
+    RandomFlip,
+    RandomLighting,
+    RandomRotation,
+    RandomSaturation,
+    Resize,
+    ResizeShortestEdge,
+)
+from .transform import (
+    BlendTransform,
+    CropTransform,
+    ExtentTransform,
+    HFlipTransform,
+    NoOpTransform,
+    PadTransform,
+    ResizeTransform,
+    RotationTransform,
+    Transform,
+    TransformList,
+    VFlipTransform,
+)
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -1,0 +1,325 @@
+"""Augmentation policies: sample a deterministic Transform per input.
+
+Reference: detectron2/data/transforms/augmentation.py:77 (``Augmentation``),
+:241 (``AugmentationList``), :275 (``AugInput``) and augmentation_impl.py
+(RandomFlip :70, ResizeShortestEdge :122, RandomCrop :229, photometric
+augs). Host-side numpy; randomness via np.random.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .transform import (
+    BlendTransform,
+    CropTransform,
+    ExtentTransform,
+    HFlipTransform,
+    NoOpTransform,
+    ResizeTransform,
+    RotationTransform,
+    Transform,
+    TransformList,
+    VFlipTransform,
+)
+
+
+class Augmentation:
+    input_args: Tuple[str, ...] = ("image",)
+
+    def get_transform(self, *args) -> Transform:
+        raise NotImplementedError
+
+    def __call__(self, aug_input) -> Transform:
+        args = [getattr(aug_input, a) for a in self.input_args]
+        tfm = self.get_transform(*args)
+        aug_input.transform(tfm)
+        return tfm
+
+    def _rand_range(self, low=1.0, high=None, size=None):
+        if high is None:
+            low, high = 0, low
+        if size is None:
+            size = []
+        return np.random.uniform(low, high, size)
+
+    def __repr__(self):
+        return self.__class__.__name__
+
+    __str__ = __repr__
+
+
+class AugInput:
+    """Carries image + optional boxes + sem_seg through a transform chain
+    (reference augmentation.py:275)."""
+
+    def __init__(
+        self,
+        image: np.ndarray,
+        *,
+        boxes: Optional[np.ndarray] = None,
+        sem_seg: Optional[np.ndarray] = None,
+    ):
+        self.image = image
+        self.boxes = boxes
+        self.sem_seg = sem_seg
+
+    def transform(self, tfm: Transform) -> None:
+        self.image = tfm.apply_image(self.image)
+        if self.boxes is not None:
+            self.boxes = tfm.apply_box(self.boxes)
+        if self.sem_seg is not None:
+            self.sem_seg = tfm.apply_segmentation(self.sem_seg)
+
+    def apply_augmentations(self, augmentations) -> TransformList:
+        return AugmentationList(augmentations)(self)
+
+
+class AugmentationList(Augmentation):
+    def __init__(self, augs):
+        super().__init__()
+        self.augs = [_transform_to_aug(x) for x in augs]
+
+    def __call__(self, aug_input) -> TransformList:
+        tfms = []
+        for x in self.augs:
+            tfms.append(x(aug_input))
+        return TransformList(tfms)
+
+
+class _TransformToAug(Augmentation):
+    def __init__(self, tfm: Transform):
+        self.tfm = tfm
+
+    def get_transform(self, *args):
+        return self.tfm
+
+    def __call__(self, aug_input):
+        aug_input.transform(self.tfm)
+        return self.tfm
+
+
+def _transform_to_aug(tfm_or_aug):
+    if isinstance(tfm_or_aug, Augmentation):
+        return tfm_or_aug
+    return _TransformToAug(tfm_or_aug)
+
+
+class RandomFlip(Augmentation):
+    """Reference augmentation_impl.py:70."""
+
+    def __init__(self, prob=0.5, *, horizontal=True, vertical=False):
+        if horizontal and vertical:
+            raise ValueError("Cannot do both horiz and vert. Use two Flip instead.")
+        if not horizontal and not vertical:
+            raise ValueError("At least one of horiz or vert has to be True!")
+        self.prob = prob
+        self.horizontal = horizontal
+        self.vertical = vertical
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        do = self._rand_range() < self.prob
+        if do:
+            if self.horizontal:
+                return HFlipTransform(w)
+            return VFlipTransform(h)
+        return NoOpTransform()
+
+
+class Resize(Augmentation):
+    def __init__(self, shape, interp=Image.BILINEAR):
+        if isinstance(shape, int):
+            shape = (shape, shape)
+        self.shape = tuple(shape)
+        self.interp = interp
+
+    def get_transform(self, image):
+        return ResizeTransform(
+            image.shape[0], image.shape[1], self.shape[0], self.shape[1], self.interp
+        )
+
+
+class ResizeShortestEdge(Augmentation):
+    """Reference augmentation_impl.py:122."""
+
+    def __init__(
+        self,
+        short_edge_length,
+        max_size=sys.maxsize,
+        sample_style="range",
+        interp=Image.BILINEAR,
+    ):
+        assert sample_style in ["range", "choice"], sample_style
+        self.is_range = sample_style == "range"
+        if isinstance(short_edge_length, int):
+            short_edge_length = (short_edge_length, short_edge_length)
+        self.short_edge_length = short_edge_length
+        self.max_size = max_size
+        self.interp = interp
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        if self.is_range:
+            size = np.random.randint(
+                self.short_edge_length[0], self.short_edge_length[1] + 1
+            )
+        else:
+            size = np.random.choice(self.short_edge_length)
+        if size == 0:
+            return NoOpTransform()
+        newh, neww = ResizeShortestEdge.get_output_shape(h, w, size, self.max_size)
+        return ResizeTransform(h, w, newh, neww, self.interp)
+
+    @staticmethod
+    def get_output_shape(oldh: int, oldw: int, short_edge_length: int, max_size: int):
+        h, w = oldh, oldw
+        size = short_edge_length * 1.0
+        scale = size / min(h, w)
+        if h < w:
+            newh, neww = size, scale * w
+        else:
+            newh, neww = scale * h, size
+        if max(newh, neww) > max_size:
+            scale = max_size * 1.0 / max(newh, neww)
+            newh = newh * scale
+            neww = neww * scale
+        neww = int(neww + 0.5)
+        newh = int(newh + 0.5)
+        return (newh, neww)
+
+
+class RandomCrop(Augmentation):
+    """Reference augmentation_impl.py:229."""
+
+    def __init__(self, crop_type: str, crop_size):
+        assert crop_type in ["relative_range", "relative", "absolute", "absolute_range"]
+        self.crop_type = crop_type
+        self.crop_size = crop_size
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        croph, cropw = self.get_crop_size((h, w))
+        assert h >= croph and w >= cropw, f"Shape computation in {self} has bugs."
+        h0 = np.random.randint(h - croph + 1)
+        w0 = np.random.randint(w - cropw + 1)
+        return CropTransform(w0, h0, cropw, croph)
+
+    def get_crop_size(self, image_size):
+        h, w = image_size
+        if self.crop_type == "relative":
+            ch, cw = self.crop_size
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        elif self.crop_type == "relative_range":
+            crop_size = np.asarray(self.crop_size, dtype=np.float32)
+            ch, cw = crop_size + np.random.rand(2) * (1 - crop_size)
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        elif self.crop_type == "absolute":
+            return (min(self.crop_size[0], h), min(self.crop_size[1], w))
+        elif self.crop_type == "absolute_range":
+            assert self.crop_size[0] <= self.crop_size[1]
+            ch = np.random.randint(min(h, self.crop_size[0]), min(h, self.crop_size[1]) + 1)
+            cw = np.random.randint(min(w, self.crop_size[0]), min(w, self.crop_size[1]) + 1)
+            return ch, cw
+
+
+class RandomContrast(Augmentation):
+    def __init__(self, intensity_min, intensity_max):
+        self.intensity_min, self.intensity_max = intensity_min, intensity_max
+
+    def get_transform(self, image):
+        w = np.random.uniform(self.intensity_min, self.intensity_max)
+        return BlendTransform(src_image=image.mean(), src_weight=1 - w, dst_weight=w)
+
+
+class RandomBrightness(Augmentation):
+    def __init__(self, intensity_min, intensity_max):
+        self.intensity_min, self.intensity_max = intensity_min, intensity_max
+
+    def get_transform(self, image):
+        w = np.random.uniform(self.intensity_min, self.intensity_max)
+        return BlendTransform(src_image=0, src_weight=1 - w, dst_weight=w)
+
+
+class RandomSaturation(Augmentation):
+    def __init__(self, intensity_min, intensity_max):
+        self.intensity_min, self.intensity_max = intensity_min, intensity_max
+
+    def get_transform(self, image):
+        assert image.shape[-1] == 3, "RandomSaturation only works on RGB images"
+        w = np.random.uniform(self.intensity_min, self.intensity_max)
+        grayscale = image.dot([0.299, 0.587, 0.114])[:, :, np.newaxis]
+        return BlendTransform(src_image=grayscale, src_weight=1 - w, dst_weight=w)
+
+
+class RandomLighting(Augmentation):
+    """AlexNet-style PCA lighting jitter."""
+
+    def __init__(self, scale):
+        self.scale = scale
+        self.eigen_vecs = np.array(
+            [[-0.5675, 0.7192, 0.4009], [-0.5808, -0.0045, -0.8140], [-0.5836, -0.6948, 0.4203]]
+        )
+        self.eigen_vals = np.array([0.2175, 0.0188, 0.0045])
+
+    def get_transform(self, image):
+        assert image.shape[-1] == 3, "RandomLighting only works on RGB images"
+        weights = np.random.normal(scale=self.scale, size=3)
+        return BlendTransform(
+            src_image=self.eigen_vecs.dot(weights * self.eigen_vals),
+            src_weight=1.0,
+            dst_weight=1.0,
+        )
+
+
+class RandomRotation(Augmentation):
+    def __init__(self, angle, expand=True, center=None, sample_style="range", interp=None):
+        assert sample_style in ["range", "choice"], sample_style
+        self.is_range = sample_style == "range"
+        if isinstance(angle, (float, int)):
+            angle = (angle, angle)
+        if center is not None and isinstance(center[0], (float, int)):
+            center = (center, center)
+        self.angle, self.expand, self.center, self.interp = angle, expand, center, interp
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        center = None
+        if self.is_range:
+            angle = np.random.uniform(self.angle[0], self.angle[1])
+            if self.center is not None:
+                center = (
+                    np.random.uniform(self.center[0][0], self.center[1][0]),
+                    np.random.uniform(self.center[0][1], self.center[1][1]),
+                )
+        else:
+            angle = np.random.choice(self.angle)
+            if self.center is not None:
+                center = np.random.choice(self.center)
+        if center is not None:
+            center = (w * center[0], h * center[1])
+        if angle % 360 == 0:
+            return NoOpTransform()
+        return RotationTransform(h, w, angle, expand=self.expand, center=center, interp=self.interp)
+
+
+class RandomExtent(Augmentation):
+    def __init__(self, scale_range, shift_range):
+        self.scale_range, self.shift_range = scale_range, shift_range
+
+    def get_transform(self, image):
+        img_h, img_w = image.shape[:2]
+        src_rect = np.array([-0.5 * img_w, -0.5 * img_h, 0.5 * img_w, 0.5 * img_h])
+        src_rect *= np.random.uniform(self.scale_range[0], self.scale_range[1])
+        src_rect[0::2] += self.shift_range[0] * img_w * (np.random.rand() - 0.5)
+        src_rect[1::2] += self.shift_range[1] * img_h * (np.random.rand() - 0.5)
+        src_rect[0::2] += 0.5 * img_w
+        src_rect[1::2] += 0.5 * img_h
+        return ExtentTransform(
+            src_rect=(src_rect[0], src_rect[1], src_rect[2], src_rect[3]),
+            output_size=(int(src_rect[3] - src_rect[1]), int(src_rect[2] - src_rect[0])),
+        )

@@ -1,0 +1,149 @@
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jtsm_tpu.config import get_cfg
+from jtsm_tpu.data import (
+    DatasetCatalog,
+    DatasetMapper,
+    MetadataCatalog,
+    build_detection_test_loader,
+    build_detection_train_loader,
+)
+from jtsm_tpu.data.datasets import load_coco_json, register_coco_instances
+from jtsm_tpu.data.rle import (
+    decode_segmentation,
+    rle_decode_counts,
+    rle_encode,
+    rle_string_decode,
+    rle_string_encode,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        w, h = (64, 48) if i % 2 == 0 else (48, 64)
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        fn = f"img{i}.jpg"
+        Image.fromarray(arr).save(img_dir / fn)
+        images.append({"id": i, "file_name": fn, "height": h, "width": w})
+        # two boxes per image with polygon masks
+        for j in range(2):
+            x, y, bw, bh = 5 + 10 * j, 5 + 5 * j, 20, 15
+            annotations.append(
+                {
+                    "id": len(annotations) + 1,
+                    "image_id": i,
+                    "category_id": [1, 3][j],
+                    "bbox": [x, y, bw, bh],
+                    "area": bw * bh,
+                    "iscrowd": 0,
+                    "segmentation": [[x, y, x + bw, y, x + bw, y + bh, x, y + bh]],
+                }
+            )
+    categories = [
+        {"id": 1, "name": "person"},
+        {"id": 3, "name": "car"},
+    ]
+    js = {"images": images, "annotations": annotations, "categories": categories}
+    json_path = root / "test.json"
+    with open(json_path, "w") as f:
+        json.dump(js, f)
+    name = "tiny_coco_test"
+    if name not in DatasetCatalog:
+        register_coco_instances(name, {}, str(json_path), str(img_dir))
+    return name
+
+
+def test_load_coco_json(tiny_coco):
+    dicts = DatasetCatalog.get(tiny_coco)
+    assert len(dicts) == 4
+    d = dicts[0]
+    assert os.path.exists(d["file_name"])
+    assert len(d["annotations"]) == 2
+    # category ids remapped to contiguous
+    assert {a["category_id"] for a in d["annotations"]} == {0, 1}
+    meta = MetadataCatalog.get(tiny_coco)
+    assert meta.thing_classes == ["person", "car"]
+
+
+def _tiny_cfg(tiny_coco):
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = (tiny_coco,)
+    cfg.DATASETS.TEST = (tiny_coco,)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (32,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.INPUT.MIN_SIZE_TEST = 32
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.MODEL.MASK_ON = True
+    cfg.TPU.IMAGE_BUCKETS = [[32, 64], [64, 32], [48, 48]]
+    cfg.TPU.MAX_GT_INSTANCES = 8
+    return cfg
+
+
+def test_train_loader_static_batches(tiny_coco):
+    cfg = _tiny_cfg(tiny_coco)
+    loader = build_detection_train_loader(cfg)
+    it = iter(loader)
+    batch = next(it)
+    assert batch["image"].shape[0] == 2
+    assert batch["image"].shape[3] == 3
+    assert tuple(batch["image"].shape[1:3]) in {(32, 64), (64, 32), (48, 48)}
+    assert batch["gt_boxes"].shape == (2, 8, 4)
+    assert batch["gt_valid"].shape == (2, 8)
+    assert batch["gt_valid"].sum() == 4  # 2 boxes per image
+    assert batch["gt_mask_crops"].shape[0] == 2
+    # valid boxes are inside the (resized) image
+    sizes = batch["image_sizes"]
+    for i in range(2):
+        vb = batch["gt_boxes"][i][batch["gt_valid"][i]]
+        assert (vb[:, 2] <= sizes[i, 1] + 1e-3).all()
+        assert (vb[:, 3] <= sizes[i, 0] + 1e-3).all()
+    # mask crops of full-box rectangles are mostly on
+    crops = batch["gt_mask_crops"][batch["gt_valid"]]
+    assert crops.reshape(len(crops), -1).mean() > 0.7
+
+
+def test_test_loader(tiny_coco):
+    cfg = _tiny_cfg(tiny_coco)
+    loader = build_detection_test_loader(cfg, tiny_coco, batch_size=2)
+    batches = list(loader)
+    assert sum(b["image"].shape[0] for b in batches) == 4
+    ids = np.concatenate([b["image_ids"] for b in batches])
+    assert sorted(ids.tolist()) == [0, 1, 2, 3]
+
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(1)
+    mask = rng.rand(23, 31) > 0.6
+    enc = rle_encode(mask)
+    dec = rle_decode_counts(enc["counts"], 23, 31)
+    np.testing.assert_array_equal(dec, mask)
+
+    senc = rle_string_encode(mask)
+    sdec = rle_string_decode(senc["counts"], 23, 31)
+    np.testing.assert_array_equal(sdec, mask)
+
+    # decode_segmentation dispatch
+    np.testing.assert_array_equal(decode_segmentation(enc, 23, 31), mask)
+    np.testing.assert_array_equal(decode_segmentation(senc, 23, 31), mask)
+
+
+def test_mapper_inference(tiny_coco):
+    cfg = _tiny_cfg(tiny_coco)
+    mapper = DatasetMapper(cfg, False)
+    d = DatasetCatalog.get(tiny_coco)[0]
+    out = mapper(d)
+    assert "instances" not in out
+    assert out["image"].ndim == 3
