@@ -1,0 +1,250 @@
+"""COCO-style evaluator over the static batched output format.
+
+Reference: detectron2/evaluation/coco_evaluation.py:30 (``COCOEvaluator``),
+:357 (``instances_to_coco_json``), :421 (proposal AR eval). Predictions are
+gathered across hosts with ``comm.gather``; rank 0 computes metrics using
+the from-scratch numpy COCOeval (`.cocoeval`).
+"""
+
+from __future__ import annotations
+
+import copy
+import itertools
+import json
+import logging
+import os
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.catalog import MetadataCatalog
+from ..data.datasets.coco import convert_to_coco_dict
+from ..data.rle import rle_string_encode
+from ..utils import comm
+from .cocoeval import COCOEval
+from .evaluator import DatasetEvaluator
+
+logger = logging.getLogger(__name__)
+
+
+def _paste_mask_np(mask: np.ndarray, box: np.ndarray, h: int, w: int, thresh=0.5) -> np.ndarray:
+    """28x28 prob mask -> full-image bool mask (host-side, numpy bilinear)."""
+    s = mask.shape[0]
+    x0, y0, x1, y1 = box
+
+    def axis_coords(lo, hi, size):
+        c = (np.arange(size) + 0.5 - lo) / max(hi - lo, 1e-6) * s - 0.5
+        return c
+
+    ys = axis_coords(y0, y1, h)
+    xs = axis_coords(x0, x1, w)
+    y_in = (ys > -1.0) & (ys < s)
+    x_in = (xs > -1.0) & (xs < s)
+    ysc = np.clip(ys, 0, s - 1)
+    xsc = np.clip(xs, 0, s - 1)
+    y0i = np.clip(np.floor(ysc).astype(int), 0, s - 2)
+    x0i = np.clip(np.floor(xsc).astype(int), 0, s - 2)
+    fy = ysc - y0i
+    fx = xsc - x0i
+    out = (
+        mask[np.ix_(y0i, x0i)] * (1 - fy)[:, None] * (1 - fx)[None, :]
+        + mask[np.ix_(y0i, x0i + 1)] * (1 - fy)[:, None] * fx[None, :]
+        + mask[np.ix_(y0i + 1, x0i)] * fy[:, None] * (1 - fx)[None, :]
+        + mask[np.ix_(y0i + 1, x0i + 1)] * fy[:, None] * fx[None, :]
+    )
+    out = out * (y_in[:, None] & x_in[None, :])
+    return out >= thresh
+
+
+def batched_outputs_to_coco_json(
+    outputs: Dict[str, np.ndarray],
+    image_ids: np.ndarray,
+    orig_sizes: np.ndarray,
+    reverse_id_mapping: Optional[Dict[int, int]] = None,
+    with_masks: bool = False,
+) -> List[dict]:
+    """Static (B, D, ...) detections -> COCO result dicts
+    (reference coco_evaluation.py:357 ``instances_to_coco_json``)."""
+    results = []
+    b, d = outputs["scores"].shape
+    for i in range(b):
+        valid = outputs["valid"][i]
+        img_id = int(image_ids[i])
+        h, w = int(orig_sizes[i][0]), int(orig_sizes[i][1])
+        for j in range(d):
+            if not valid[j]:
+                continue
+            x0, y0, x1, y1 = outputs["boxes"][i, j].tolist()
+            cat = int(outputs["classes"][i, j])
+            if reverse_id_mapping is not None:
+                cat = reverse_id_mapping[cat]
+            res = {
+                "image_id": img_id,
+                "category_id": cat,
+                "bbox": [x0, y0, x1 - x0, y1 - y0],
+                "score": float(outputs["scores"][i, j]),
+            }
+            if with_masks and "masks" in outputs:
+                full = _paste_mask_np(
+                    outputs["masks"][i, j].astype(np.float32),
+                    outputs["boxes"][i, j],
+                    h,
+                    w,
+                )
+                res["segmentation"] = rle_string_encode(full)
+            results.append(res)
+    return results
+
+
+class COCOEvaluator(DatasetEvaluator):
+    def __init__(
+        self,
+        dataset_name: str,
+        tasks=None,
+        distributed: bool = True,
+        output_dir: Optional[str] = None,
+        kpt_oks_sigmas=(),
+    ):
+        self._dataset_name = dataset_name
+        self._distributed = distributed
+        self._output_dir = output_dir
+        self._kpt_oks_sigmas = kpt_oks_sigmas
+        self._metadata = MetadataCatalog.get(dataset_name)
+        self._tasks = tasks
+
+        if not hasattr(self._metadata, "json_file"):
+            logger.info(
+                f"'{dataset_name}' is not registered by `register_coco_instances`."
+                " Converting it to COCO format ..."
+            )
+            self._coco_gt = convert_to_coco_dict(dataset_name)
+        else:
+            with open(self._metadata.json_file) as f:
+                self._coco_gt = json.load(f)
+
+        self._do_masks = False
+        self._predictions: List[dict] = []
+
+    def reset(self):
+        self._predictions = []
+
+    def process(self, inputs, outputs):
+        reverse_id_mapping = None
+        if hasattr(self._metadata, "thing_dataset_id_to_contiguous_id"):
+            reverse_id_mapping = {
+                v: k
+                for k, v in self._metadata.thing_dataset_id_to_contiguous_id.items()
+            }
+        with_masks = "masks" in outputs
+        self._do_masks = self._do_masks or with_masks
+        self._predictions.extend(
+            batched_outputs_to_coco_json(
+                outputs,
+                inputs["image_ids"],
+                inputs["orig_sizes"],
+                reverse_id_mapping,
+                with_masks=with_masks,
+            )
+        )
+
+    def evaluate(self) -> Optional[Dict]:
+        if self._distributed:
+            comm.synchronize()
+            predictions = comm.gather(self._predictions, dst=0)
+            predictions = list(itertools.chain(*predictions))
+            if not comm.is_main_process():
+                return {}
+        else:
+            predictions = self._predictions
+
+        if len(predictions) == 0:
+            logger.warning("[COCOEvaluator] Did not receive valid predictions.")
+            return {}
+
+        if self._output_dir:
+            os.makedirs(self._output_dir, exist_ok=True)
+            with open(os.path.join(self._output_dir, "coco_instances_results.json"), "w") as f:
+                json.dump(predictions, f)
+
+        tasks = self._tasks or (("bbox", "segm") if self._do_masks else ("bbox",))
+        results = OrderedDict()
+        img_ids_with_preds = sorted({p["image_id"] for p in predictions})
+        for task in tasks:
+            cocoeval = COCOEval(
+                self._coco_gt,
+                iou_type=task,
+                kpt_oks_sigmas=self._kpt_oks_sigmas,
+            )
+            stats = cocoeval.evaluate(predictions)
+            results[task] = {k: 100 * v for k, v in stats.items()}
+            logger.info(f"Evaluation results for {task}: {results[task]}")
+        return results
+
+
+class COCOProposalEvaluator(DatasetEvaluator):
+    """Proposal AR@{100,1000} (reference coco_evaluation.py:421)."""
+
+    def __init__(self, dataset_name: str, limits=(100, 1000)):
+        self._metadata = MetadataCatalog.get(dataset_name)
+        with open(self._metadata.json_file) as f:
+            self._coco_gt = json.load(f)
+        self._gt_by_img: Dict = {}
+        for ann in self._coco_gt["annotations"]:
+            if ann.get("iscrowd", 0):
+                continue
+            self._gt_by_img.setdefault(ann["image_id"], []).append(ann["bbox"])
+        self._limits = limits
+        self._proposals: List[dict] = []
+
+    def reset(self):
+        self._proposals = []
+
+    def process(self, inputs, outputs):
+        b = inputs["image_ids"].shape[0]
+        for i in range(b):
+            boxes = np.asarray(outputs["proposals"][i])
+            scores = np.asarray(outputs["scores"][i])
+            valid = np.isfinite(scores)
+            self._proposals.append(
+                {
+                    "image_id": int(inputs["image_ids"][i]),
+                    "boxes": boxes[valid],
+                    "scores": scores[valid],
+                }
+            )
+
+    def evaluate(self):
+        results = {}
+        for limit in self._limits:
+            recalls = []
+            for p in self._proposals:
+                gts = np.asarray(self._gt_by_img.get(p["image_id"], []), dtype=np.float64)
+                if len(gts) == 0:
+                    continue
+                gts_xyxy = gts.copy()
+                gts_xyxy[:, 2:] += gts_xyxy[:, :2]
+                order = np.argsort(-p["scores"])[:limit]
+                boxes = p["boxes"][order]
+                if len(boxes) == 0:
+                    recalls.append(np.zeros(len(gts)))
+                    continue
+                iou = _iou_np(gts_xyxy, boxes)
+                recalls.append(iou.max(axis=1) >= 0.5)
+            if recalls:
+                results[f"AR@{limit}"] = 100.0 * float(np.concatenate(recalls).mean())
+        return {"box_proposals": results}
+
+
+def _iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    iw = np.clip(
+        np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0]), 0, None
+    )
+    ih = np.clip(
+        np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1]), 0, None
+    )
+    inter = iw * ih
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = aa[:, None] + ab[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0)

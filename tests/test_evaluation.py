@@ -1,0 +1,157 @@
+import numpy as np
+import pytest
+
+from jtsm_tpu.evaluation import COCOEval, pq_compute_single_image, voc_ap
+from jtsm_tpu.evaluation.cocoeval import box_iou_xywh
+from jtsm_tpu.evaluation.panoptic_evaluation import PQStat
+
+
+def _gt_dataset():
+    images = [{"id": 1, "height": 100, "width": 100}, {"id": 2, "height": 100, "width": 100}]
+    anns = [
+        {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0},
+        {"id": 2, "image_id": 1, "category_id": 2, "bbox": [50, 50, 40, 30], "area": 1200, "iscrowd": 0},
+        {"id": 3, "image_id": 2, "category_id": 1, "bbox": [0, 0, 30, 30], "area": 900, "iscrowd": 0},
+    ]
+    cats = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    return {"images": images, "annotations": anns, "categories": cats}
+
+
+def test_cocoeval_perfect_detections():
+    gt = _gt_dataset()
+    dets = [
+        {"image_id": a["image_id"], "category_id": a["category_id"], "bbox": a["bbox"], "score": 0.9}
+        for a in gt["annotations"]
+    ]
+    e = COCOEval(gt, "bbox")
+    stats = e.evaluate(dets)
+    assert stats["AP"] == pytest.approx(1.0, abs=1e-6)
+    assert stats["AP50"] == pytest.approx(1.0, abs=1e-6)
+    assert stats["AR100"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cocoeval_no_detections():
+    gt = _gt_dataset()
+    e = COCOEval(gt, "bbox")
+    stats = e.evaluate([{"image_id": 1, "category_id": 1, "bbox": [90, 90, 5, 5], "score": 0.5}])
+    assert stats["AP"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cocoeval_half_recall():
+    """Two gts of cat 1; one matched perfectly, one missed -> AP ~ 0.5."""
+    gt = _gt_dataset()
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+    ]
+    e = COCOEval(gt, "bbox")
+    stats = e.evaluate(dets)
+    # cat1: recall 0.5 with precision 1 -> AP ~= 0.5 (101-pt interp includes
+    # recall=0.5 point); cat2: no dets -> AP 0. mean = 0.25
+    assert stats["AP50"] == pytest.approx(0.25, abs=0.02)
+
+
+def test_cocoeval_false_positive_ordering():
+    """High-scoring FP before TP lowers precision."""
+    gt = {
+        "images": [{"id": 1, "height": 100, "width": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0}
+        ],
+        "categories": [{"id": 1, "name": "a"}],
+    }
+    dets_fp_first = [
+        {"image_id": 1, "category_id": 1, "bbox": [70, 70, 10, 10], "score": 0.95},
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+    ]
+    dets_tp_first = [
+        {"image_id": 1, "category_id": 1, "bbox": [70, 70, 10, 10], "score": 0.5},
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+    ]
+    ap_fp_first = COCOEval(gt, "bbox").evaluate(dets_fp_first)["AP50"]
+    ap_tp_first = COCOEval(gt, "bbox").evaluate(dets_tp_first)["AP50"]
+    assert ap_tp_first > ap_fp_first
+    assert ap_tp_first == pytest.approx(1.0, abs=1e-6)
+    assert ap_fp_first == pytest.approx(0.5, abs=0.02)
+
+
+def test_cocoeval_crowd_not_fn():
+    """Crowd gt never counts as FN; det matching crowd is ignored."""
+    gt = {
+        "images": [{"id": 1, "height": 100, "width": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [0, 0, 50, 50], "area": 2500, "iscrowd": 1},
+            {"id": 2, "image_id": 1, "category_id": 1, "bbox": [60, 60, 20, 20], "area": 400, "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "a"}],
+    }
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [60, 60, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [5, 5, 40, 40], "score": 0.8},  # inside crowd
+    ]
+    stats = COCOEval(gt, "bbox").evaluate(dets)
+    assert stats["AP50"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cocoeval_area_ranges():
+    gt = _gt_dataset()  # areas: 400 (small), 1200 (medium), 900 (small)
+    dets = [
+        {"image_id": a["image_id"], "category_id": a["category_id"], "bbox": a["bbox"], "score": 0.9}
+        for a in gt["annotations"]
+    ]
+    stats = COCOEval(gt, "bbox").evaluate(dets)
+    assert stats["APs"] == pytest.approx(1.0, abs=1e-6)
+    assert stats["APm"] == pytest.approx(1.0, abs=1e-6)
+    assert np.isnan(stats["APl"])
+
+
+def test_box_iou_crowd():
+    dets = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    gts = np.array([[0, 0, 20, 20]], dtype=np.float64)
+    iou_normal = box_iou_xywh(dets, gts, np.array([False]))
+    iou_crowd = box_iou_xywh(dets, gts, np.array([True]))
+    assert iou_normal[0, 0] == pytest.approx(100 / 400)
+    assert iou_crowd[0, 0] == pytest.approx(1.0)
+
+
+def test_voc_ap_07():
+    rec = np.array([0.5])
+    prec = np.array([1.0])
+    # 11-pt: thresholds 0..0.5 have prec 1 (6 of 11)
+    assert voc_ap(rec, prec, True) == pytest.approx(6 / 11)
+
+
+def test_pq_single_image():
+    h, w = 20, 20
+    gt = np.zeros((h, w), np.int32)
+    gt[:10] = 1  # cat 1
+    gt[10:] = 2  # cat 2
+    pred = np.zeros((h, w), np.int32)
+    pred[:9] = 7   # overlaps gt seg 1 with IoU 9/11... compute: inter=9*20, union=11*20 -> 0.818
+    pred[9:] = 8
+    gt_seg = [
+        {"id": 1, "category_id": 1},
+        {"id": 2, "category_id": 2},
+    ]
+    pred_seg = [
+        {"id": 7, "category_id": 1},
+        {"id": 8, "category_id": 2},
+    ]
+    stat = pq_compute_single_image(gt, pred, gt_seg, pred_seg)
+    cats = {1: {"isthing": 1}, 2: {"isthing": 0}}
+    res = stat.pq_average(cats)
+    # seg1: inter 180, union 200+180-180=200 -> 0.9
+    # seg2: inter 200, union 200+220-200=220 -> 0.909
+    iou1 = 180 / 200
+    iou2 = 200 / 220
+    assert res["pq"] == pytest.approx((iou1 + iou2) / 2, abs=1e-6)
+    assert res["n"] == 2
+
+
+def test_pq_mismatch_category():
+    gt = np.ones((10, 10), np.int32)
+    pred = np.ones((10, 10), np.int32) * 5
+    stat = pq_compute_single_image(
+        gt, pred, [{"id": 1, "category_id": 1}], [{"id": 5, "category_id": 2}]
+    )
+    res = stat.pq_average({1: {"isthing": 1}, 2: {"isthing": 1}})
+    assert res["pq"] == 0.0  # one FN (cat1) + one FP (cat2)
