@@ -32,7 +32,7 @@ class ASPP(nn.Module):
                 features=self.out_channels,
                 kernel_size=1,
                 use_bias=not self.norm,
-                norm=get_norm(self.norm, self.out_channels),
+                norm=self.norm,
                 activation=self.activation,
                 dtype=self.dtype,
                 name="conv1x1",
@@ -46,7 +46,7 @@ class ASPP(nn.Module):
                     padding=d,
                     dilation=d,
                     use_bias=not self.norm,
-                    norm=get_norm(self.norm, self.out_channels),
+                    norm=self.norm,
                     activation=self.activation,
                     dtype=self.dtype,
                     name=f"conv3x3_d{d}",
@@ -74,7 +74,7 @@ class ASPP(nn.Module):
             features=self.out_channels,
             kernel_size=1,
             use_bias=not self.norm,
-            norm=get_norm(self.norm, self.out_channels),
+            norm=self.norm,
             activation=self.activation,
             dtype=self.dtype,
             name="project",

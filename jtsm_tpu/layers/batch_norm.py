@@ -104,21 +104,21 @@ class LayerNormCF(nn.Module):
         return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype, param_dtype=jnp.float32)(x)
 
 
-def get_norm(norm: str | Callable | None, out_channels: int):
+def get_norm(norm: str | Callable | None, out_channels: int, name: str | None = None):
     """Reference batch_norm.py:128. Returns a flax Module instance or None."""
     if norm is None or norm == "":
         return None
     if isinstance(norm, str):
         norm_map = {
-            "BN": lambda c: NaiveSyncBatchNorm(c),
-            "SyncBN": lambda c: NaiveSyncBatchNorm(c),
-            "nnSyncBN": lambda c: NaiveSyncBatchNorm(c),
-            "naiveSyncBN": lambda c: NaiveSyncBatchNorm(c),
-            "FrozenBN": lambda c: FrozenBatchNorm2d(c),
-            "GN": lambda c: GroupNorm32(c),
-            "LN": lambda c: LayerNormCF(c),
+            "BN": lambda c, n: NaiveSyncBatchNorm(c, name=n),
+            "SyncBN": lambda c, n: NaiveSyncBatchNorm(c, name=n),
+            "nnSyncBN": lambda c, n: NaiveSyncBatchNorm(c, name=n),
+            "naiveSyncBN": lambda c, n: NaiveSyncBatchNorm(c, name=n),
+            "FrozenBN": lambda c, n: FrozenBatchNorm2d(c, name=n),
+            "GN": lambda c, n: GroupNorm32(c, name=n),
+            "LN": lambda c, n: LayerNormCF(c, name=n),
         }
         if norm not in norm_map:
             raise KeyError(f"Unknown norm type: {norm}")
-        return norm_map[norm](out_channels)
+        return norm_map[norm](out_channels, name)
     return norm(out_channels)

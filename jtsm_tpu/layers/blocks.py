@@ -49,7 +49,7 @@ class DepthwiseSeparableConv2d(nn.Module):
             dilation=self.dilation,
             groups=self.in_channels,
             use_bias=not self.norm1,
-            norm=get_norm(self.norm1, self.in_channels),
+            norm=self.norm1,
             activation=self.activation1,
             dtype=self.dtype,
             name="depthwise",
@@ -58,7 +58,7 @@ class DepthwiseSeparableConv2d(nn.Module):
             features=self.out_channels,
             kernel_size=1,
             use_bias=not self.norm2,
-            norm=get_norm(self.norm2, self.out_channels),
+            norm=self.norm2,
             activation=self.activation2,
             dtype=self.dtype,
             name="pointwise",

@@ -27,6 +27,10 @@ def _pair(x) -> Tuple[int, int]:
 
 
 class Conv2d(nn.Module):
+    """``norm`` may be a norm-type string (see ``get_norm``) — constructed
+    inside this module under the stable name "norm" (stable names matter for
+    checkpoint conversion) — or an already-built module instance, or None."""
+
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 3
     stride: Union[int, Tuple[int, int]] = 1
@@ -34,13 +38,15 @@ class Conv2d(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     groups: int = 1
     use_bias: bool = True
-    norm: Optional[Any] = None  # a flax Module instance (see get_norm) or None
+    norm: Optional[Any] = None
     activation: Optional[Callable] = None
     dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from .batch_norm import get_norm
+
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         d = _pair(self.dilation)
@@ -60,9 +66,13 @@ class Conv2d(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
+            name="conv",
         )(x)
-        if self.norm is not None:
-            y = self.norm(y)
+        norm = self.norm
+        if isinstance(norm, str) and norm:
+            norm = get_norm(norm, self.features, name="norm")
+        if norm is not None and not isinstance(norm, str):
+            y = norm(y)
         if self.activation is not None:
             y = self.activation(y)
         return y
@@ -82,6 +92,7 @@ class ConvTranspose2d(nn.Module):
             strides=_pair(self.stride),
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            name="conv",
         )(x)
 
 
@@ -99,6 +110,7 @@ class Linear(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
+            name="dense",
         )(x)
 
 

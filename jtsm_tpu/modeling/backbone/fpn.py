@@ -87,7 +87,7 @@ class FPN(Backbone):
                 features=self.out_channels,
                 kernel_size=1,
                 use_bias=not self.norm,
-                norm=get_norm(self.norm, self.out_channels),
+                norm=self.norm,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
                 name=f"fpn_lateral{int(math.log2(in_strides[idx]))}",
@@ -115,7 +115,7 @@ class FPN(Backbone):
                 kernel_size=3,
                 padding=1,
                 use_bias=not self.norm,
-                norm=get_norm(self.norm, self.out_channels),
+                norm=self.norm,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
                 name=f"fpn_output{int(math.log2(in_strides[idx]))}",

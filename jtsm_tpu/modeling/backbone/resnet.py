@@ -38,7 +38,7 @@ class BasicStem(nn.Module):
             stride=2,
             padding=3,
             use_bias=False,
-            norm=get_norm(self.norm, self.out_channels),
+            norm=self.norm,
             activation=nn.relu,
             dtype=self.dtype,
             name="conv1",
@@ -69,7 +69,7 @@ class BasicBlock(nn.Module):
             stride=self.stride,
             padding=1,
             use_bias=False,
-            norm=get_norm(self.norm, self.out_channels),
+            norm=self.norm,
             activation=nn.relu,
             dtype=self.dtype,
             name="conv1",
@@ -80,7 +80,7 @@ class BasicBlock(nn.Module):
             stride=1,
             padding=1,
             use_bias=False,
-            norm=get_norm(self.norm, self.out_channels),
+            norm=self.norm,
             dtype=self.dtype,
             name="conv2",
         )(out)
@@ -90,7 +90,7 @@ class BasicBlock(nn.Module):
                 kernel_size=1,
                 stride=self.stride,
                 use_bias=False,
-                norm=get_norm(self.norm, self.out_channels),
+                norm=self.norm,
                 dtype=self.dtype,
                 name="shortcut",
             )(x)
@@ -122,7 +122,7 @@ class BottleneckBlock(nn.Module):
             kernel_size=1,
             stride=stride_1x1,
             use_bias=False,
-            norm=get_norm(self.norm, self.bottleneck_channels),
+            norm=self.norm,
             activation=nn.relu,
             dtype=self.dtype,
             name="conv1",
@@ -135,7 +135,7 @@ class BottleneckBlock(nn.Module):
             dilation=self.dilation,
             groups=self.num_groups,
             use_bias=False,
-            norm=get_norm(self.norm, self.bottleneck_channels),
+            norm=self.norm,
             activation=nn.relu,
             dtype=self.dtype,
             name="conv2",
@@ -144,7 +144,7 @@ class BottleneckBlock(nn.Module):
             features=self.out_channels,
             kernel_size=1,
             use_bias=False,
-            norm=get_norm(self.norm, self.out_channels),
+            norm=self.norm,
             dtype=self.dtype,
             name="conv3",
         )(out)
@@ -154,7 +154,7 @@ class BottleneckBlock(nn.Module):
                 kernel_size=1,
                 stride=self.stride,
                 use_bias=False,
-                norm=get_norm(self.norm, self.out_channels),
+                norm=self.norm,
                 dtype=self.dtype,
                 name="shortcut",
             )(x)

@@ -35,7 +35,7 @@ class FastRCNNConvFCHead(nn.Module):
                 kernel_size=3,
                 padding=1,
                 use_bias=not self.norm,
-                norm=get_norm(self.norm, self.conv_dim),
+                norm=self.norm,
                 activation=nn.relu,
                 dtype=self.dtype,
                 name=f"conv{i + 1}",

@@ -46,7 +46,7 @@ class MaskRCNNConvUpsampleHead(nn.Module):
                 kernel_size=3,
                 padding=1,
                 use_bias=not self.norm,
-                norm=get_norm(self.norm, self.conv_dim),
+                norm=self.norm,
                 activation=nn.relu,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
