@@ -1,3 +1,24 @@
+from .defaults import (
+    DefaultPredictor,
+    DefaultTrainer,
+    default_argument_parser,
+    default_setup,
+)
+from .hooks import HookBase
+from .launch import launch
 from .train_loop import TrainState, create_train_state, make_train_step
+from .trainer import SimpleTrainer, TrainerBase
 
-__all__ = ["TrainState", "create_train_state", "make_train_step"]
+__all__ = [
+    "DefaultPredictor",
+    "DefaultTrainer",
+    "default_argument_parser",
+    "default_setup",
+    "HookBase",
+    "launch",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "SimpleTrainer",
+    "TrainerBase",
+]

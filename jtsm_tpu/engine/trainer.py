@@ -1,0 +1,148 @@
+"""TrainerBase + the jit-compiled simple trainer.
+
+Reference: detectron2/engine/train_loop.py:78 (``TrainerBase`` hook
+orchestration), :171 (``SimpleTrainer``), :289 (``AMPTrainer``).
+
+TPU re-design: ``run_step`` is ONE jitted function (forward+backward+
+all-reduce+update, see train_loop.make_train_step) executed over the device
+mesh; AMP needs no GradScaler (bf16 keeps fp32 range). Metrics come back as
+device scalars and are logged asynchronously.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import weakref
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..utils.events import EventStorage
+from .hooks import HookBase
+from .train_loop import TrainState, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class TrainerBase:
+    def __init__(self):
+        self._hooks: List[HookBase] = []
+        self.iter: int = 0
+        self.start_iter: int = 0
+        self.max_iter: int = 0
+        self.storage: Optional[EventStorage] = None
+
+    def register_hooks(self, hooks) -> None:
+        hooks = [h for h in hooks if h is not None]
+        for h in hooks:
+            assert isinstance(h, HookBase)
+            h.trainer = weakref.proxy(self)
+        self._hooks.extend(hooks)
+
+    def train(self, start_iter: int, max_iter: int) -> None:
+        logger.info(f"Starting training from iteration {start_iter}")
+        self.iter = self.start_iter = start_iter
+        self.max_iter = max_iter
+        with EventStorage(start_iter) as self.storage:
+            try:
+                self.before_train()
+                for self.iter in range(start_iter, max_iter):
+                    self.before_step()
+                    self.run_step()
+                    self.after_step()
+                self.iter += 1
+            except Exception:
+                logger.exception("Exception during training:")
+                raise
+            finally:
+                self.after_train()
+
+    def before_train(self):
+        for h in self._hooks:
+            h.before_train()
+
+    def after_train(self):
+        if self.storage is not None:
+            self.storage.iter = self.iter
+        for h in self._hooks:
+            h.after_train()
+
+    def before_step(self):
+        if self.storage is not None:
+            self.storage.iter = self.iter
+        for h in self._hooks:
+            h.before_step()
+
+    def after_step(self):
+        for h in self._hooks:
+            h.after_step()
+
+    def run_step(self):
+        raise NotImplementedError
+
+
+class SimpleTrainer(TrainerBase):
+    """Drives the jitted train step over a data loader."""
+
+    def __init__(self, model, data_loader, tx, state: TrainState, mesh=None):
+        super().__init__()
+        self.model = model
+        self.data_loader = data_loader
+        self._data_loader_iter = iter(data_loader)
+        self.tx = tx
+        self.state = state
+        self.mesh = mesh
+
+        step = make_train_step(model, tx)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._train_step = jax.jit(
+                step, in_shardings=(repl, data), out_shardings=(repl, repl)
+            )
+        else:
+            self._train_step = jax.jit(step)
+        self._pending_metrics = None
+
+    def run_step(self):
+        start = time.perf_counter()
+        batch = next(self._data_loader_iter)
+        batch = {k: v for k, v in batch.items() if k != "image_ids"}
+        data_time = time.perf_counter() - start
+
+        if self.mesh is not None:
+            from ..parallel import shard_batch_pytree
+
+            batch = shard_batch_pytree(batch, self.mesh)
+
+        self.state, metrics = self._train_step(self.state, batch)
+        self._write_metrics(metrics, data_time)
+
+    def _write_metrics(self, metrics: Dict[str, Any], data_time: float):
+        # log the PREVIOUS step's metrics (already materialized) to avoid a
+        # device sync on the fresh ones — the reference logs synchronously,
+        # which would stall the TPU pipeline.
+        if self.storage is not None:
+            self.storage.put_scalar("data_time", data_time)
+            pending = self._pending_metrics
+            if pending is not None:
+                for k, v in pending.items():
+                    self.storage.put_scalar(k, float(v))
+        self._pending_metrics = metrics
+
+    def sync_checkpointer(self):
+        """Expose the live state to the checkpointer before periodic saves."""
+        if hasattr(self, "checkpointer"):
+            self.checkpointer.variables = self.state_variables()
+
+    def state_variables(self) -> Dict:
+        out = {"params": self.state.params}
+        if jax.tree_util.tree_leaves(self.state.frozen):
+            out["frozen"] = self.state.frozen
+        if jax.tree_util.tree_leaves(self.state.batch_stats):
+            out["batch_stats"] = self.state.batch_stats
+        return out

@@ -1,0 +1,128 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jtsm_tpu.config import get_cfg
+from jtsm_tpu.data import DatasetCatalog
+from jtsm_tpu.data.datasets import register_coco_instances
+from jtsm_tpu.engine import DefaultTrainer, default_argument_parser
+
+
+@pytest.fixture(scope="module")
+def tiny_coco_train(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco_train")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        w, h = 64, 48
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        fn = f"img{i}.jpg"
+        Image.fromarray(arr).save(img_dir / fn)
+        images.append({"id": i, "file_name": fn, "height": h, "width": w})
+        for j in range(2):
+            x, y, bw, bh = 5 + 10 * j, 5 + 5 * j, 20, 15
+            annotations.append(
+                {
+                    "id": len(annotations) + 1,
+                    "image_id": i,
+                    "category_id": j + 1,
+                    "bbox": [x, y, bw, bh],
+                    "area": bw * bh,
+                    "iscrowd": 0,
+                    "segmentation": [[x, y, x + bw, y, x + bw, y + bh, x, y + bh]],
+                }
+            )
+    js = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    }
+    json_path = root / "train.json"
+    with open(json_path, "w") as f:
+        json.dump(js, f)
+    name = "tiny_coco_engine"
+    if name not in DatasetCatalog:
+        register_coco_instances(name, {}, str(json_path), str(img_dir))
+    return name
+
+
+def _tiny_train_cfg(name, out_dir):
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.RESNETS.NORM = "FrozenBN"
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64], [128], [256]]
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 2
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 64
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 32
+    cfg.MODEL.MASK_ON = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_BUCKETS = [[64, 64]]
+    cfg.TPU.MAX_GT_INSTANCES = 8
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SOLVER.BASE_LR = 1e-5
+    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 3
+    cfg.OUTPUT_DIR = out_dir
+    cfg.SEED = 0
+    return cfg
+
+
+def test_default_trainer_smoke(tiny_coco_train, tmp_path):
+    cfg = _tiny_train_cfg(tiny_coco_train, str(tmp_path / "out"))
+    trainer = DefaultTrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    trainer.train()
+    # three iterations ran, final checkpoint written
+    assert trainer.iter == 3
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "model_final.ckpt"))
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "last_checkpoint"))
+    # metrics written
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
+
+    # params actually changed
+    import jax
+
+    state = trainer.state
+    assert int(state.step) == 3
+
+    # evaluation path end-to-end (AP will be ~0 — untrained — but must run)
+    results = DefaultTrainer.test(cfg, trainer.model, variables=trainer._trainer.state_variables())
+    assert "bbox" in results
+    assert "AP" in results["bbox"]
+
+
+def test_argument_parser():
+    parser = default_argument_parser()
+    args = parser.parse_args(["--config-file", "x.yaml", "SOLVER.BASE_LR", "0.01"])
+    assert args.config_file == "x.yaml"
+    assert args.opts == ["SOLVER.BASE_LR", "0.01"]
