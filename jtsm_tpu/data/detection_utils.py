@@ -389,12 +389,18 @@ def build_static_batch(
         batch["proposals"] = np.zeros((b, proposal_topk, 4), np.float32)
         batch["proposal_scores"] = np.full((b, proposal_topk), -np.inf, np.float32)
 
+    has_sem_seg = any("sem_seg" in d for d in per_image)
+    if has_sem_seg:
+        batch["gt_sem_seg"] = np.full((b, bh, bw), 255, np.int32)
+
     for i, d in enumerate(per_image):
         img = d["image"]
         h, w = img.shape[:2]
         batch["image"][i, :h, :w] = img
         batch["image_sizes"][i] = (h, w)
         batch["orig_sizes"][i] = (d.get("height", h), d.get("width", w))
+        if has_sem_seg and "sem_seg" in d:
+            batch["gt_sem_seg"][i, :h, :w] = d["sem_seg"]
         if has_gt and "instances" in d:
             tgt = instances_to_static_targets(d["instances"], max_instances, mask_crop_size)
             for k, v in tgt.items():

@@ -42,6 +42,7 @@ class Conv2d(nn.Module):
     activation: Optional[Callable] = None
     dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -66,6 +67,7 @@ class Conv2d(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
             name="conv",
         )(x)
         norm = self.norm

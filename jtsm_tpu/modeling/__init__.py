@@ -9,7 +9,15 @@ from .backbone.build import BACKBONE_REGISTRY, build_backbone
 from .backbone.fpn import FPN, build_resnet_fpn_backbone, build_retinanet_resnet_fpn_backbone
 from .backbone.resnet import ResNet, build_resnet_backbone
 from .meta_arch.build import META_ARCH_REGISTRY, build_model
+from .meta_arch.panoptic_fpn import PanopticFPN, combine_semantic_and_instance_outputs
 from .meta_arch.rcnn import GeneralizedRCNN, ProposalNetwork
+from .meta_arch.retinanet import RetinaNet, RetinaNetHead
+from .meta_arch.semantic_seg import (
+    SEM_SEG_HEADS_REGISTRY,
+    SemanticSegmentor,
+    SemSegFPNHead,
+    build_sem_seg_head,
+)
 from .poolers import ROIPooler, assign_boxes_to_levels
 from .postprocessing import detector_postprocess_batched, sem_seg_postprocess
 from .proposal_generator.rpn import (
@@ -22,6 +30,12 @@ from .proposal_generator.rpn import (
 from .roi_heads.box_head import ROI_BOX_HEAD_REGISTRY, FastRCNNConvFCHead, build_box_head
 from .roi_heads.fast_rcnn import FastRCNNOutputLayers
 from .roi_heads.mask_head import ROI_MASK_HEAD_REGISTRY, MaskRCNNConvUpsampleHead, build_mask_head
+from .roi_heads.keypoint_head import (
+    ROI_KEYPOINT_HEAD_REGISTRY,
+    KRCNNConvDeconvUpsampleHead,
+    build_keypoint_head,
+)
+from .roi_heads.res5_roi_heads import Res5ROIHeads
 from .roi_heads.roi_heads import ROI_HEADS_REGISTRY, StandardROIHeads, build_roi_heads
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

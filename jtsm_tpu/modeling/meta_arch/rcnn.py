@@ -81,7 +81,7 @@ class GeneralizedRCNN(nn.Module):
         targets = (
             {
                 k: batch[k]
-                for k in ("gt_boxes", "gt_classes", "gt_valid", "gt_mask_crops")
+                for k in ("gt_boxes", "gt_classes", "gt_valid", "gt_mask_crops", "gt_keypoints")
                 if k in batch
             }
             if train

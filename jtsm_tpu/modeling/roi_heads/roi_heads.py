@@ -78,6 +78,12 @@ class StandardROIHeads(nn.Module):
     mask_head: Optional[nn.Module] = None
     mask_fg_capacity: int = 128
     mask_size: int = 28
+    # keypoint branch
+    keypoint_on: bool = False
+    keypoint_pooler: Optional[ROIPooler] = None
+    keypoint_head: Optional[nn.Module] = None
+    normalize_loss_by_visible_keypoints: bool = True
+    keypoint_loss_weight: float = 1.0
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
@@ -139,6 +145,26 @@ class StandardROIHeads(nn.Module):
                     ShapeSpec(channels=in_channels, height=mask_res, width=mask_res),
                 ),
                 mask_size=mask_res * 2,
+            )
+        if cfg.MODEL.KEYPOINT_ON:
+            from .keypoint_head import build_keypoint_head
+
+            kp_res = cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION
+            ret.update(
+                keypoint_on=True,
+                keypoint_pooler=ROIPooler(
+                    output_size=kp_res,
+                    scales=pooler_scales,
+                    sampling_ratio=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO,
+                    pooler_type=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE,
+                ),
+                keypoint_head=build_keypoint_head(
+                    cfg, ShapeSpec(channels=in_channels, height=kp_res, width=kp_res)
+                ),
+                normalize_loss_by_visible_keypoints=(
+                    cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS
+                ),
+                keypoint_loss_weight=cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT,
             )
         return ret
 
@@ -206,6 +232,10 @@ class StandardROIHeads(nn.Module):
                 losses.update(
                     self._forward_mask_train(feats, sampled, targets, b)
                 )
+            if self.keypoint_on and "gt_keypoints" in targets:
+                losses.update(
+                    self._forward_keypoint_train(features, sampled, targets, b)
+                )
             return {}, losses
         else:
             k = proposals.shape[1]
@@ -247,6 +277,17 @@ class StandardROIHeads(nn.Module):
                 detections["masks"] = probs.reshape(
                     b, d, probs.shape[-2], probs.shape[-1]
                 )
+            if self.keypoint_on:
+                from .keypoint_head import keypoint_rcnn_inference
+
+                d = detections["boxes"].shape[1]
+                det_boxes = detections["boxes"].reshape(b * d, 4)
+                det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+                kfeats = [features[f] for f in self.box_in_features]
+                kp_feats = self.keypoint_pooler(kfeats, det_boxes, det_batch)
+                kp_logits = self.keypoint_head(kp_feats)
+                kps = keypoint_rcnn_inference(kp_logits, det_boxes)
+                detections["keypoints"] = kps.reshape(b, d, -1, 4)
             return detections, {}
 
     def _forward_mask_train(self, feats, sampled, targets, b):
@@ -293,3 +334,40 @@ class StandardROIHeads(nn.Module):
             mask_valid.reshape(-1),
         )
         return {"loss_mask": loss}
+
+    def _forward_keypoint_train(self, features, sampled, targets, b):
+        """fg rois -> heatmap CE (reference roi_heads.py _forward_keypoint)."""
+        from .keypoint_head import keypoint_rcnn_loss
+
+        s = self.batch_size_per_image
+        sm = min(self.mask_fg_capacity, s)
+        fg = sampled["fg"]
+        rng = self.make_rng("sampling")
+
+        def pick(rng_i, fg_i):
+            u = jax.random.uniform(rng_i, (s,))
+            pri = jnp.where(fg_i, 1.0 + u, -jnp.inf)
+            v, idx = jax.lax.top_k(pri, sm)
+            return idx, jnp.isfinite(v)
+
+        rngs = jax.random.split(rng, b)
+        kp_idx, kp_valid = jax.vmap(pick)(rngs, fg)
+        kp_boxes = jnp.take_along_axis(sampled["boxes"], kp_idx[..., None], axis=1)
+        matched = jnp.take_along_axis(sampled["matched_idx"], kp_idx, axis=1)
+        gt_kpts = jnp.take_along_axis(
+            targets["gt_keypoints"], matched[..., None, None], axis=1
+        )  # (B, Sm, K, 3)
+
+        flat_boxes = kp_boxes.reshape(b * sm, 4)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
+        kfeats = [features[f] for f in self.box_in_features]
+        kp_feats = self.keypoint_pooler(kfeats, flat_boxes, batch_idx)
+        kp_logits = self.keypoint_head(kp_feats)
+        loss = keypoint_rcnn_loss(
+            kp_logits,
+            gt_kpts.reshape(b * sm, -1, 3),
+            flat_boxes,
+            kp_valid.reshape(-1),
+            self.normalize_loss_by_visible_keypoints,
+        )
+        return {"loss_keypoint": loss * self.keypoint_loss_weight}
