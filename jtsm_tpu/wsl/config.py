@@ -1,0 +1,62 @@
+"""WSL config namespace (reference: projects/WSL/wsl/config/defaults.py:20
+``add_wsl_config``)."""
+
+from __future__ import annotations
+
+from ..config import CfgNode as CN
+
+
+def add_wsl_config(cfg: CN) -> None:
+    _C = cfg
+
+    _C.WSL = CN()
+    _C.WSL.ITER_SIZE = 1
+    _C.WSL.USE_OBN = True
+    _C.WSL.REFINE_NUM = 3
+    _C.WSL.REFINE_REG = [False, False, False, False]
+    _C.WSL.REFINE_MIST = False
+    _C.WSL.HAS_GAM = False
+    _C.WSL.CSC_MAX_ITER = 35000
+    _C.WSL.SIZE_EPOCH = 5000
+    _C.WSL.CMIL = False
+    # JTSM panoptic switches
+    _C.WSL.PS_ON = False
+    _C.WSL.SP_ON = False
+    _C.WSL.MASK_MINED_TOP_K = 3
+    # pseudo-gt mining
+    _C.WSL.PGT_SCORE_THRESH = 0.0
+    # sampling namespace
+    _C.WSL.SAMPLING = CN()
+    _C.WSL.SAMPLING.SAMPLING_ON = False
+    _C.WSL.SAMPLING.IOU_THRESHOLDS = [0.5]
+    _C.WSL.SAMPLING.IOU_LABELS = [0, 1]
+    _C.WSL.SAMPLING.BATCH_SIZE_PER_IMAGE = 4096
+    _C.WSL.SAMPLING.POSITIVE_FRACTION = 1.0
+
+    # static capacities for the WSL plane (TPU)
+    _C.WSL.MAX_PROPOSALS = 2000  # padded proposal capacity R
+    _C.WSL.MAX_SUPERPIXELS = 1024  # padded superpixel capacity S
+
+    _C.MODEL.MRRP = CN()
+    _C.MODEL.MRRP.MRRP_ON = False
+    _C.MODEL.MRRP.NUM_BRANCH = 3
+    _C.MODEL.MRRP.BRANCH_DILATIONS = [1, 2, 3]
+    _C.MODEL.MRRP.TEST_BRANCH_IDX = 1
+    _C.MODEL.MRRP.MRRP_STAGE = "res4"
+
+    # DAN box head
+    _C.MODEL.ROI_BOX_HEAD.DAN_DIM = [4096, 4096]
+
+    # two-class (FG/BG) seg head used by JTSM VOC configs
+    _C.MODEL.SEM_SEG_HEAD.ASSP_CONVS_DIM = 256
+    _C.MODEL.SEM_SEG_HEAD.MASK_SOFTMAX = False
+    _C.MODEL.SEM_SEG_HEAD.CONSTRAINT = ""
+
+    _C.DATASETS.VAL = ()
+    _C.TEST.EVAL_TRAIN = False
+
+    if "VGG" not in _C.MODEL:
+        _C.MODEL.VGG = CN()
+        _C.MODEL.VGG.DEPTH = 16
+        _C.MODEL.VGG.OUT_FEATURES = ["plain5"]
+        _C.MODEL.VGG.CONV5_DILATION = 1

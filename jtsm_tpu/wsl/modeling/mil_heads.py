@@ -1,0 +1,208 @@
+"""MIL scoring heads + pseudo-ground-truth mining, static-shape.
+
+Reference:
+* WSDDN scoring / image BCE — projects/WSL/wsl/modeling/roi_heads/
+  fast_rcnn_wsddn.py and fast_rcnn_tsm.py:573-586 (``softmax_cls(C) *
+  softmax_over_proposals(D)``), :346 (``binary_cross_entropy_loss``),
+  :364 (``predict_probs_img``).
+* OICR refinement — fast_rcnn_oicr.py:166,563 ((K+1)-way softmax branches,
+  weighted CE with PGT weights).
+* TSM joint thing+stuff classes — fast_rcnn_tsm.py:436,490-497.
+* PGT mining — roi_heads_jtsm.py:1168 (``get_pgt_top_k``), :1038
+  (``get_pgt_mist``).
+
+All functions operate on ONE image (vmapped by callers) with fixed R
+proposals and validity masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...layers import Linear
+from ...ops.losses import softmax_cross_entropy
+from ...ops.nms import nms_mask
+from ...structures.boxes import pairwise_iou
+
+Array = jax.Array
+
+
+class MILOutputLayers(nn.Module):
+    """Two linear branches (cls, det) -> WSDDN proposal scores."""
+
+    num_classes: int  # joint classes for TSM (things + stuff - 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        cls_logit = Linear(
+            features=self.num_classes,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            name="cls",
+        )(x).astype(jnp.float32)
+        det_logit = Linear(
+            features=self.num_classes,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            name="det",
+        )(x).astype(jnp.float32)
+        return cls_logit, det_logit
+
+
+def wsddn_scores(cls_logit: Array, det_logit: Array, valid: Array) -> Array:
+    """(R, C) x (R, C) -> (R, C) MIL scores: softmax over classes x softmax
+    over (valid) proposals."""
+    s_cls = jax.nn.softmax(cls_logit, axis=1)
+    det_masked = jnp.where(valid[:, None], det_logit, -jnp.inf)
+    s_det = jax.nn.softmax(det_masked, axis=0)
+    s_det = jnp.where(valid[:, None], s_det, 0.0)
+    return s_cls * s_det
+
+
+def mil_image_loss(proposal_scores: Array, image_labels: Array) -> Array:
+    """Image-level multi-label BCE (reference fast_rcnn_tsm.py:346):
+    image score = sum of proposal scores per class, clamped to (0, 1)."""
+    img_score = jnp.clip(proposal_scores.sum(axis=0), 1e-6, 1.0 - 1e-6)
+    labels = image_labels.astype(jnp.float32)
+    bce = -(labels * jnp.log(img_score) + (1 - labels) * jnp.log(1 - img_score))
+    return bce.sum()
+
+
+class OICROutputLayers(nn.Module):
+    """One refinement branch: (K+1)-way classifier (+ optional box reg)."""
+
+    num_classes: int
+    with_reg: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array):
+        logits = Linear(
+            features=self.num_classes + 1,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            name="refine_score",
+        )(x).astype(jnp.float32)
+        deltas = None
+        if self.with_reg:
+            deltas = Linear(
+                features=4,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(0.001),
+                name="refine_reg",
+            )(x).astype(jnp.float32)
+        return logits, deltas
+
+
+def get_pgt_top_k(
+    boxes: Array,  # (R, 4)
+    scores: Array,  # (R, C) source scores (MIL or previous branch fg slice)
+    valid: Array,  # (R,)
+    image_labels: Array,  # (C,) multi-hot
+    top_k: int = 1,
+) -> Dict[str, Array]:
+    """Mine top-k scoring proposals per present image class
+    (reference roi_heads_jtsm.py:1168). Returns fixed (C, top_k) pgt boxes,
+    weights (source scores) and validity."""
+    masked = jnp.where(valid[:, None], scores, -jnp.inf)  # (R, C)
+    topv, topi = jax.lax.top_k(masked.T, top_k)  # (C, K)
+    pgt_valid = (image_labels[:, None] > 0) & jnp.isfinite(topv)
+    pgt_boxes = boxes[topi]  # (C, K, 4)
+    pgt_weight = jnp.where(pgt_valid, topv, 0.0)
+    return {
+        "boxes": pgt_boxes,
+        "weight": pgt_weight,
+        "valid": pgt_valid,
+        "classes": jnp.broadcast_to(
+            jnp.arange(scores.shape[1])[:, None], topv.shape
+        ),
+        "idx": topi,
+    }
+
+
+def get_pgt_mist(
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    image_labels: Array,
+    top_pct: float = 0.15,
+    iou_thresh: float = 0.2,
+    max_k: int = 32,
+) -> Dict[str, Array]:
+    """MIST mining (reference :1038): top 15% of proposals per class, then
+    NMS to diversify. Static: cap at max_k per class."""
+    r = boxes.shape[0]
+    k = min(max_k, r)
+    masked = jnp.where(valid[:, None], scores, -jnp.inf)
+    topv, topi = jax.lax.top_k(masked.T, k)  # (C, k)
+    num_take = jnp.maximum((jnp.sum(valid) * top_pct).astype(jnp.int32), 1)
+    in_pct = jnp.arange(k)[None, :] < num_take
+
+    def per_class(ti, tv, ok):
+        b = boxes[ti]
+        s = jnp.where(ok & jnp.isfinite(tv), tv, -jnp.inf)
+        keep = nms_mask(b, s, iou_thresh)
+        return keep
+
+    keep = jax.vmap(per_class)(topi, topv, in_pct)
+    pgt_valid = (image_labels[:, None] > 0) & keep & in_pct & jnp.isfinite(topv)
+    return {
+        "boxes": boxes[topi],
+        "weight": jnp.where(pgt_valid, topv, 0.0),
+        "valid": pgt_valid,
+        "classes": jnp.broadcast_to(jnp.arange(scores.shape[1])[:, None], topv.shape),
+        "idx": topi,
+    }
+
+
+def label_proposals_by_pgt(
+    boxes: Array,  # (R, 4)
+    valid: Array,  # (R,)
+    pgt: Dict[str, Array],
+    num_classes: int,
+    fg_thresh: float = 0.5,
+    bg_thresh: Optional[float] = None,
+) -> Dict[str, Array]:
+    """Assign every proposal a (class, weight) from mined PGT by IoU
+    (reference OICR supervision): IoU >= fg_thresh -> pgt class; else
+    background with the matched pgt's weight."""
+    c, k = pgt["valid"].shape
+    pgt_boxes = pgt["boxes"].reshape(c * k, 4)
+    pgt_w = pgt["weight"].reshape(c * k)
+    pgt_cls = pgt["classes"].reshape(c * k)
+    pgt_valid = pgt["valid"].reshape(c * k)
+
+    iou = pairwise_iou(boxes, pgt_boxes)  # (R, CK)
+    iou = jnp.where(pgt_valid[None, :], iou, -1.0)
+    best = jnp.max(iou, axis=1)
+    arg = jnp.argmax(iou, axis=1)
+
+    fg = best >= fg_thresh
+    labels = jnp.where(fg, pgt_cls[arg], num_classes)
+    weights = jnp.where(valid, pgt_w[arg], 0.0)
+    any_pgt = jnp.any(pgt_valid)
+    weights = jnp.where(any_pgt, weights, 0.0)
+    if bg_thresh is not None:
+        ignore = (~fg) & (best >= bg_thresh)
+        weights = jnp.where(ignore, 0.0, weights)
+    return {
+        "labels": labels,
+        "weights": weights,
+        "matched_pgt_boxes": pgt_boxes[arg],
+        "fg": fg & valid,
+    }
+
+
+def oicr_branch_loss(
+    logits: Array,  # (R, K+1)
+    labels: Array,  # (R,)
+    weights: Array,  # (R,)
+) -> Array:
+    """Weighted CE averaged over proposals (reference fast_rcnn_oicr.py:282)."""
+    ce = softmax_cross_entropy(logits, labels)
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights > 0), 1.0)

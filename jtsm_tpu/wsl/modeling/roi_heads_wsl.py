@@ -1,0 +1,361 @@
+"""WSOD ROI heads: WSDDN, OICR, and the JTSM joint thing-stuff head.
+
+Reference:
+* roi_heads_wsddn.py — MIL-only head
+* roi_heads_oicr.py — MIL + K OICR refinement branches (+ optional box reg)
+* roi_heads_jtsm.py:198 — JTSMROIHeads: superpixel-aware MOIPool, joint
+  thing+stuff MIL (TSM), refinement cascade on mined PGT, mask mining with
+  superpixel-union object evidence, pseudo sem-seg painting (:2024)
+* box_head.py:106 — DiscriminativeAdaptionNeck (DAN)
+
+Static-shape conventions: proposals are (B, R, 4) with validity; image-level
+labels are multi-hot vectors; every mining step returns fixed-capacity
+arrays with weights/validity instead of dynamic lists.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import CfgNode
+from ...layers import Linear, ShapeSpec
+from ...modeling.poolers import ROIPooler
+from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+from ...ops.box_regression import Box2BoxTransform
+from ...ops.losses import smooth_l1_loss
+from ...ops.nms import batched_nms_mask
+from ...structures.boxes import clip_boxes, nonempty_boxes
+from ..ops import moi_pool
+from .mil_heads import (
+    MILOutputLayers,
+    OICROutputLayers,
+    get_pgt_top_k,
+    label_proposals_by_pgt,
+    mil_image_loss,
+    oicr_branch_loss,
+    wsddn_scores,
+)
+
+Array = jax.Array
+
+
+def image_level_gt(gt_classes: Array, gt_valid: Array, num_classes: int) -> Array:
+    """(G,), (G,) -> (C,) multi-hot (reference roi_heads.py:146)."""
+    oh = jax.nn.one_hot(jnp.clip(gt_classes, 0, num_classes - 1), num_classes)
+    return jnp.clip((oh * gt_valid[:, None].astype(oh.dtype)).sum(0), 0, 1)
+
+
+def image_level_gt_stuff(gt_sem_seg: Array, num_stuff: int, ignore_value: int = 255) -> Array:
+    """Present stuff classes from the sem-seg map
+    (reference roi_heads_jtsm.py:166)."""
+    valid = (gt_sem_seg != ignore_value) & (gt_sem_seg >= 0) & (gt_sem_seg < num_stuff)
+    hist = jnp.zeros((num_stuff,), jnp.float32).at[
+        jnp.where(valid, gt_sem_seg, 0)
+    ].add(valid.astype(jnp.float32))
+    return (hist > 0).astype(jnp.float32)
+
+
+class DiscriminativeAdaptionNeck(nn.Module):
+    """2 x 4096 FC 'DAN' (reference box_head.py:106)."""
+
+    dims: Sequence[int] = (4096, 4096)
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+        for i, d in enumerate(self.dims):
+            x = Linear(
+                features=d,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(0.005),
+                name=f"dan{i + 1}",
+            )(x)
+            x = nn.relu(x)
+            if self.dropout > 0:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(
+                    x, rng=self.make_rng("dropout") if train else None
+                )
+        return x
+
+
+def wsl_inference_single(
+    boxes: Array,  # (R, 4) proposals (or per-class regressed boxes (R, C, 4))
+    scores: Array,  # (R, C) class probabilities (NOT logits)
+    valid: Array,  # (R,)
+    image_size: Array,
+    score_thresh: float,
+    nms_thresh: float,
+    topk_per_image: int,
+    nms_candidates: int = 1024,
+) -> Dict[str, Array]:
+    """Per-class threshold -> NMS -> topk on probability scores."""
+    r, c = scores.shape
+    if boxes.ndim == 2:
+        boxes_pc = jnp.broadcast_to(boxes[:, None, :], (r, c, 4))
+    else:
+        boxes_pc = boxes
+    boxes_pc = jax.vmap(lambda bb: clip_boxes(bb, image_size))(boxes_pc)
+    flat_scores = scores.reshape(-1)
+    flat_boxes = boxes_pc.reshape(-1, 4)
+    flat_classes = jnp.tile(jnp.arange(c, dtype=jnp.int32), (r,))
+    keepable = (
+        (scores > score_thresh).reshape(-1)
+        & jnp.repeat(valid, c)
+        & nonempty_boxes(flat_boxes)
+    )
+    flat_scores = jnp.where(keepable, flat_scores, -jnp.inf)
+    cc = min(nms_candidates, flat_scores.shape[0])
+    cand_scores, cand_idx = jax.lax.top_k(flat_scores, cc)
+    cand_boxes = flat_boxes[cand_idx]
+    cand_classes = flat_classes[cand_idx]
+    keep = batched_nms_mask(cand_boxes, cand_scores, cand_classes, nms_thresh)
+    final = jnp.where(keep, cand_scores, -jnp.inf)
+    k = min(topk_per_image, cc)
+    top_scores, top_i = jax.lax.top_k(final, k)
+    out_valid = jnp.isfinite(top_scores)
+    out = {
+        "boxes": cand_boxes[top_i],
+        "scores": jnp.where(out_valid, top_scores, 0.0),
+        "classes": cand_classes[top_i],
+        "valid": out_valid,
+    }
+    if topk_per_image > k:
+        pad = topk_per_image - k
+        out = {
+            "boxes": jnp.concatenate([out["boxes"], jnp.zeros((pad, 4))]),
+            "scores": jnp.concatenate([out["scores"], jnp.zeros((pad,))]),
+            "classes": jnp.concatenate([out["classes"], jnp.zeros((pad,), jnp.int32)]),
+            "valid": jnp.concatenate([out["valid"], jnp.zeros((pad,), bool)]),
+        }
+    return out
+
+
+@ROI_HEADS_REGISTRY.register()
+class WSDDNROIHeads(nn.Module):
+    """MIL-only weakly supervised head (reference roi_heads_wsddn.py)."""
+
+    num_classes: int
+    in_features: Sequence[str]
+    pooler: ROIPooler
+    dan_dims: Sequence[int] = (4096, 4096)
+    score_thresh_test: float = 1e-4
+    nms_thresh_test: float = 0.4
+    detections_per_image: int = 100
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        in_features = tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES)
+        pooler = ROIPooler(
+            output_size=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            scales=tuple(1.0 / input_shape[f].stride for f in in_features),
+            sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            pooler_type="ROIAlignV2",
+        )
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        return dict(
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            in_features=in_features,
+            pooler=pooler,
+            dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
+            score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+            nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+            detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            dtype=dtype,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, Array],
+        proposals: Array,  # (B, R, 4)
+        proposal_scores: Array,  # (B, R) -inf padding
+        image_sizes: Array,
+        targets: Optional[Dict[str, Array]] = None,
+        train: bool = False,
+    ):
+        feats = [features[f] for f in self.in_features]
+        b, r = proposals.shape[:2]
+        flat_boxes = proposals.reshape(b * r, 4)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        pooled = self.pooler(feats, flat_boxes, batch_idx)
+        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
+            pooled, train=train
+        )
+        cls_logit, det_logit = MILOutputLayers(
+            num_classes=self.num_classes, dtype=self.dtype, name="mil"
+        )(x)
+        cls_logit = cls_logit.reshape(b, r, -1)
+        det_logit = det_logit.reshape(b, r, -1)
+        valid = jnp.isfinite(proposal_scores)
+
+        mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)  # (B, R, C)
+
+        if train:
+            img_labels = jax.vmap(
+                lambda c, v: image_level_gt(c, v, self.num_classes)
+            )(targets["gt_classes"], targets["gt_valid"])
+            loss = jax.vmap(mil_image_loss)(mil, img_labels).mean()
+            return {}, {"loss_mil": loss}
+
+        detections = jax.vmap(
+            lambda bx, sc, v, sz: wsl_inference_single(
+                bx,
+                sc,
+                v,
+                sz,
+                self.score_thresh_test,
+                self.nms_thresh_test,
+                self.detections_per_image,
+            )
+        )(proposals, mil, valid, image_sizes)
+        return detections, {}
+
+
+@ROI_HEADS_REGISTRY.register()
+class OICRROIHeads(nn.Module):
+    """WSDDN MIL + K OICR refinement branches
+    (reference roi_heads_oicr.py, fast_rcnn_oicr.py)."""
+
+    num_classes: int
+    in_features: Sequence[str]
+    pooler: ROIPooler
+    refine_num: int = 3
+    refine_reg: Sequence[bool] = (False, False, False)
+    refine_mist: bool = False
+    dan_dims: Sequence[int] = (4096, 4096)
+    box2box_transform: Optional[Box2BoxTransform] = None
+    score_thresh_test: float = 1e-4
+    nms_thresh_test: float = 0.4
+    detections_per_image: int = 100
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        base = WSDDNROIHeads.from_config(cfg, input_shape)
+        base.pop("dan_dims")
+        return dict(
+            refine_num=cfg.WSL.REFINE_NUM,
+            refine_reg=tuple(cfg.WSL.REFINE_REG[: cfg.WSL.REFINE_NUM]),
+            refine_mist=cfg.WSL.REFINE_MIST,
+            dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
+            box2box_transform=Box2BoxTransform(
+                weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
+            ),
+            **base,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, Array],
+        proposals: Array,
+        proposal_scores: Array,
+        image_sizes: Array,
+        targets: Optional[Dict[str, Array]] = None,
+        train: bool = False,
+    ):
+        feats = [features[f] for f in self.in_features]
+        b, r = proposals.shape[:2]
+        flat_boxes = proposals.reshape(b * r, 4)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        pooled = self.pooler(feats, flat_boxes, batch_idx)
+        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
+            pooled, train=train
+        )
+        cls_logit, det_logit = MILOutputLayers(
+            num_classes=self.num_classes, dtype=self.dtype, name="mil"
+        )(x)
+        cls_logit = cls_logit.reshape(b, r, -1)
+        det_logit = det_logit.reshape(b, r, -1)
+        valid = jnp.isfinite(proposal_scores)
+        mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)
+
+        branches = []
+        for k in range(self.refine_num):
+            logits, deltas = OICROutputLayers(
+                num_classes=self.num_classes,
+                with_reg=self.refine_reg[k] if k < len(self.refine_reg) else False,
+                dtype=self.dtype,
+                name=f"refine{k}",
+            )(x)
+            branches.append(
+                (
+                    logits.reshape(b, r, -1),
+                    deltas.reshape(b, r, -1) if deltas is not None else None,
+                )
+            )
+
+        if train:
+            img_labels = jax.vmap(
+                lambda c, v: image_level_gt(c, v, self.num_classes)
+            )(targets["gt_classes"], targets["gt_valid"])
+            losses = {
+                "loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()
+            }
+            source = mil  # (B, R, C) probabilities
+            for k, (logits, deltas) in enumerate(branches):
+                has_reg = deltas is not None
+                deltas_in = deltas if has_reg else jnp.zeros((b, r, 4))
+
+                def mine_and_loss(bx, src, v, lbl, lg, dl, has_reg=has_reg):
+                    pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
+                    sup = label_proposals_by_pgt(bx, v, pgt, self.num_classes)
+                    loss_cls = oicr_branch_loss(lg, sup["labels"], sup["weights"])
+                    if has_reg:
+                        t = self.box2box_transform.get_deltas(bx, sup["matched_pgt_boxes"])
+                        reg = smooth_l1_loss(dl, t, 0.0).sum(-1)
+                        fg_w = sup["weights"] * sup["fg"]
+                        loss_reg = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)
+                    else:
+                        loss_reg = jnp.asarray(0.0)
+                    # next source: this branch's softmax fg scores
+                    nxt = jax.nn.softmax(lg, axis=-1)[:, : self.num_classes]
+                    return loss_cls, loss_reg, nxt
+
+                loss_cls, loss_reg, source = jax.vmap(mine_and_loss)(
+                    proposals,
+                    jax.lax.stop_gradient(source),
+                    valid,
+                    img_labels,
+                    logits,
+                    deltas_in,
+                )
+                losses[f"loss_refine_cls{k}"] = loss_cls.mean()
+                if has_reg:
+                    losses[f"loss_refine_reg{k}"] = loss_reg.mean()
+            return {}, losses
+
+        # inference: average refinement branch softmax scores
+        avg = jnp.zeros((b, r, self.num_classes))
+        for logits, _ in branches:
+            avg = avg + jax.nn.softmax(logits, axis=-1)[..., : self.num_classes]
+        avg = avg / max(self.refine_num, 1)
+
+        final_boxes = proposals
+        last_deltas = branches[-1][1]
+        if last_deltas is not None:
+            dec = self.box2box_transform.apply_deltas(
+                last_deltas.reshape(-1, 4), proposals.reshape(-1, 4)
+            ).reshape(b, r, 4)
+            final_boxes = dec
+
+        detections = jax.vmap(
+            lambda bx, sc, v, sz: wsl_inference_single(
+                bx,
+                sc,
+                v,
+                sz,
+                self.score_thresh_test,
+                self.nms_thresh_test,
+                self.detections_per_image,
+            )
+        )(final_boxes, avg, valid, image_sizes)
+        return detections, {}

@@ -1,0 +1,173 @@
+"""WSL plane tests: MOIPool, MIL heads, WSDDN/OICR/JTSM roi heads, MCNN
+meta-arch forward train+eval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jtsm_tpu.wsl  # registers wsl components
+from jtsm_tpu.config import get_cfg
+from jtsm_tpu.modeling import build_model
+from jtsm_tpu.wsl import add_wsl_config
+from jtsm_tpu.wsl.modeling.mil_heads import (
+    get_pgt_top_k,
+    label_proposals_by_pgt,
+    mil_image_loss,
+    wsddn_scores,
+)
+from jtsm_tpu.wsl.ops import moi_pool
+
+
+def test_moi_pool_masking():
+    h = w = 16
+    c = 2
+    feat = jnp.ones((h, w, c))
+    # two superpixels: left half 0, right half 1
+    sp = jnp.concatenate(
+        [jnp.zeros((h, w // 2), jnp.int32), jnp.ones((h, w // 2), jnp.int32)], axis=1
+    )
+    boxes = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
+    # proposal only contains superpixel 0 (left half)
+    oh = jnp.zeros((1, 4), bool).at[0, 0].set(True)
+    pooled, frac = moi_pool(feat, boxes, sp, oh, 1.0, 4, 2)
+    pooled = np.asarray(pooled)
+    frac = np.asarray(frac)
+    # left-half bins pooled to 1; right-half bins fully masked -> 0
+    assert pooled[0, 0, 0, 0] == pytest.approx(1.0)
+    assert pooled[0, 0, 3, 0] == pytest.approx(0.0)
+    assert frac[0, 0, 0] == pytest.approx(1.0)
+    assert frac[0, 0, 3] == pytest.approx(0.0)
+    # overall about half the samples valid
+    assert 0.4 < frac.mean() < 0.6
+
+
+def test_wsddn_scores_and_loss():
+    r, c = 6, 3
+    rng = np.random.RandomState(0)
+    cls_l = jnp.asarray(rng.randn(r, c).astype(np.float32))
+    det_l = jnp.asarray(rng.randn(r, c).astype(np.float32))
+    valid = jnp.asarray([True] * 4 + [False] * 2)
+    s = wsddn_scores(cls_l, det_l, valid)
+    s_np = np.asarray(s)
+    assert (s_np[4:] == 0).all()  # padded proposals contribute nothing
+    assert (s_np.sum(0) <= 1.0 + 1e-5).all()  # per-class sums are probabilities
+    loss = mil_image_loss(s, jnp.asarray([1.0, 0.0, 1.0]))
+    assert np.isfinite(float(loss))
+
+
+def test_pgt_mining_and_labeling():
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [80, 80, 90, 90]],
+        jnp.float32,
+    )
+    scores = jnp.asarray(
+        [[0.9, 0.0], [0.5, 0.1], [0.1, 0.8], [0.0, 0.2]], jnp.float32
+    )
+    valid = jnp.ones(4, bool)
+    labels = jnp.asarray([1.0, 1.0])
+    pgt = get_pgt_top_k(boxes, scores, valid, labels, top_k=1)
+    np.testing.assert_array_equal(np.asarray(pgt["idx"])[:, 0], [0, 2])
+    assert np.asarray(pgt["valid"]).all()
+
+    sup = label_proposals_by_pgt(boxes, valid, pgt, num_classes=2)
+    lab = np.asarray(sup["labels"])
+    assert lab[0] == 0  # matches its own pgt (class 0)
+    assert lab[1] == 0  # IoU with box0 > 0.5
+    assert lab[2] == 1
+    assert lab[3] == 2  # background
+
+
+def _wsl_cfg(heads: str):
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNWSL"
+    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+    cfg.MODEL.VGG.CONV5_DILATION = 2
+    cfg.MODEL.ROI_HEADS.NAME = heads
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["plain5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [128, 128]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 3  # stuff incl. "things"
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["plain5"]
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.WSL.REFINE_NUM = 2
+    cfg.WSL.REFINE_REG = [False, True]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _wsl_batch(b=2, r=12, g=3, with_sp=False, s_max=8):
+    rng = np.random.RandomState(1)
+    h = w = 64
+    xy = rng.rand(b, r, 2) * 30
+    wh = rng.rand(b, r, 2) * 25 + 4
+    batch = {
+        "image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "proposals": jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
+        "proposal_scores": jnp.asarray(rng.rand(b, r).astype(np.float32)),
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, g)), jnp.int32),
+        "gt_valid": jnp.ones((b, g), bool),
+        "gt_boxes": jnp.zeros((b, g, 4)),
+    }
+    if with_sp:
+        # checkerboard superpixels
+        sp = (
+            (np.arange(h)[:, None] // 16) * 4 + (np.arange(w)[None, :] // 16)
+        ).astype(np.int32)
+        batch["superpixels"] = jnp.asarray(np.tile(sp[None], (b, 1, 1)))
+        oh = rng.rand(b, r, s_max) > 0.4
+        batch["oh_labels"] = jnp.asarray(oh)
+        batch["gt_sem_seg"] = jnp.asarray(rng.randint(0, 3, (b, h, w)), jnp.int32)
+    return batch
+
+
+def _run_wsl(cfg, batch):
+    model = build_model(cfg)
+    rngs = {
+        "params": jax.random.key(0),
+        "sampling": jax.random.key(1),
+        "dropout": jax.random.key(2),
+    }
+    variables = model.init(rngs, batch, train=True)
+    losses = model.apply(
+        variables, batch, train=True, rngs={"sampling": jax.random.key(3), "dropout": jax.random.key(4)}
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    out = model.apply(variables, batch, train=False)
+    return losses, out
+
+
+def test_wsddn_roi_heads():
+    cfg = _wsl_cfg("WSDDNROIHeads")
+    losses, out = _run_wsl(cfg, _wsl_batch())
+    assert "loss_mil" in losses
+    assert out["boxes"].shape[1] == 100
+
+
+def test_oicr_roi_heads():
+    cfg = _wsl_cfg("OICRROIHeads")
+    losses, out = _run_wsl(cfg, _wsl_batch())
+    assert "loss_mil" in losses
+    assert "loss_refine_cls0" in losses and "loss_refine_cls1" in losses
+    assert "loss_refine_reg1" in losses
+    assert "valid" in out
+
+
+def test_jtsm_mcnn():
+    cfg = _wsl_cfg("JTSMROIHeads")
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedMCNNWSL"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.WSL.SP_ON = True
+    cfg.WSL.PS_ON = True
+    losses, out = _run_wsl(cfg, _wsl_batch(with_sp=True))
+    assert "loss_mil" in losses
+    assert "loss_sem_seg" in losses  # stuff branch trained on mined PGT
+    assert "loss_mask" in losses
+    assert "sem_seg" in out and "masks" in out and "boxes" in out
