@@ -1,0 +1,147 @@
+"""Eager registration of builtin datasets (reference:
+detectron2/data/datasets/builtin.py:106-237). Paths resolve under
+$JTSM_DATASETS (default ./datasets); registration is lazy — data is only
+read when a dataset is actually used."""
+
+from __future__ import annotations
+
+import os
+
+from ..catalog import DatasetCatalog, MetadataCatalog
+from .builtin_meta import _get_builtin_metadata
+from .coco import load_coco_json, load_sem_seg, register_coco_instances
+
+_PREDEFINED_SPLITS_COCO = {
+    "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
+    "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+    "coco_2014_train": ("coco/train2014", "coco/annotations/instances_train2014.json"),
+    "coco_2014_val": ("coco/val2014", "coco/annotations/instances_val2014.json"),
+}
+
+_PREDEFINED_SPLITS_COCO_PERSON = {
+    "keypoints_coco_2017_train": (
+        "coco/train2017",
+        "coco/annotations/person_keypoints_train2017.json",
+    ),
+    "keypoints_coco_2017_val": (
+        "coco/val2017",
+        "coco/annotations/person_keypoints_val2017.json",
+    ),
+}
+
+_PREDEFINED_SPLITS_COCO_PANOPTIC = {
+    "coco_2017_train_panoptic": (
+        "coco/panoptic_train2017",
+        "coco/annotations/panoptic_train2017.json",
+        "coco/panoptic_stuff_train2017",
+    ),
+    "coco_2017_val_panoptic": (
+        "coco/panoptic_val2017",
+        "coco/annotations/panoptic_val2017.json",
+        "coco/panoptic_stuff_val2017",
+    ),
+}
+
+
+def register_all_coco(root: str) -> None:
+    for name, (image_root, json_file) in _PREDEFINED_SPLITS_COCO.items():
+        if name in DatasetCatalog:
+            continue
+        register_coco_instances(
+            name,
+            _get_builtin_metadata("coco"),
+            os.path.join(root, json_file),
+            os.path.join(root, image_root),
+        )
+    for name, (image_root, json_file) in _PREDEFINED_SPLITS_COCO_PERSON.items():
+        if name in DatasetCatalog:
+            continue
+        register_coco_instances(
+            name,
+            _get_builtin_metadata("coco_person"),
+            os.path.join(root, json_file),
+            os.path.join(root, image_root),
+        )
+
+
+def register_coco_panoptic_separated(
+    name: str,
+    metadata: dict,
+    image_root: str,
+    panoptic_root: str,
+    panoptic_json: str,
+    sem_seg_root: str,
+    instances_json: str,
+) -> None:
+    """Reference datasets/coco_panoptic.py — the 'separated' panoptic format
+    used by PanopticFPN: COCO instances + per-pixel stuff PNGs."""
+    panoptic_name = name + "_separated"
+
+    def merged():
+        detection = load_coco_json(instances_json, image_root, panoptic_name)
+        sem = {
+            os.path.basename(x["file_name"]).split(".")[0]: x["sem_seg_file_name"]
+            for x in load_sem_seg(sem_seg_root, image_root)
+        }
+        for d in detection:
+            key = os.path.basename(d["file_name"]).split(".")[0]
+            if key in sem:
+                d["sem_seg_file_name"] = sem[key]
+        return detection
+
+    DatasetCatalog.register(panoptic_name, merged)
+    MetadataCatalog.get(panoptic_name).set(
+        panoptic_root=panoptic_root,
+        image_root=image_root,
+        panoptic_json=panoptic_json,
+        sem_seg_root=sem_seg_root,
+        json_file=instances_json,
+        evaluator_type="coco_panoptic_seg",
+        **metadata,
+    )
+
+
+def register_all_coco_panoptic(root: str) -> None:
+    for prefix, (panoptic_root, panoptic_json, semantic_root) in _PREDEFINED_SPLITS_COCO_PANOPTIC.items():
+        prefix_instances = prefix[: -len("_panoptic")]
+        if prefix + "_separated" in DatasetCatalog:
+            continue
+        instances_json = _PREDEFINED_SPLITS_COCO[prefix_instances][1]
+        image_root = _PREDEFINED_SPLITS_COCO[prefix_instances][0]
+        register_coco_panoptic_separated(
+            prefix,
+            _get_builtin_metadata("coco_panoptic_separated"),
+            os.path.join(root, image_root),
+            os.path.join(root, panoptic_root),
+            os.path.join(root, panoptic_json),
+            os.path.join(root, semantic_root),
+            os.path.join(root, instances_json),
+        )
+
+
+def register_all_pascal_voc(root: str) -> None:
+    from ...wsl.data import register_pascal_voc
+
+    SPLITS = [
+        ("voc_2007_trainval", "VOC2007", "trainval", 2007),
+        ("voc_2007_train", "VOC2007", "train", 2007),
+        ("voc_2007_val", "VOC2007", "val", 2007),
+        ("voc_2007_test", "VOC2007", "test", 2007),
+        ("voc_2012_trainval", "VOC2012", "trainval", 2012),
+        ("voc_2012_train", "VOC2012", "train", 2012),
+        ("voc_2012_val", "VOC2012", "val", 2012),
+    ]
+    for name, dirname, split, year in SPLITS:
+        if name in DatasetCatalog:
+            continue
+        register_pascal_voc(name, os.path.join(root, dirname), split, year)
+
+
+_root = os.environ.get("JTSM_DATASETS", "datasets")
+register_all_coco(_root)
+register_all_coco_panoptic(_root)
+try:
+    register_all_pascal_voc(_root)
+except ImportError:
+    pass

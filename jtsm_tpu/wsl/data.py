@@ -1,0 +1,233 @@
+"""WSL data plumbing: MCG segmentation-proposal ingestion with superpixels.
+
+Reference: projects/WSL/wsl/data/detection_utils.py:266
+(``transform_proposals_seg`` — loads MCG boxes + a superpixel label map +
+per-proposal one-hot superpixel membership, applies geometric transforms),
+wsl/data/build.py (SP loader variants), tools/proposal_convert.py (MCG .mat
+-> pickle).
+
+Static-shape outputs: proposals (R_max, 4), superpixels (H, W) int32 with
+-size-bounded ids, oh_labels (R_max, S_max) bool.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..data import transforms as T
+from ..data.catalog import DatasetCatalog, MetadataCatalog
+from ..structures import BoxMode
+
+logger = logging.getLogger(__name__)
+
+
+def load_mcg_proposals(path: str) -> Dict:
+    """Load a converted MCG pickle: {ids, boxes, superpixels?, labels?}."""
+    with open(path, "rb") as f:
+        return pickle.load(f, encoding="latin1")
+
+
+def convert_mcg_mat_to_pickle(mat_dir: str, out_path: str, image_ids: List) -> None:
+    """MCG .mat -> pickle (reference tools/proposal_convert.py). Requires
+    scipy.io; boxes stored as (y1, x1, y2, x2) 1-indexed in MCG."""
+    from scipy.io import loadmat
+
+    ids, all_boxes, all_scores = [], [], []
+    for image_id in image_ids:
+        mat = loadmat(os.path.join(mat_dir, f"{image_id}.mat"))
+        boxes = mat["boxes"].astype(np.float64)
+        # MCG: (y1, x1, y2, x2), 1-indexed -> XYXY 0-indexed
+        boxes = boxes[:, [1, 0, 3, 2]] - 1
+        scores = mat["scores"].reshape(-1).astype(np.float32)
+        ids.append(image_id)
+        all_boxes.append(boxes.astype(np.float32))
+        all_scores.append(scores)
+    with open(out_path, "wb") as f:
+        pickle.dump(
+            {"ids": ids, "boxes": all_boxes, "objectness_logits": all_scores,
+             "bbox_mode": int(BoxMode.XYXY_ABS)},
+            f,
+        )
+
+
+def transform_proposals_seg(
+    dataset_dict: dict,
+    image_shape: Tuple[int, int],
+    transforms,
+    *,
+    proposal_topk: int,
+    max_superpixels: int = 1024,
+    min_box_size: float = 0.0,
+) -> None:
+    """Apply geometric transforms to MCG boxes + superpixel map + membership
+    (reference wsl/data/detection_utils.py:266-343). Mutates dataset_dict,
+    adding 'proposals' {boxes, objectness_logits, superpixels, oh_labels}."""
+    if "proposal_boxes" not in dataset_dict:
+        return
+    boxes = BoxMode.convert(
+        np.asarray(dataset_dict.pop("proposal_boxes")),
+        dataset_dict.pop("proposal_bbox_mode", BoxMode.XYXY_ABS),
+        BoxMode.XYXY_ABS,
+    )
+    boxes = transforms.apply_box(boxes)
+    boxes = np.clip(boxes, [0, 0, 0, 0], [image_shape[1], image_shape[0]] * 2)
+    logits = np.asarray(dataset_dict.pop("proposal_objectness_logits"))
+
+    superpixels = dataset_dict.pop("proposal_superpixels", None)
+    oh_labels = dataset_dict.pop("proposal_oh_labels", None)
+
+    keep = ((boxes[:, 2] - boxes[:, 0]) > min_box_size) & (
+        (boxes[:, 3] - boxes[:, 1]) > min_box_size
+    )
+    boxes, logits = boxes[keep], logits[keep]
+    if oh_labels is not None:
+        oh_labels = np.asarray(oh_labels)[keep]
+
+    order = np.argsort(-logits)[:proposal_topk]
+    out = {
+        "boxes": boxes[order].astype(np.float32),
+        "objectness_logits": logits[order].astype(np.float32),
+    }
+    if superpixels is not None:
+        sp = np.asarray(superpixels).astype(np.int32)
+        sp = transforms.apply_segmentation(sp)
+        sp = np.clip(sp, 0, max_superpixels - 1)
+        out["superpixels"] = sp
+    if oh_labels is not None:
+        oh = oh_labels[order]
+        s = oh.shape[1]
+        if s < max_superpixels:
+            oh = np.pad(oh, ((0, 0), (0, max_superpixels - s)))
+        else:
+            oh = oh[:, :max_superpixels]
+        out["oh_labels"] = oh.astype(bool)
+    dataset_dict["proposals"] = out
+
+
+def compute_superpixels_grid(h: int, w: int, cell: int = 16) -> np.ndarray:
+    """Fallback superpixel map: a regular grid (used when MCG superpixels are
+    unavailable; also handy for tests)."""
+    yy = np.arange(h)[:, None] // cell
+    xx = np.arange(w)[None, :] // cell
+    ncols = (w + cell - 1) // cell
+    return (yy * ncols + xx).astype(np.int32)
+
+
+def oh_labels_from_boxes(
+    boxes: np.ndarray, superpixels: np.ndarray, max_superpixels: int
+) -> np.ndarray:
+    """Membership of each superpixel in each box (by the superpixel's
+    centroid): fallback when MCG per-proposal segment membership is absent."""
+    s = int(superpixels.max()) + 1
+    s = min(s, max_superpixels)
+    ys, xs = np.mgrid[0 : superpixels.shape[0], 0 : superpixels.shape[1]]
+    flat = superpixels.reshape(-1)
+    cnt = np.bincount(flat, minlength=s)[:s].astype(np.float64)
+    cy = np.bincount(flat, weights=ys.reshape(-1), minlength=s)[:s] / np.maximum(cnt, 1)
+    cx = np.bincount(flat, weights=xs.reshape(-1), minlength=s)[:s] / np.maximum(cnt, 1)
+    r = boxes.shape[0]
+    oh = np.zeros((r, max_superpixels), dtype=bool)
+    inside = (
+        (cx[None, :] >= boxes[:, 0:1])
+        & (cy[None, :] >= boxes[:, 1:2])
+        & (cx[None, :] <= boxes[:, 2:3])
+        & (cy[None, :] <= boxes[:, 3:4])
+    )
+    oh[:, :s] = inside
+    return oh
+
+
+def add_wsl_batch_fields(
+    batch: Dict[str, np.ndarray], per_image: List[dict], max_superpixels: int
+) -> None:
+    """Collate superpixels/oh_labels into the static batch (companion to
+    data.detection_utils.build_static_batch)."""
+    b = batch["image"].shape[0]
+    bh, bw = batch["image"].shape[1:3]
+    r = batch["proposals"].shape[1]
+    batch["superpixels"] = np.zeros((b, bh, bw), np.int32)
+    batch["oh_labels"] = np.zeros((b, r, max_superpixels), bool)
+    for i, d in enumerate(per_image):
+        p = d.get("proposals", {})
+        sp = p.get("superpixels")
+        if sp is None:
+            h, w = d["image"].shape[:2]
+            sp = compute_superpixels_grid(h, w)
+        hh, ww = sp.shape
+        batch["superpixels"][i, :hh, :ww] = np.clip(sp, 0, max_superpixels - 1)
+        oh = p.get("oh_labels")
+        if oh is None and "boxes" in p:
+            oh = oh_labels_from_boxes(p["boxes"], sp, max_superpixels)
+        if oh is not None:
+            n = min(len(oh), r)
+            batch["oh_labels"][i, :n] = oh[:n, :max_superpixels]
+
+
+# ---------------------------------------------------------------------------
+# VOC datasets (reference wsl/data/datasets/builtin.py:45-166)
+# ---------------------------------------------------------------------------
+
+VOC_CLASS_NAMES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+
+def load_voc_instances(dirname: str, split: str):
+    """Pascal VOC xml annotations -> dataset dicts
+    (reference detectron2/data/datasets/pascal_voc.py:26)."""
+    import xml.etree.ElementTree as ET
+
+    with open(os.path.join(dirname, "ImageSets", "Main", split + ".txt")) as f:
+        fileids = np.loadtxt(f, dtype=str)
+
+    dicts = []
+    for fileid in fileids:
+        anno_file = os.path.join(dirname, "Annotations", fileid + ".xml")
+        jpeg_file = os.path.join(dirname, "JPEGImages", fileid + ".jpg")
+        with open(anno_file) as f:
+            tree = ET.parse(f)
+        r = {
+            "file_name": jpeg_file,
+            "image_id": fileid,
+            "height": int(tree.findall("./size/height")[0].text),
+            "width": int(tree.findall("./size/width")[0].text),
+        }
+        instances = []
+        for obj in tree.findall("object"):
+            cls = obj.find("name").text
+            difficult = int(obj.find("difficult").text)
+            bbox = obj.find("bndbox")
+            bbox = [
+                float(bbox.find(x).text) for x in ["xmin", "ymin", "xmax", "ymax"]
+            ]
+            bbox[0] -= 1.0
+            bbox[1] -= 1.0
+            instances.append(
+                {
+                    "category_id": VOC_CLASS_NAMES.index(cls),
+                    "bbox": bbox,
+                    "bbox_mode": BoxMode.XYXY_ABS,
+                    "difficult": bool(difficult),
+                }
+            )
+        r["annotations"] = instances
+        dicts.append(r)
+    return dicts
+
+
+def register_pascal_voc(name: str, dirname: str, split: str, year: int = 2007):
+    DatasetCatalog.register(name, lambda: load_voc_instances(dirname, split))
+    MetadataCatalog.get(name).set(
+        thing_classes=list(VOC_CLASS_NAMES),
+        dirname=dirname,
+        year=year,
+        split=split,
+        evaluator_type="pascal_voc",
+    )
