@@ -6,6 +6,7 @@ from .batch_norm import (
     get_norm,
 )
 from .blocks import CNNBlockBase, DepthwiseSeparableConv2d
+from .deform_conv import DeformConv, ModulatedDeformConv, deform_conv2d
 from .shape_spec import ShapeSpec
 from .wrappers import (
     Conv2d,

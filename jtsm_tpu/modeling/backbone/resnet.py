@@ -163,6 +163,100 @@ class BottleneckBlock(nn.Module):
         return nn.relu(out + shortcut)
 
 
+class DeformBottleneckBlock(nn.Module):
+    """Bottleneck with a deformable 3x3 conv2 (reference resnet.py:214)."""
+
+    in_channels: int
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    deform_modulated: bool = False
+    deform_num_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ...layers import DeformConv, ModulatedDeformConv
+        from ...layers.batch_norm import get_norm
+
+        stride_1x1, stride_3x3 = (
+            (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        )
+        out = Conv2d(
+            features=self.bottleneck_channels,
+            kernel_size=1,
+            stride=stride_1x1,
+            use_bias=False,
+            norm=self.norm,
+            activation=nn.relu,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+
+        offset_channels = 27 if self.deform_modulated else 18
+        offset_out = Conv2d(
+            features=offset_channels * self.deform_num_groups,
+            kernel_size=3,
+            stride=stride_3x3,
+            padding=self.dilation,
+            dilation=self.dilation,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="conv2_offset",
+        )(out)
+        if stride_3x3 > 1:
+            out_strided = out[:, ::stride_3x3, ::stride_3x3]
+        else:
+            out_strided = out
+        if self.deform_modulated:
+            offsets = offset_out[..., :18]
+            mask = offset_out[..., 18:27]
+            dc = ModulatedDeformConv(
+                features=self.bottleneck_channels,
+                kernel_size=3,
+                stride=1,
+                dilation=self.dilation,
+                dtype=self.dtype,
+                name="conv2",
+            )(out_strided, offsets, mask)
+        else:
+            dc = DeformConv(
+                features=self.bottleneck_channels,
+                kernel_size=3,
+                stride=1,
+                dilation=self.dilation,
+                dtype=self.dtype,
+                name="conv2",
+            )(out_strided, offset_out)
+        out = get_norm(self.norm, self.bottleneck_channels, name="conv2_norm")(dc)
+        out = nn.relu(out)
+        out = Conv2d(
+            features=self.out_channels,
+            kernel_size=1,
+            use_bias=False,
+            norm=self.norm,
+            dtype=self.dtype,
+            name="conv3",
+        )(out)
+        if self.in_channels != self.out_channels or self.stride != 1:
+            shortcut = Conv2d(
+                features=self.out_channels,
+                kernel_size=1,
+                stride=self.stride,
+                use_bias=False,
+                norm=self.norm,
+                dtype=self.dtype,
+                name="shortcut",
+            )(x)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
 _DEPTH_TO_BLOCKS = {
     18: [2, 2, 2, 2],
     34: [3, 4, 6, 3],
@@ -186,6 +280,9 @@ class ResNet(Backbone):
     norm: str = "FrozenBN"
     out_features: Sequence[str] = ("res4",)
     freeze_at: int = 2
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
+    deform_num_groups: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -229,20 +326,32 @@ class ResNet(Backbone):
                         )
                     )
                 else:
-                    blocks.append(
-                        BottleneckBlock(
-                            in_channels=in_channels,
-                            out_channels=out_channels,
-                            bottleneck_channels=bottleneck_channels,
-                            stride=stride,
-                            num_groups=self.num_groups,
-                            norm=self.norm,
-                            stride_in_1x1=self.stride_in_1x1,
-                            dilation=dilation,
-                            dtype=self.dtype,
-                            name=f"res{stage_idx}_block{b}",
+                    block_cls = (
+                        DeformBottleneckBlock
+                        if (
+                            idx < len(self.deform_on_per_stage)
+                            and self.deform_on_per_stage[idx]
                         )
+                        else BottleneckBlock
                     )
+                    kwargs = dict(
+                        in_channels=in_channels,
+                        out_channels=out_channels,
+                        bottleneck_channels=bottleneck_channels,
+                        stride=stride,
+                        num_groups=self.num_groups,
+                        norm=self.norm,
+                        stride_in_1x1=self.stride_in_1x1,
+                        dilation=dilation,
+                        dtype=self.dtype,
+                        name=f"res{stage_idx}_block{b}",
+                    )
+                    if block_cls is DeformBottleneckBlock:
+                        kwargs.update(
+                            deform_modulated=self.deform_modulated,
+                            deform_num_groups=self.deform_num_groups,
+                        )
+                    blocks.append(block_cls(**kwargs))
                 in_channels = out_channels
             stages.append(blocks)
             stage_names.append(f"res{stage_idx}")
@@ -305,5 +414,8 @@ def build_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> ResNet:
         norm=cfg.MODEL.RESNETS.NORM,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
+        deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
+        deform_num_groups=cfg.MODEL.RESNETS.DEFORM_NUM_GROUPS,
         dtype=dtype,
     )

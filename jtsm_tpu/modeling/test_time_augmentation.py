@@ -1,0 +1,165 @@
+"""Test-time augmentation.
+
+Reference: detectron2/modeling/test_time_augmentation.py:27
+(``DatasetMapperTTA`` — multi-scale + flip), :85 (``GeneralizedRCNNWithTTA``
+— merge boxes across augs -> NMS -> re-run masks on merged boxes), and the
+WSL variants projects/WSL/wsl/modeling/test_time_augmentation_avg.py
+(score/mask AVERAGING across scales/flips — valid because WSOD proposals are
+fixed) and _union.py (UNION of detections).
+
+Host-orchestrated: each augmented view runs the jitted model; merging is
+numpy (cheap, per image).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..data.detection_utils import pick_bucket
+from ..ops.nms import batched_nms
+from ..structures.boxes import clip_boxes
+
+
+class TTAWrapperBase:
+    def __init__(
+        self,
+        predict_fn: Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]],
+        min_sizes: Sequence[int] = (400, 500, 600, 700, 800),
+        max_size: int = 1333,
+        flip: bool = True,
+        buckets: Sequence[Tuple[int, int]] = ((800, 1344), (1344, 800), (1024, 1024)),
+    ):
+        self.predict_fn = predict_fn
+        self.min_sizes = list(min_sizes)
+        self.max_size = max_size
+        self.flip = flip
+        self.buckets = [tuple(b) for b in buckets]
+
+    def _augmented_batches(self, image: np.ndarray, orig_size):
+        """Yield (batch, scale_x, scale_y, flipped) per augmentation."""
+        from ..data.transforms import ResizeShortestEdge
+
+        h0, w0 = image.shape[:2]
+        for ms in self.min_sizes:
+            nh, nw = ResizeShortestEdge.get_output_shape(h0, w0, ms, self.max_size)
+            tfm = ResizeShortestEdge([ms, ms], self.max_size).get_transform(image)
+            img = tfm.apply_image(image)
+            variants = [(img, False)]
+            if self.flip:
+                variants.append((img[:, ::-1], True))
+            for im, flipped in variants:
+                hh, ww = im.shape[:2]
+                bh, bw = pick_bucket(hh, ww, self.buckets)
+                canvas = np.zeros((1, bh, bw, 3), np.float32)
+                canvas[0, :hh, :ww] = im
+                batch = {
+                    "image": canvas,
+                    "image_sizes": np.asarray([[hh, ww]], np.int32),
+                    "orig_sizes": np.asarray([orig_size], np.int32),
+                }
+                yield batch, flipped
+
+
+class GeneralizedRCNNWithTTA(TTAWrapperBase):
+    """Union of detections across augs -> NMS -> topk
+    (reference test_time_augmentation.py:85)."""
+
+    def __call__(self, image: np.ndarray, topk: int = 100, nms_thresh: float = 0.5):
+        h0, w0 = image.shape[:2]
+        all_boxes, all_scores, all_classes = [], [], []
+        for batch, flipped in self._augmented_batches(image, (h0, w0)):
+            out = {k: np.asarray(v) for k, v in self.predict_fn(batch).items()}
+            valid = out["valid"][0]
+            boxes = out["boxes"][0][valid]
+            if flipped:
+                x0 = w0 - boxes[:, 2]
+                x1 = w0 - boxes[:, 0]
+                boxes = np.stack([x0, boxes[:, 1], x1, boxes[:, 3]], axis=1)
+            all_boxes.append(boxes)
+            all_scores.append(out["scores"][0][valid])
+            all_classes.append(out["classes"][0][valid])
+        if not all_boxes or sum(len(b) for b in all_boxes) == 0:
+            return {
+                "boxes": np.zeros((0, 4), np.float32),
+                "scores": np.zeros((0,), np.float32),
+                "classes": np.zeros((0,), np.int64),
+            }
+        boxes = np.concatenate(all_boxes)
+        scores = np.concatenate(all_scores)
+        classes = np.concatenate(all_classes)
+        import jax.numpy as jnp
+
+        keep_idx = np.asarray(
+            batched_nms(
+                jnp.asarray(boxes),
+                jnp.asarray(scores),
+                jnp.asarray(classes),
+                nms_thresh,
+                max_out=topk,
+            )
+        )
+        keep_idx = keep_idx[keep_idx >= 0]
+        return {
+            "boxes": boxes[keep_idx],
+            "scores": scores[keep_idx],
+            "classes": classes[keep_idx],
+        }
+
+
+class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
+    """WSOD TTA: proposals are FIXED, so per-proposal scores (and sem-seg
+    maps) can be AVERAGED across scales/flips
+    (reference test_time_augmentation_avg.py:383-441). The predict function
+    must return raw per-proposal scores under 'proposal_class_scores'."""
+
+    def __call__(
+        self,
+        image: np.ndarray,
+        proposals: np.ndarray,  # (R, 4) in original image coords
+        proposal_scores: np.ndarray,
+        predict_scores_fn: Callable,
+    ):
+        h0, w0 = image.shape[:2]
+        acc = None
+        n = 0
+        sem_acc = None
+        for batch, flipped in self._augmented_batches(image, (h0, w0)):
+            hh, ww = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
+            sx, sy = ww / w0, hh / h0
+            p = proposals * np.asarray([sx, sy, sx, sy], np.float32)
+            if flipped:
+                x0 = ww - p[:, 2]
+                x1 = ww - p[:, 0]
+                p = np.stack([x0, p[:, 1], x1, p[:, 3]], axis=1)
+            batch["proposals"] = p[None]
+            batch["proposal_scores"] = proposal_scores[None]
+            out = predict_scores_fn(batch)
+            scores = np.asarray(out["proposal_class_scores"])[0]
+            acc = scores if acc is None else acc + scores
+            if "sem_seg_logits" in out:
+                sem = np.asarray(out["sem_seg_logits"])[0][:hh, :ww]
+                if flipped:
+                    sem = sem[:, ::-1]
+                # resize to original
+                from PIL import Image
+
+                sem_r = np.stack(
+                    [
+                        np.asarray(
+                            Image.fromarray(sem[..., c]).resize((w0, h0), Image.BILINEAR)
+                        )
+                        for c in range(sem.shape[-1])
+                    ],
+                    axis=-1,
+                )
+                sem_acc = sem_r if sem_acc is None else sem_acc + sem_r
+            n += 1
+        result = {"proposal_class_scores": acc / max(n, 1)}
+        if sem_acc is not None:
+            result["sem_seg_logits"] = sem_acc / max(n, 1)
+        return result
+
+
+GeneralizedRCNNWithTTAUNION = GeneralizedRCNNWithTTA  # union semantics match
