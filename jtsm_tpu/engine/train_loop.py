@@ -47,7 +47,7 @@ def make_train_step(model, tx) -> Callable[[TrainState, Any], Tuple[TrainState, 
     """Returns train_step(state, batch) -> (state, metrics). jit/pjit-able."""
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        rng, sub = jax.random.split(state.rng)
+        rng, sub, drop = jax.random.split(state.rng, 3)
 
         has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
 
@@ -61,13 +61,13 @@ def make_train_step(model, tx) -> Callable[[TrainState, Any], Tuple[TrainState, 
                     variables,
                     batch,
                     train=True,
-                    rngs={"sampling": sub},
+                    rngs={"sampling": sub, "dropout": drop},
                     mutable=["batch_stats"],
                 )
                 new_bn = mutated["batch_stats"]
             else:
                 losses = model.apply(
-                    variables, batch, train=True, rngs={"sampling": sub}
+                    variables, batch, train=True, rngs={"sampling": sub, "dropout": drop}
                 )
                 new_bn = state.batch_stats
             total = jnp.asarray(0.0, jnp.float32)

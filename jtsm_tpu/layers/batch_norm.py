@@ -87,8 +87,11 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import math
+
+        groups = math.gcd(self.num_groups, self.num_features)
         gn = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, dtype=x.dtype, param_dtype=jnp.float32
+            num_groups=groups, epsilon=self.eps, dtype=x.dtype, param_dtype=jnp.float32
         )
         return gn(x)
 

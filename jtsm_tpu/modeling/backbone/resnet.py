@@ -283,14 +283,19 @@ class ResNet(Backbone):
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
     deform_num_groups: int = 1
+    stem_type: str = "basic"  # "basic" (7x7) | "deeplab" (3x 3x3) | "wsl" (maxpool variant)
     dtype: Any = jnp.float32
+
+    def make_stem(self):
+        """Subclass hook (DeepLab/WSL resnets override the stem)."""
+        return BasicStem(
+            out_channels=self.stem_out_channels, norm=self.norm, dtype=self.dtype
+        )
 
     def setup(self):
         assert self.depth in _DEPTH_TO_BLOCKS, self.depth
         assert self.res5_dilation in (1, 2), self.res5_dilation
-        self.stem = BasicStem(
-            out_channels=self.stem_out_channels, norm=self.norm, dtype=self.dtype
-        )
+        self.stem = self.make_stem()
         num_blocks_per_stage = _DEPTH_TO_BLOCKS[self.depth]
 
         # which stages are needed given out_features

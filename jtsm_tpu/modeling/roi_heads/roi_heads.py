@@ -265,18 +265,7 @@ class StandardROIHeads(nn.Module):
             )(scores, deltas, proposals, prop_valid, image_sizes)
 
             if self.mask_on:
-                d = detections["boxes"].shape[1]
-                det_boxes = detections["boxes"].reshape(b * d, 4)
-                det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
-                mfeats = [features[f] for f in self.mask_in_features]
-                mask_feats = self.mask_pooler(mfeats, det_boxes, det_batch)
-                mask_logits = self.mask_head(mask_feats)
-                probs = mask_rcnn_inference(
-                    mask_logits, detections["classes"].reshape(-1)
-                )
-                detections["masks"] = probs.reshape(
-                    b, d, probs.shape[-2], probs.shape[-1]
-                )
+                detections = self._forward_mask_inference(features, detections, b)
             if self.keypoint_on:
                 from .keypoint_head import keypoint_rcnn_inference
 
@@ -334,6 +323,17 @@ class StandardROIHeads(nn.Module):
             mask_valid.reshape(-1),
         )
         return {"loss_mask": loss}
+
+    def _forward_mask_inference(self, features, detections, b):
+        d = detections["boxes"].shape[1]
+        det_boxes = detections["boxes"].reshape(b * d, 4)
+        det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+        mfeats = [features[f] for f in self.mask_in_features]
+        mask_feats = self.mask_pooler(mfeats, det_boxes, det_batch)
+        mask_logits = self.mask_head(mask_feats)
+        probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
+        detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
+        return detections
 
     def _forward_keypoint_train(self, features, sampled, targets, b):
         """fg rois -> heatmap CE (reference roi_heads.py _forward_keypoint)."""

@@ -3,7 +3,13 @@ from .config import add_wsl_config
 
 def register_all():
     """Import WSL modules so registries are populated."""
-    from .modeling import meta_arch, roi_heads_jtsm, roi_heads_wsl, vgg  # noqa: F401
+    from .modeling import (  # noqa: F401
+        meta_arch,
+        resnet_wsl,
+        roi_heads_jtsm,
+        roi_heads_wsl,
+        vgg,
+    )
 
 
 register_all()

@@ -1,0 +1,22 @@
+"""PointRend (reference: projects/PointRend — iterative point-based mask
+refinement)."""
+
+from .config import add_pointrend_config
+from .point_features import (
+    generate_regular_grid_point_coords,
+    get_uncertain_point_coords_on_grid,
+    get_uncertain_point_coords_with_randomness,
+    point_sample,
+)
+from .point_head import StandardPointHead
+from .roi_heads import PointRendROIHeads
+
+__all__ = [
+    "add_pointrend_config",
+    "point_sample",
+    "generate_regular_grid_point_coords",
+    "get_uncertain_point_coords_on_grid",
+    "get_uncertain_point_coords_with_randomness",
+    "StandardPointHead",
+    "PointRendROIHeads",
+]

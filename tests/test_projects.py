@@ -1,0 +1,188 @@
+"""Project-plane tests: TridentNet backbone, PointRend, DeepLab heads,
+Panoptic-DeepLab, TensorMask SwapAlign2Nat, DensePose head."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "projects/TridentNet")
+sys.path.insert(0, "projects/PointRend")
+sys.path.insert(0, "projects/DeepLab")
+sys.path.insert(0, "projects/Panoptic-DeepLab")
+sys.path.insert(0, "projects/TensorMask")
+sys.path.insert(0, "projects/DensePose")
+
+from jtsm_tpu.config import get_cfg
+from jtsm_tpu.modeling import build_model
+
+
+def test_trident_backbone():
+    from tridentnet import add_tridentnet_config, build_trident_resnet_backbone
+
+    cfg = get_cfg()
+    add_tridentnet_config(cfg)
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3"]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    bb = build_trident_resnet_backbone(cfg, None)
+    v = bb.init(jax.random.key(0), jnp.zeros((2, 64, 64, 3)))
+    out_train = bb.apply(v, jnp.zeros((2, 64, 64, 3)), train=True)
+    assert out_train["res4"].shape == (6, 4, 4, 1024)  # 3 branches x B
+    out_test = bb.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out_test["res4"].shape == (2, 4, 4, 1024)
+
+
+def test_point_sample_matches_manual():
+    from point_rend import point_sample
+
+    feat = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    # center of pixel (1, 2) in normalized coords
+    pts = jnp.asarray([[[(2 + 0.5) / 4, (1 + 0.5) / 4]]])
+    out = point_sample(feat, pts)
+    assert float(out[0, 0, 0]) == pytest.approx(6.0)
+
+
+def test_pointrend_roi_heads():
+    from point_rend import add_pointrend_config
+
+    import point_rend.roi_heads  # noqa: F401 (registers)
+
+    cfg = get_cfg()
+    add_pointrend_config(cfg)
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64], [128], [256]]
+    cfg.MODEL.ROI_HEADS.NAME = "PointRendROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS = 16
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 32
+    cfg.MODEL.POINT_HEAD.FC_DIM = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    b, g = 2, 3
+    batch = {
+        "image": jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([rng.rand(b, g, 2) * 20, 25 + rng.rand(b, g, 2) * 20], -1).astype(np.float32)
+        ),
+        "gt_classes": jnp.asarray(rng.randint(0, 3, (b, g)), jnp.int32),
+        "gt_valid": jnp.ones((b, g), bool),
+        "gt_mask_crops": jnp.asarray(rng.rand(b, g, 28, 28) > 0.5),
+    }
+    vs = model.init({"params": jax.random.key(0), "sampling": jax.random.key(1)}, batch, train=True)
+    losses = model.apply(vs, batch, train=True, rngs={"sampling": jax.random.key(2)})
+    assert "loss_mask" in losses and "loss_mask_point" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    out = model.apply(vs, batch, train=False)
+    # subdivision: 7 -> 14 -> 28
+    assert out["masks"].shape[-1] == 28
+
+
+def test_deeplab_heads():
+    from deeplab import DeepLabCE, add_deeplab_config
+
+    import deeplab.semantic_seg  # noqa: F401
+
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "DeepLabV3PlusHead"
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res2", "res5"]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 5
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_CHANNELS = 32
+    cfg.MODEL.SEM_SEG_HEAD.PROJECT_CHANNELS = [16]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.modeling.meta_arch.semantic_seg import build_sem_seg_head
+
+    head = build_sem_seg_head(
+        cfg, {"res2": ShapeSpec(channels=64, stride=4), "res5": ShapeSpec(channels=128, stride=16)}
+    )
+    feats = {
+        "res2": jnp.zeros((1, 16, 16, 64)),
+        "res5": jnp.zeros((1, 4, 4, 128)),
+    }
+    tgt = jnp.zeros((1, 64, 64), jnp.int32)
+    v = head.init({'params': jax.random.key(0), 'dropout': jax.random.key(1)}, feats, tgt, train=True)
+    logits, losses = head.apply(v, feats, tgt, train=True, rngs={'dropout': jax.random.key(2)})
+    assert logits.shape == (1, 16, 16, 5)
+    assert "loss_sem_seg" in losses
+
+    ce = DeepLabCE(jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8), jnp.int32))
+    assert np.isfinite(float(ce))
+
+
+def test_panoptic_deeplab_postprocessing():
+    from panoptic_deeplab import get_panoptic_segmentation, panoptic_deeplab_targets
+
+    h = w = 32
+    masks = np.zeros((2, h, w), bool)
+    masks[0, 4:12, 4:12] = True
+    masks[1, 20:28, 20:28] = True
+    tgt = panoptic_deeplab_targets(masks, np.array([True, True]))
+    assert tgt["gt_center"].max() > 0.9
+    assert tgt["gt_offset_weight"].sum() == masks.sum()
+
+    sem = np.zeros((h, w), np.int32)
+    sem[masks[0]] = 1  # thing class 1
+    sem[masks[1]] = 1
+    center = tgt["gt_center"]
+    offset = tgt["gt_offset"]
+    pan, segs = get_panoptic_segmentation(
+        sem, center, offset, thing_ids={1}, stuff_area=10
+    )
+    thing_segs = [s for s in segs if s["isthing"]]
+    assert len(thing_segs) == 2
+
+
+def test_swap_align2nat():
+    from tensormask import swap_align2nat
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 3, 3, 6, 6).astype(np.float32))
+    out = swap_align2nat(x, lambda_val=1)
+    assert out.shape == (1, 3, 3, 6, 6)
+    # center offset (u=v=1 for V=3): natural == aligned
+    np.testing.assert_allclose(np.asarray(out[0, 1, 1]), np.asarray(x[0, 1, 1]), atol=1e-5)
+    # offset u=0 (=-1 from center): natural at y reads aligned at y+1
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, 1, :5, :]), np.asarray(x[0, 0, 1, 1:, :]), atol=1e-5
+    )
+    out2 = swap_align2nat(x, lambda_val=2)
+    assert out2.shape == (1, 3, 3, 12, 12)
+
+
+def test_densepose_head():
+    from densepose import DensePoseV1ConvXHead, add_densepose_config
+
+    head = DensePoseV1ConvXHead(num_stacked_convs=2, conv_dim=32)
+    x = jnp.zeros((4, 14, 14, 64))
+    v = head.init(jax.random.key(0), x)
+    out = head.apply(v, x)
+    assert out["coarse_segm"].shape == (4, 28, 28, 2)
+    assert out["fine_segm"].shape == (4, 28, 28, 25)
+    assert out["u"].shape == (4, 28, 28, 25)
