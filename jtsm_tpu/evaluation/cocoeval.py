@@ -108,11 +108,22 @@ def oks_iou(dets_kpts: np.ndarray, det_boxes, gts: List[dict]) -> np.ndarray:
 
 
 class COCOEval:
-    """Evaluate detections against a COCO-format gt dict."""
+    """Evaluate detections against a COCO-format gt dict.
 
-    def __init__(self, gt_dataset: Dict, iou_type: str = "bbox", kpt_oks_sigmas=None):
+    ``use_native=True`` (default) routes the greedy matching loops through
+    the C++ library in `csrc/cocoeval.cpp` (the reference's fast path,
+    fast_eval_api.py) when it builds; otherwise pure numpy/python."""
+
+    def __init__(
+        self,
+        gt_dataset: Dict,
+        iou_type: str = "bbox",
+        kpt_oks_sigmas=None,
+        use_native: bool = True,
+    ):
         assert iou_type in ("bbox", "segm", "keypoints"), iou_type
         self.iou_type = iou_type
+        self.use_native = use_native
         if kpt_oks_sigmas is not None and len(kpt_oks_sigmas):
             global OKS_SIGMAS
         self.imgs = {img["id"]: img for img in gt_dataset["images"]}
@@ -138,20 +149,29 @@ class COCOEval:
         max_det = max(MAX_DETS)
 
         # per (cat, area, img): matches
+        native = None
+        if self.use_native:
+            from .fast_eval_api import get_lib
+
+            native = get_lib()
+
         eval_imgs = {}
-        for ki, cat_id in enumerate(self.cat_ids):
-            for img_id in img_ids:
-                gts = self._gts.get((img_id, cat_id), [])
-                dets = sorted(
-                    dts.get((img_id, cat_id), []), key=lambda d: -d["score"]
-                )[:max_det]
-                if len(gts) == 0 and len(dets) == 0:
-                    continue
-                ious = self._compute_iou(dets, gts, img_id)
-                for ai, aname in enumerate(a_names):
-                    eval_imgs[(ki, ai, img_id)] = self._match(
-                        dets, gts, ious, AREA_RNGS[aname]
-                    )
+        if native is not None:
+            self._evaluate_native(dts, img_ids, a_names, max_det, eval_imgs)
+        else:
+            for ki, cat_id in enumerate(self.cat_ids):
+                for img_id in img_ids:
+                    gts = self._gts.get((img_id, cat_id), [])
+                    dets = sorted(
+                        dts.get((img_id, cat_id), []), key=lambda d: -d["score"]
+                    )[:max_det]
+                    if len(gts) == 0 and len(dets) == 0:
+                        continue
+                    ious = self._compute_iou(dets, gts, img_id)
+                    for ai, aname in enumerate(a_names):
+                        eval_imgs[(ki, ai, img_id)] = self._match(
+                            dets, gts, ious, AREA_RNGS[aname]
+                        )
 
         # accumulate
         precision = -np.ones((t_count, len(REC_THRS), k_count, len(a_names), len(MAX_DETS)))
@@ -252,6 +272,58 @@ class COCOEval:
             self.per_category_ap[cat_id] = float(np.mean(valid)) if valid.size else float("nan")
         return stats
 
+    def _evaluate_native(self, dts, img_ids, a_names, max_det, eval_imgs):
+        """Batch every (cat, img, area) triple through the C matcher."""
+        from .fast_eval_api import native_match_batch
+
+        pair_ious, gt_ig_l, gt_crowd_l, det_oor_l = [], [], [], []
+        meta = []
+        for ki, cat_id in enumerate(self.cat_ids):
+            for img_id in img_ids:
+                gts = self._gts.get((img_id, cat_id), [])
+                dets = sorted(
+                    dts.get((img_id, cat_id), []), key=lambda d: -d["score"]
+                )[:max_det]
+                if len(gts) == 0 and len(dets) == 0:
+                    continue
+                ious = self._compute_iou(dets, gts, img_id)
+                det_areas = np.asarray([self._det_area(d) for d in dets])
+                scores = np.asarray([d["score"] for d in dets])
+                gt_areas = np.asarray([self._gt_area(g) for g in gts])
+                gt_base_ignore = np.asarray(
+                    [bool(g.get("ignore", False)) or bool(g.get("iscrowd", 0)) for g in gts]
+                )
+                gt_crowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gts])
+                for ai, aname in enumerate(a_names):
+                    lo, hi = AREA_RNGS[aname]
+                    gt_ignore = gt_base_ignore | ~((gt_areas >= lo) & (gt_areas < hi)) if len(gts) else gt_base_ignore
+                    order = np.argsort(gt_ignore, kind="mergesort") if len(gts) else np.zeros(0, int)
+                    pair_ious.append(
+                        np.ascontiguousarray(ious[:, order], dtype=np.float64)
+                        if len(gts)
+                        else np.zeros((len(dets), 0), np.float64)
+                    )
+                    gt_ig_l.append(gt_ignore[order] if len(gts) else np.zeros(0, bool))
+                    gt_crowd_l.append(gt_crowd[order] if len(gts) else np.zeros(0, bool))
+                    det_oor_l.append((det_areas < lo) | (det_areas >= hi) if len(dets) else np.zeros(0, bool))
+                    meta.append(
+                        (ki, ai, img_id, scores, int((~gt_ignore).sum()) if len(gts) else 0)
+                    )
+
+        if not meta:
+            return
+        det_matched, det_ignore, det_offsets = native_match_batch(
+            pair_ious, gt_ig_l, gt_crowd_l, det_oor_l, IOU_THRS
+        )
+        for i, (ki, ai, img_id, scores, num_gt) in enumerate(meta):
+            d0, d1 = int(det_offsets[i]), int(det_offsets[i + 1])
+            eval_imgs[(ki, ai, img_id)] = {
+                "scores": scores,
+                "det_matched": det_matched[:, d0:d1],
+                "det_ignore": det_ignore[:, d0:d1],
+                "num_gt": num_gt,
+            }
+
     def _compute_iou(self, dets: List[dict], gts: List[dict], img_id) -> np.ndarray:
         iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], dtype=bool)
         if self.iou_type == "bbox":
@@ -291,7 +363,8 @@ class COCOEval:
                 or bool(gt.get("iscrowd", 0))
                 or not (area_rng[0] <= self._gt_area(gt) < area_rng[1])
                 for gt in gts
-            ]
+            ],
+            dtype=bool,
         )
         # sort gts: non-ignored first (matching prefers real gt)
         g_order = np.argsort(gt_ignore, kind="mergesort")

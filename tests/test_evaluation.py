@@ -155,3 +155,63 @@ def test_pq_mismatch_category():
     )
     res = stat.pq_average({1: {"isthing": 1}, 2: {"isthing": 1}})
     assert res["pq"] == 0.0  # one FN (cat1) + one FP (cat2)
+
+
+def test_native_matches_python():
+    """The C++ fast path must produce identical stats to the python matcher
+    (mirrors reference tests/data/test_coco_evaluation.py checking the C++
+    path == pycocotools exactly)."""
+    from jtsm_tpu.evaluation.fast_eval_api import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native cocoeval unavailable")
+    rng = np.random.RandomState(3)
+    images = [{"id": i, "height": 100, "width": 100} for i in range(6)]
+    anns = []
+    aid = 1
+    for i in range(6):
+        for _ in range(rng.randint(1, 5)):
+            x, y = rng.rand(2) * 60
+            w, h = rng.rand(2) * 60 + 3
+            anns.append(
+                {
+                    "id": aid,
+                    "image_id": i,
+                    "category_id": int(rng.randint(1, 4)),
+                    "bbox": [x, y, w, h],
+                    "area": w * h,
+                    "iscrowd": int(rng.rand() < 0.15),
+                }
+            )
+            aid += 1
+    cats = [{"id": c, "name": str(c)} for c in [1, 2, 3]]
+    gt = {"images": images, "annotations": anns, "categories": cats}
+    dets = []
+    for a in anns:
+        if rng.rand() < 0.7:
+            jitter = rng.randn(4) * 3
+            bb = np.asarray(a["bbox"]) + jitter
+            dets.append(
+                {
+                    "image_id": a["image_id"],
+                    "category_id": a["category_id"],
+                    "bbox": bb.tolist(),
+                    "score": float(rng.rand()),
+                }
+            )
+    for _ in range(10):  # random false positives
+        dets.append(
+            {
+                "image_id": int(rng.randint(0, 6)),
+                "category_id": int(rng.randint(1, 4)),
+                "bbox": (rng.rand(4) * 40 + 1).tolist(),
+                "score": float(rng.rand()),
+            }
+        )
+    s_native = COCOEval(gt, "bbox", use_native=True).evaluate(dets)
+    s_python = COCOEval(gt, "bbox", use_native=False).evaluate(dets)
+    for k in s_python:
+        if np.isnan(s_python[k]):
+            assert np.isnan(s_native[k]), k
+        else:
+            assert s_native[k] == pytest.approx(s_python[k], abs=1e-9), k
