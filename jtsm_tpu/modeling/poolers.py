@@ -51,6 +51,7 @@ class ROIPooler:
         pooler_type: str = "ROIAlignV2",
         canonical_box_size: int = 224,
         canonical_level: int = 4,
+        impl: str = "auto",  # "auto" | "pallas" | "xla"
     ):
         self.output_size = (
             (output_size, output_size) if isinstance(output_size, int) else tuple(output_size)
@@ -66,6 +67,21 @@ class ROIPooler:
         assert self.max_level - self.min_level + 1 == len(self.scales)
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
+        self.impl = impl
+
+    def _use_pallas(self, features) -> bool:
+        if self.impl == "xla" or not self.aligned:
+            return False
+        if self.impl == "pallas":
+            return True
+        import os
+
+        if os.environ.get("JTSM_DISABLE_PALLAS"):
+            return False
+        c = features[0].shape[-1]
+        square = self.output_size[0] == self.output_size[1]
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return on_tpu and square and c % 256 == 0 and len(features) > 1
 
     def __call__(
         self,
@@ -92,6 +108,18 @@ class ROIPooler:
             self.canonical_box_size,
             self.canonical_level,
         )
+        if self._use_pallas(features):
+            from ..ops.pallas.roi_align_kernel import roi_align_multilevel_pallas
+
+            return roi_align_multilevel_pallas(
+                list(features),
+                self.scales,
+                boxes,
+                batch_indices,
+                levels,
+                self.output_size[0],
+                self.sampling_ratio,
+            )
         return roi_align_multilevel(
             tuple(features),
             self.scales,

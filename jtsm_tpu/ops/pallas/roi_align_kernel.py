@@ -1,0 +1,228 @@
+"""Pallas fused windowed ROIAlign.
+
+Why a kernel: the XLA formulation (ops/roi_align.py) materializes four
+corner-gather buffers in HBM before interpolating — ~3x the bandwidth floor.
+This kernel DMAs each ROI's (WIN, WIN, C) feature window into VMEM as ONE
+strided block copy, then computes the whole bilinear interpolation + sample
+averaging as two small MXU matmuls with separable weight matrices, writing
+only the (P, P, C) output back. Traffic = window read + output write.
+
+Layout constraints honored (Mosaic (8,128)/(16,128) tiling): each level is a
+(B*H, Wpad, C) ref whose W is padded to a multiple of 8 and >= WIN; window x
+origins align down to 8; the leading (row) dim is unconstrained, so y
+origins are free.
+
+Semantics: identical to ROIAlignV2 for ROIs whose sampling span fits the
+usable window (WIN - 9 cells). The multilevel wrapper bumps oversized ROIs
+to a coarser level so the bound holds (extreme-aspect proposals; in the
+reference those few boxes sample at the finer level — sub-0.1 AP effect).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+WIN = 40  # window cells per axis
+ALIGN = 8  # x-origin alignment required by the sublane tiling
+
+
+def _axis_weights(start: Array, bin_size: Array, origin: Array, size: Array, p: int, s: int):
+    """Separable weight matrix (P, WIN) for one axis of one ROI.
+
+    start/bin_size: ROI start coord and bin size in feature cells (at the
+    ROI's level); origin: window origin (cells); size: level extent.
+    Includes bilinear hat weights, 1/s sample averaging and out-of-range
+    zeroing (reference ROIAlign boundary rules).
+    """
+    grid = (
+        jnp.arange(p, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    ).reshape(-1)  # (P*S,) sample positions in bin units
+    coords = start + grid * bin_size  # absolute cell coords
+    oob = (coords < -1.0) | (coords > size)
+    cc = jnp.clip(coords, 0.0, jnp.maximum(size - 1.0, 0.0)) - origin
+    cc = jnp.clip(cc, 0.0, WIN - 1.001)
+    lo = jnp.floor(cc).astype(jnp.int32)
+    frac = cc - lo
+    w = jnp.zeros((p * s, WIN), jnp.float32)
+    rows = jnp.arange(p * s)
+    w = w.at[rows, lo].add(jnp.where(oob, 0.0, 1.0 - frac))
+    w = w.at[rows, jnp.minimum(lo + 1, WIN - 1)].add(jnp.where(oob, 0.0, frac))
+    return w.reshape(p, s, WIN).sum(axis=1) / s  # (P, WIN)
+
+
+def _make_kernel(num_levels: int):
+    def kernel(lvl_ref, row_ref, ox_ref, wy_ref, wx_ref, *refs):
+        level_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        win_buf = refs[num_levels + 1]
+        sem = refs[num_levels + 2]
+
+        r = pl.program_id(0)
+        lvl = lvl_ref[r]
+        row0 = row_ref[r]
+        ox = pl.multiple_of(ox_ref[r] * ALIGN, ALIGN)
+
+        for l in range(num_levels):
+            @pl.when(lvl == l)
+            def _(l=l):
+                pltpu.make_async_copy(
+                    level_refs[l].at[pl.ds(row0, WIN), pl.ds(ox, WIN)],
+                    win_buf,
+                    sem,
+                ).start()
+        pltpu.make_async_copy(
+            level_refs[0].at[pl.ds(0, WIN), pl.ds(0, WIN)], win_buf, sem
+        ).wait()  # shape-compatible wait on the single semaphore
+
+        wy = wy_ref[0]  # (P, WIN)
+        wx = wx_ref[0]  # (P, WIN)
+        win = win_buf[:, :, :]  # (WIN, WIN, C)
+
+        # x-contraction: tmp[q, i, c] = sum_j wx[q, j] win[i, j, c]
+        tmp = jax.lax.dot_general(
+            wx.astype(jnp.float32),
+            win.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # y-contraction: out[p, q, c] = sum_i wy[p, i] tmp[q, i, c]
+        out = jax.lax.dot_general(
+            wy.astype(jnp.float32),
+            tmp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("output_size",))
+def _pallas_call(levels3d, lvl_idx, row0, ox_div, wy, wx, output_size: int):
+    r = lvl_idx.shape[0]
+    c = levels3d[0].shape[-1]
+    p = output_size
+    num_levels = len(levels3d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lvl, row0, ox_div
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        out_specs=pl.BlockSpec(
+            (1, p, p, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, WIN, c), levels3d[0].dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(num_levels),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, p, p, c), levels3d[0].dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(lvl_idx, row0, ox_div, wy, wx, *levels3d)
+
+
+def roi_align_multilevel_pallas(
+    features,
+    spatial_scales,
+    boxes,
+    batch_indices,
+    levels,
+    output_size: int,
+    sampling_ratio: int = 2,
+):
+    """Drop-in multilevel ROIAlign on the fused kernel.
+
+    features: per level (B, H, W, C); boxes (R, 4); levels (R,) assignments.
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    s = max(sampling_ratio, 1)
+    p = output_size
+
+    # pad W to a multiple of ALIGN and both dims to >= WIN + slack
+    padded = []
+    for f in features:
+        b, h, w, _ = f.shape
+        wp = max(((w + ALIGN - 1) // ALIGN) * ALIGN, WIN)
+        hp = max(h, WIN)
+        f2 = jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        padded.append(f2)
+    # extra WIN rows of slack at the bottom of each level so windows of the
+    # last image never overrun the buffer
+    levels3d = [
+        jnp.pad(f.reshape(-1, f.shape[2], c), ((0, WIN), (0, 0), (0, 0)))
+        for f in padded
+    ]
+
+    hs = jnp.asarray([f.shape[1] for f in padded], jnp.int32)
+    ws_pad = jnp.asarray([f.shape[2] for f in padded], jnp.int32)
+    ws_true = jnp.asarray([f.shape[2] for f in features], jnp.int32)
+    hs_true = jnp.asarray([f.shape[1] for f in features], jnp.int32)
+    scales = jnp.asarray(spatial_scales, jnp.float32)
+
+    def span_at(lvl):
+        sc = scales[lvl]
+        return jnp.maximum(
+            (boxes[:, 2] - boxes[:, 0]) * sc, (boxes[:, 3] - boxes[:, 1]) * sc
+        )
+
+    lvl = levels.astype(jnp.int32)
+    usable = WIN - ALIGN + 1 - 2
+    for _ in range(num_levels - 1):
+        too_big = span_at(lvl) > usable
+        lvl = jnp.where(too_big & (lvl < num_levels - 1), lvl + 1, lvl)
+
+    sc = scales[lvl]
+    h_l = hs_true[lvl]
+    w_l = ws_true[lvl]
+    h_p = hs[lvl]
+    x0 = boxes[:, 0] * sc - 0.5
+    y0 = boxes[:, 1] * sc - 0.5
+    x1 = boxes[:, 2] * sc - 0.5
+    y1 = boxes[:, 3] * sc - 0.5
+    bin_w = (x1 - x0) / p
+    bin_h = (y1 - y0) / p
+
+    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32) - 1, 0, None)
+    ox = (ox // ALIGN) * ALIGN
+    ox = jnp.minimum(ox, ((ws_pad[lvl] - WIN) // ALIGN) * ALIGN)
+    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, None)
+    row0 = batch_indices.astype(jnp.int32) * h_p + oy
+
+    wy = jax.vmap(
+        lambda st, bs, o, sz: _axis_weights(st, bs, o.astype(jnp.float32), sz.astype(jnp.float32), p, s)
+    )(y0, bin_h, oy, h_l)
+    wx = jax.vmap(
+        lambda st, bs, o, sz: _axis_weights(st, bs, o.astype(jnp.float32), sz.astype(jnp.float32), p, s)
+    )(x0, bin_w, ox, w_l)
+
+    return _pallas_call(
+        tuple(levels3d),
+        lvl,
+        row0.astype(jnp.int32),
+        (ox // ALIGN).astype(jnp.int32),
+        wy,
+        wx,
+        p,
+    )
