@@ -25,19 +25,31 @@ def detector_postprocess_batched(
     scale = orig_sizes.astype(jnp.float32) / jnp.maximum(
         image_sizes.astype(jnp.float32), 1.0
     )  # (B, 2) h_scale, w_scale
-    sx = scale[:, 1][:, None, None]
-    sy = scale[:, 0][:, None, None]
+    sx = scale[:, 1][:, None]
+    sy = scale[:, 0][:, None]
     boxes = detections["boxes"]
-    boxes = jnp.stack(
-        [
-            boxes[..., 0] * sx[..., 0],
-            boxes[..., 1] * sy[..., 0],
-            boxes[..., 2] * sx[..., 0],
-            boxes[..., 3] * sy[..., 0],
-        ],
-        axis=-1,
-    )
-    boxes = jax.vmap(clip_boxes)(boxes, orig_sizes)
+    if boxes.shape[-1] == 5:  # rotated (cx, cy, w, h, a): scale, no clip
+        boxes = jnp.stack(
+            [
+                boxes[..., 0] * sx,
+                boxes[..., 1] * sy,
+                boxes[..., 2] * sx,
+                boxes[..., 3] * sy,
+                boxes[..., 4],
+            ],
+            axis=-1,
+        )
+    else:
+        boxes = jnp.stack(
+            [
+                boxes[..., 0] * sx,
+                boxes[..., 1] * sy,
+                boxes[..., 2] * sx,
+                boxes[..., 3] * sy,
+            ],
+            axis=-1,
+        )
+        boxes = jax.vmap(clip_boxes)(boxes, orig_sizes)
     out = dict(detections)
     out["boxes"] = boxes
     return out
