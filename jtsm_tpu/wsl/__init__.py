@@ -9,6 +9,7 @@ def register_all():
         roi_heads_jtsm,
         roi_heads_wsl,
         vgg,
+        wsod_zoo,
     )
 
 

@@ -1,0 +1,483 @@
+"""The WSOD method zoo: ContextLocNet, PCL, CMIL, CSC, UWSOD heads.
+
+Reference: projects/WSL/wsl/modeling/roi_heads/
+* roi_heads_contextlocnet.py (403 LoC) — frame/context ROIs via ROILoopPool;
+  det branch scores = softmax(frame - context)
+* roi_heads_pcl.py (437) — proposal clusters (greedy graph centers) + the
+  pcl_loss supervision
+* roi_heads_cmil.py (826) + csrc/ROIMerge — continuation optimization:
+  cluster proposals by score similarity + IoU, merge cls/det scores
+* roi_heads_csc.py (570) + csrc/csc — class peak gradient (CPG) maps from
+  the gradient of the image class score w.r.t. the input image; CSC turns
+  CPG + boxes into per-proposal positive/negative weights
+* roi_heads_uwsod.py (1441) — unified WSOD with a learned RPN trained from
+  mined PGT
+
+All static-shape; each head registers in ROI_HEADS_REGISTRY.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import CfgNode
+from ...layers import ShapeSpec
+from ...modeling.poolers import ROIPooler
+from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+from ...structures.boxes import pairwise_iou
+from ..ops import frame_and_context_boxes
+from .mil_heads import (
+    MILOutputLayers,
+    OICROutputLayers,
+    get_pgt_top_k,
+    label_proposals_by_pgt,
+    mil_image_loss,
+    oicr_branch_loss,
+    wsddn_scores,
+)
+from .roi_heads_wsl import (
+    DiscriminativeAdaptionNeck,
+    WSDDNROIHeads,
+    image_level_gt,
+    wsl_inference_single,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# ContextLocNet
+# ---------------------------------------------------------------------------
+
+
+@ROI_HEADS_REGISTRY.register()
+class ContextLocNetROIHeads(WSDDNROIHeads):
+    """Det branch scores frame-minus-context (reference
+    roi_heads_contextlocnet.py, 'contrastive S' model)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, Array],
+        proposals: Array,
+        proposal_scores: Array,
+        image_sizes: Array,
+        targets: Optional[Dict[str, Array]] = None,
+        train: bool = False,
+    ):
+        feats = [features[f] for f in self.in_features]
+        b, r = proposals.shape[:2]
+        flat = proposals.reshape(b * r, 4)
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        inner, outer = frame_and_context_boxes(flat)
+
+        pooled_roi = self.pooler(feats, flat, bidx)
+        pooled_frame = self.pooler(feats, inner, bidx)
+        pooled_ctx = self.pooler(feats, outer, bidx)
+
+        dan = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")
+        x_roi = dan(pooled_roi, train=train)
+        x_frame = dan(pooled_frame, train=train)
+        x_ctx = dan(pooled_ctx, train=train)
+
+        mil = MILOutputLayers(num_classes=self.num_classes, dtype=self.dtype, name="mil")
+        cls_logit, _ = mil(x_roi)
+        _, det_frame = mil(x_frame)
+        _, det_ctx = mil(x_ctx)
+        det_logit = det_frame - det_ctx  # contrastive localization
+
+        cls_logit = cls_logit.reshape(b, r, -1)
+        det_logit = det_logit.reshape(b, r, -1)
+        valid = jnp.isfinite(proposal_scores)
+        scores = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)
+
+        if train:
+            img_labels = jax.vmap(
+                lambda c, v: image_level_gt(c, v, self.num_classes)
+            )(targets["gt_classes"], targets["gt_valid"])
+            return {}, {"loss_mil": jax.vmap(mil_image_loss)(scores, img_labels).mean()}
+
+        detections = jax.vmap(
+            lambda bx, sc, v, sz: wsl_inference_single(
+                bx, sc, v, sz, self.score_thresh_test, self.nms_thresh_test, self.detections_per_image
+            )
+        )(proposals, scores, valid, image_sizes)
+        return detections, {}
+
+
+# ---------------------------------------------------------------------------
+# PCL: proposal cluster learning
+# ---------------------------------------------------------------------------
+
+
+def build_proposal_clusters(
+    boxes: Array,  # (R, 4)
+    source_scores: Array,  # (R, C)
+    valid: Array,
+    image_labels: Array,  # (C,)
+    num_centers: int = 5,
+    iou_thresh: float = 0.4,
+) -> Dict[str, Array]:
+    """Greedy cluster centers per present class: top-k scoring proposals with
+    NMS-style diversity; every proposal joins its best-IoU center
+    (reference third_party pcl.py `_get_graph_centers`, simplified to a
+    static top-k + assignment)."""
+    from ...ops.nms import nms_mask
+
+    c = source_scores.shape[1]
+
+    def per_class(sc, present):
+        masked = jnp.where(valid, sc, -jnp.inf)
+        k = min(num_centers * 3, boxes.shape[0])
+        topv, topi = jax.lax.top_k(masked, k)
+        keep = nms_mask(boxes[topi], topv, iou_thresh)
+        pri = jnp.where(keep, topv, -jnp.inf)
+        cv, ci = jax.lax.top_k(pri, num_centers)
+        centers = topi[ci]
+        ok = jnp.isfinite(cv) & present
+        return centers, jnp.where(ok, cv, 0.0), ok
+
+    centers, weights, ok = jax.vmap(per_class)(
+        source_scores.T, image_labels > 0
+    )  # (C, K)
+    center_boxes = boxes[centers]  # (C, K, 4)
+    iou = pairwise_iou(boxes, center_boxes.reshape(-1, 4))  # (R, C*K)
+    iou = jnp.where(ok.reshape(-1)[None, :], iou, -1.0)
+    best = jnp.max(iou, axis=1)
+    assign = jnp.argmax(iou, axis=1)
+    cls_of_cluster = jnp.repeat(jnp.arange(c), centers.shape[1])
+    labels = jnp.where(best >= 0.5, cls_of_cluster[assign], c)
+    w = jnp.where(valid, weights.reshape(-1)[assign], 0.0)
+    return {
+        "labels": labels,
+        "weights": w,
+        "assignment": assign,
+        "center_ok": ok.reshape(-1),
+    }
+
+
+@ROI_HEADS_REGISTRY.register()
+class PCLROIHeads(WSDDNROIHeads):
+    """WSDDN MIL + refinement branches supervised by proposal clusters."""
+
+    refine_num: int = 3
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape):
+        ret = WSDDNROIHeads.from_config(cfg, input_shape)
+        ret["refine_num"] = cfg.WSL.REFINE_NUM
+        return ret
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, Array],
+        proposals: Array,
+        proposal_scores: Array,
+        image_sizes: Array,
+        targets: Optional[Dict[str, Array]] = None,
+        train: bool = False,
+    ):
+        feats = [features[f] for f in self.in_features]
+        b, r = proposals.shape[:2]
+        flat = proposals.reshape(b * r, 4)
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        pooled = self.pooler(feats, flat, bidx)
+        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
+            pooled, train=train
+        )
+        cls_logit, det_logit = MILOutputLayers(
+            num_classes=self.num_classes, dtype=self.dtype, name="mil"
+        )(x)
+        cls_logit = cls_logit.reshape(b, r, -1)
+        det_logit = det_logit.reshape(b, r, -1)
+        valid = jnp.isfinite(proposal_scores)
+        mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)
+
+        branches = []
+        for k in range(self.refine_num):
+            logits, _ = OICROutputLayers(
+                num_classes=self.num_classes, dtype=self.dtype, name=f"refine{k}"
+            )(x)
+            branches.append(logits.reshape(b, r, -1))
+
+        if train:
+            img_labels = jax.vmap(
+                lambda c, v: image_level_gt(c, v, self.num_classes)
+            )(targets["gt_classes"], targets["gt_valid"])
+            losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+            source = mil
+            for k, logits in enumerate(branches):
+                def one(bx, src, v, lbl, lg):
+                    clusters = build_proposal_clusters(bx, src, v, lbl)
+                    return oicr_branch_loss(lg, clusters["labels"], clusters["weights"]), jax.nn.softmax(
+                        lg, -1
+                    )[:, : self.num_classes]
+
+                loss_k, source = jax.vmap(one)(
+                    proposals, jax.lax.stop_gradient(source), valid, img_labels, logits
+                )
+                losses[f"loss_refine_cls{k}"] = loss_k.mean()
+            return {}, losses
+
+        avg = sum(jax.nn.softmax(l, -1)[..., : self.num_classes] for l in branches) / max(
+            self.refine_num, 1
+        )
+        detections = jax.vmap(
+            lambda bx, sc, v, sz: wsl_inference_single(
+                bx, sc, v, sz, self.score_thresh_test, self.nms_thresh_test, self.detections_per_image
+            )
+        )(proposals, avg, valid, image_sizes)
+        return detections, {}
+
+
+# ---------------------------------------------------------------------------
+# CMIL: ROIMerge continuation
+# ---------------------------------------------------------------------------
+
+
+def roi_merge(
+    boxes: Array,  # (R, 4)
+    cls_scores: Array,  # (R, C)
+    det_scores: Array,  # (R, C)
+    valid: Array,
+    continuation: Array,  # scalar in [0, 1]: fraction of training done
+    iou_thresh: float = 0.5,
+) -> Tuple[Array, Array]:
+    """Continuation MIL merging (reference csrc/ROIMerge): proposals whose
+    IoU and score-similarity exceed a continuation-controlled threshold are
+    merged (scores averaged within the cluster). Early training merges
+    aggressively (smoother objective); late training keeps instances apart.
+    """
+    iou = pairwise_iou(boxes, boxes)
+    sim = -jnp.abs(det_scores.max(1)[:, None] - det_scores.max(1)[None, :])
+    sim = jnp.exp(sim)
+    thresh = iou_thresh + (1.0 - iou_thresh) * continuation
+    linked = (iou >= thresh) & (sim > 0.5) & valid[:, None] & valid[None, :]
+    deg = linked.astype(jnp.float32)
+    denom = jnp.maximum(deg.sum(1, keepdims=True), 1.0)
+    merged_cls = (deg @ cls_scores) / denom
+    merged_det = (deg @ det_scores) / denom
+    return merged_cls, merged_det
+
+
+@ROI_HEADS_REGISTRY.register()
+class CMILROIHeads(WSDDNROIHeads):
+    """Continuation MIL (reference roi_heads_cmil.py)."""
+
+    max_iter: int = 35000
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape):
+        ret = WSDDNROIHeads.from_config(cfg, input_shape)
+        ret["max_iter"] = cfg.SOLVER.MAX_ITER
+        return ret
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, Array],
+        proposals: Array,
+        proposal_scores: Array,
+        image_sizes: Array,
+        targets: Optional[Dict[str, Array]] = None,
+        train: bool = False,
+        cur_iter: Optional[Array] = None,
+    ):
+        feats = [features[f] for f in self.in_features]
+        b, r = proposals.shape[:2]
+        flat = proposals.reshape(b * r, 4)
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        pooled = self.pooler(feats, flat, bidx)
+        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
+            pooled, train=train
+        )
+        cls_logit, det_logit = MILOutputLayers(
+            num_classes=self.num_classes, dtype=self.dtype, name="mil"
+        )(x)
+        cls_logit = cls_logit.reshape(b, r, -1)
+        det_logit = det_logit.reshape(b, r, -1)
+        valid = jnp.isfinite(proposal_scores)
+
+        continuation = (
+            jnp.clip(cur_iter / self.max_iter, 0.0, 1.0)
+            if cur_iter is not None
+            else jnp.asarray(1.0)
+        )
+
+        def score_one(cl, dl, bx, v):
+            mcl, mdl = roi_merge(bx, cl, dl, v, continuation)
+            return wsddn_scores(mcl, mdl, v)
+
+        scores = jax.vmap(score_one)(cls_logit, det_logit, proposals, valid)
+
+        if train:
+            img_labels = jax.vmap(
+                lambda c, v: image_level_gt(c, v, self.num_classes)
+            )(targets["gt_classes"], targets["gt_valid"])
+            return {}, {"loss_mil": jax.vmap(mil_image_loss)(scores, img_labels).mean()}
+
+        detections = jax.vmap(
+            lambda bx, sc, v, sz: wsl_inference_single(
+                bx, sc, v, sz, self.score_thresh_test, self.nms_thresh_test, self.detections_per_image
+            )
+        )(proposals, scores, valid, image_sizes)
+        return detections, {}
+
+
+# ---------------------------------------------------------------------------
+# CSC: contrastive spatial confidence from CPG maps
+# ---------------------------------------------------------------------------
+
+
+def csc(
+    cpg: Array,  # (H, W) class peak gradient map (abs of input-grad), one class
+    boxes: Array,  # (R, 4)
+    valid: Array,
+    tau: float = 0.7,
+    fg_thresh: float = 0.1,
+) -> Dict[str, Array]:
+    """Vectorized reimplementation of csrc/csc: per-proposal positive /
+    negative weights from how much high-CPG mass a box captures vs leaks."""
+    h, w = cpg.shape
+    m = jnp.max(cpg)
+    norm = cpg / jnp.maximum(m, 1e-12)
+    hot = norm >= tau
+    total_mass = jnp.sum(norm * hot) + 1e-6
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def one(box):
+        inside = (
+            (xs >= box[0]) & (xs <= box[2]) & (ys >= box[1]) & (ys <= box[3])
+        )
+        mass_in = jnp.sum(norm * hot * inside)
+        frac = mass_in / total_mass
+        area = jnp.maximum((box[2] - box[0]) * (box[3] - box[1]), 1.0)
+        density = mass_in / area
+        return frac, density
+
+    frac, density = jax.vmap(one)(boxes)
+    pos = (frac >= fg_thresh) & valid
+    w_pos = jnp.where(pos, frac * jnp.sqrt(density * (h * w)), 0.0)
+    w_neg = jnp.where(~pos & valid, 1.0 - frac, 0.0)
+    return {"pos_mask": pos, "pos_weight": w_pos, "neg_weight": w_neg, "frac": frac}
+
+
+def compute_cpg(apply_fn, variables, batch, class_idx: Array) -> Array:
+    """Class peak gradient maps: |d score_c / d image|, summed over channels
+    (reference GeneralizedRCNNWSL.has_cpg + roi_heads_csc._forward_cpg).
+    ``apply_fn(variables, batch) -> (B, C) image-level class scores``."""
+
+    def score(images):
+        out = apply_fn(variables, dict(batch, image=images))
+        b = out.shape[0]
+        return jnp.sum(
+            jnp.take_along_axis(out, class_idx[:, None], axis=1)
+        )
+
+    grads = jax.grad(score)(batch["image"])
+    return jnp.abs(grads).sum(-1)  # (B, H, W)
+
+
+# ---------------------------------------------------------------------------
+# UWSOD: unified WSOD with a learned RPN
+# ---------------------------------------------------------------------------
+
+
+@ROI_HEADS_REGISTRY.register()
+class UWSODROIHeads(WSDDNROIHeads):
+    """Unified WSOD (reference roi_heads_uwsod.py): MIL head + refinement
+    with box regression; mined PGT also supervises an RPN (wired by the
+    meta-arch through `pgt_for_rpn` in the aux output)."""
+
+    refine_num: int = 3
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape):
+        ret = WSDDNROIHeads.from_config(cfg, input_shape)
+        ret["refine_num"] = cfg.WSL.REFINE_NUM
+        return ret
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, Array],
+        proposals: Array,
+        proposal_scores: Array,
+        image_sizes: Array,
+        targets: Optional[Dict[str, Array]] = None,
+        train: bool = False,
+    ):
+        from ...ops.box_regression import Box2BoxTransform
+        from ...ops.losses import smooth_l1_loss
+
+        feats = [features[f] for f in self.in_features]
+        b, r = proposals.shape[:2]
+        flat = proposals.reshape(b * r, 4)
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        pooled = self.pooler(feats, flat, bidx)
+        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
+            pooled, train=train
+        )
+        cls_logit, det_logit = MILOutputLayers(
+            num_classes=self.num_classes, dtype=self.dtype, name="mil"
+        )(x)
+        cls_logit = cls_logit.reshape(b, r, -1)
+        det_logit = det_logit.reshape(b, r, -1)
+        valid = jnp.isfinite(proposal_scores)
+        mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)
+
+        t = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
+        branches = []
+        for k in range(self.refine_num):
+            logits, deltas = OICROutputLayers(
+                num_classes=self.num_classes, with_reg=True, dtype=self.dtype, name=f"refine{k}"
+            )(x)
+            branches.append((logits.reshape(b, r, -1), deltas.reshape(b, r, -1)))
+
+        if train:
+            img_labels = jax.vmap(
+                lambda c, v: image_level_gt(c, v, self.num_classes)
+            )(targets["gt_classes"], targets["gt_valid"])
+            losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+            source = mil
+            pgt_boxes_out = None
+            pgt_valid_out = None
+            for k, (logits, deltas) in enumerate(branches):
+                def one(bx, src, v, lbl, lg, dl):
+                    pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
+                    sup = label_proposals_by_pgt(bx, v, pgt, self.num_classes)
+                    lc = oicr_branch_loss(lg, sup["labels"], sup["weights"])
+                    tgt = t.get_deltas(bx, sup["matched_pgt_boxes"])
+                    reg = smooth_l1_loss(dl, tgt, 0.0).sum(-1)
+                    fg_w = sup["weights"] * sup["fg"]
+                    lr = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)
+                    nxt = jax.nn.softmax(lg, -1)[:, : self.num_classes]
+                    return lc, lr, nxt, pgt["boxes"][:, 0], pgt["valid"][:, 0]
+
+                lc, lr, source, pb, pv = jax.vmap(one)(
+                    proposals, jax.lax.stop_gradient(source), valid, img_labels, logits, deltas
+                )
+                losses[f"loss_refine_cls{k}"] = lc.mean()
+                losses[f"loss_refine_reg{k}"] = lr.mean()
+                pgt_boxes_out, pgt_valid_out = pb, pv
+            aux = {"pgt_boxes": pgt_boxes_out, "pgt_valid": pgt_valid_out}
+            return aux, losses
+
+        avg = sum(
+            jax.nn.softmax(l, -1)[..., : self.num_classes] for l, _ in branches
+        ) / max(self.refine_num, 1)
+        last_deltas = branches[-1][1]
+        dec = t.apply_deltas(last_deltas.reshape(-1, 4), flat).reshape(b, r, 4)
+        detections = jax.vmap(
+            lambda bx, sc, v, sz: wsl_inference_single(
+                bx, sc, v, sz, self.score_thresh_test, self.nms_thresh_test, self.detections_per_image
+            )
+        )(dec, avg, valid, image_sizes)
+        return detections, {}

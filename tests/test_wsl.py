@@ -171,3 +171,48 @@ def test_jtsm_mcnn():
     assert "loss_sem_seg" in losses  # stuff branch trained on mined PGT
     assert "loss_mask" in losses
     assert "sem_seg" in out and "masks" in out and "boxes" in out
+
+
+def test_contextlocnet_pcl_cmil_uwsod_heads():
+    for heads in ["ContextLocNetROIHeads", "PCLROIHeads", "CMILROIHeads", "UWSODROIHeads"]:
+        cfg = _wsl_cfg(heads)
+        losses, out = _run_wsl(cfg, _wsl_batch())
+        assert "loss_mil" in losses, heads
+        assert "boxes" in out, heads
+        if heads in ("PCLROIHeads", "UWSODROIHeads"):
+            assert "loss_refine_cls0" in losses, heads
+
+
+def test_csc_weights_and_cpg():
+    import jax
+
+    from jtsm_tpu.wsl.modeling.wsod_zoo import compute_cpg, csc, roi_merge
+
+    # CPG-like map with a hot square at (10:20, 10:20)
+    cpg = np.zeros((32, 32), np.float32)
+    cpg[10:20, 10:20] = 1.0
+    boxes = jnp.asarray(
+        [[10.0, 10.0, 20.0, 20.0], [0.0, 0.0, 5.0, 5.0], [0.0, 0.0, 31.0, 31.0]]
+    )
+    res = csc(jnp.asarray(cpg), boxes, jnp.ones(3, bool))
+    r = {k: np.asarray(v) for k, v in res.items()}
+    assert r["pos_mask"][0] and not r["pos_mask"][1]
+    assert r["frac"][0] > 0.9 and r["frac"][1] < 0.05
+
+    # compute_cpg: gradient of a linear scoring fn picks out the class map
+    def apply_fn(variables, batch):
+        img = batch["image"]
+        return jnp.stack(
+            [img[..., 0].sum((1, 2)), (img[..., 1] * 2).sum((1, 2))], axis=1
+        )
+
+    batch = {"image": jnp.ones((1, 8, 8, 3))}
+    g = compute_cpg(apply_fn, {}, batch, jnp.asarray([1]))
+    assert g.shape == (1, 8, 8)
+    np.testing.assert_allclose(np.asarray(g), 2.0)
+
+    # roi_merge: full continuation keeps scores identical for disjoint boxes
+    b2 = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 60.0, 60.0]])
+    cl = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    mcl, mdl = roi_merge(b2, cl, cl, jnp.ones(2, bool), jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(mcl), np.asarray(cl), atol=1e-5)
