@@ -1,0 +1,18 @@
+#!/bin/bash -e
+# Smoke-train every quick-schedule instant-test config for a few iterations
+# (reference: dev/run_instant_tests.sh).
+BIN="python tools/train_net.py"
+OUTPUT="instant_test_output"
+CFG_LIST=( "${@:1}" )
+if [[ ${#CFG_LIST[@]} -eq 0 ]]; then
+  CFG_LIST=( configs/quick_schedules/*instant_test.yaml )
+fi
+for cfg in "${CFG_LIST[@]}"; do
+  echo "========================================================================"
+  echo "Running $cfg ..."
+  echo "========================================================================"
+  $BIN --config-file "$cfg" \
+    SOLVER.IMS_PER_BATCH 2 SOLVER.MAX_ITER 10 \
+    OUTPUT_DIR "$OUTPUT"
+  rm -rf "$OUTPUT"
+done

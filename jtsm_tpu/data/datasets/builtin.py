@@ -138,10 +138,34 @@ def register_all_pascal_voc(root: str) -> None:
         register_pascal_voc(name, os.path.join(root, dirname), split, year)
 
 
+def register_all_lvis(root: str) -> None:
+    from .lvis import register_lvis_instances
+
+    SPLITS = {
+        "lvis_v1_train": ("coco/", "lvis/lvis_v1_train.json"),
+        "lvis_v1_val": ("coco/", "lvis/lvis_v1_val.json"),
+        "lvis_v0.5_train": ("coco/", "lvis/lvis_v0.5_train.json"),
+        "lvis_v0.5_val": ("coco/", "lvis/lvis_v0.5_val.json"),
+    }
+    for name, (image_root, json_file) in SPLITS.items():
+        if name in DatasetCatalog:
+            continue
+        register_lvis_instances(
+            name, {}, os.path.join(root, json_file), os.path.join(root, image_root)
+        )
+
+
 _root = os.environ.get("JTSM_DATASETS", "datasets")
 register_all_coco(_root)
 register_all_coco_panoptic(_root)
+register_all_lvis(_root)
 try:
     register_all_pascal_voc(_root)
 except ImportError:
+    pass
+try:
+    from .cityscapes import register_cityscapes
+
+    register_cityscapes(_root)
+except Exception:
     pass

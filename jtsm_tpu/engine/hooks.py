@@ -168,6 +168,32 @@ class EvalHook(HookBase):
         del self._func
 
 
+class TPUProfiler(HookBase):
+    """Reference hooks.py:243 ``AutogradProfiler`` — wraps chosen iterations
+    in a profiler and dumps a trace. TPU re-design: ``jax.profiler`` traces
+    (viewable in TensorBoard/XProf) instead of torch.autograd.profiler."""
+
+    def __init__(self, enable_predicate, output_dir: str):
+        self._enable_predicate = enable_predicate
+        self._output_dir = output_dir
+        self._active = False
+
+    def before_step(self):
+        if self._enable_predicate(self.trainer):
+            import jax
+
+            jax.profiler.start_trace(self._output_dir)
+            self._active = True
+
+    def after_step(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info(f"Profiler trace saved to {self._output_dir}")
+
+
 class PreciseBN(HookBase):
     """Reference hooks.py:367. With NaiveSyncBatchNorm under pjit the batch
     statistics are already global; recomputing population stats amounts to

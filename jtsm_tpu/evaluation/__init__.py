@@ -1,6 +1,7 @@
 from .cocoeval import COCOEval
 from .coco_evaluation import COCOEvaluator, COCOProposalEvaluator
 from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
+from .lvis_evaluation import LVISEvaluator
 from .panoptic_evaluation import COCOPanopticEvaluator, PQStat, pq_compute_single_image
 from .pascal_voc_evaluation import PascalVOCDetectionEvaluator, voc_ap
 from .sem_seg_evaluation import SemSegEvaluator
