@@ -139,7 +139,17 @@ class DefaultPredictor:
             "orig_sizes": jnp.asarray([[height, width]], jnp.int32),
         }
         out = self._jitted(self.variables, batch)
-        return {k: np.asarray(v)[0] for k, v in out.items()}
+        result = {k: np.asarray(v)[0] for k, v in out.items()}
+        if "boxes" in result:  # reference API parity: Instances view
+            from ..modeling.instances_io import batched_outputs_to_instances
+
+            result["instances"] = batched_outputs_to_instances(
+                {k: np.asarray(v) for k, v in out.items()},
+                0,
+                (height, width),
+                paste_masks=True,
+            )
+        return result
 
 
 class DefaultTrainer(TrainerBase):
