@@ -102,10 +102,13 @@ class SimpleTrainer(TrainerBase):
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
             self._train_step = jax.jit(
-                step, in_shardings=(repl, data), out_shardings=(repl, repl)
+                step,
+                in_shardings=(repl, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),  # old state buffers are reused in place
             )
         else:
-            self._train_step = jax.jit(step)
+            self._train_step = jax.jit(step, donate_argnums=(0,))
         self._pending_metrics = None
 
     def run_step(self):
@@ -138,6 +141,45 @@ class SimpleTrainer(TrainerBase):
         """Expose the live state to the checkpointer before periodic saves."""
         if hasattr(self, "checkpointer"):
             self.checkpointer.variables = self.state_variables()
+
+    def update_precise_bn(self, num_iter: int = 200):
+        """Recompute population BN statistics over ``num_iter`` batches
+        (reference hooks.py:367 PreciseBN) — only meaningful when the model
+        has a batch_stats collection."""
+        if not jax.tree_util.tree_leaves(self.state.batch_stats):
+            return
+        import jax.numpy as jnp
+
+        sums = jax.tree_util.tree_map(jnp.zeros_like, self.state.batch_stats)
+        rng = self.state.rng
+
+        @jax.jit
+        def stats_step(params, frozen, batch_stats, batch, key):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if jax.tree_util.tree_leaves(frozen):
+                variables["frozen"] = frozen
+            _, mutated = self.model.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"sampling": key, "dropout": key},
+                mutable=["batch_stats"],
+            )
+            return mutated["batch_stats"]
+
+        count = 0
+        for _ in range(num_iter):
+            batch = {
+                k: v for k, v in next(self._data_loader_iter).items() if k != "image_ids"
+            }
+            rng, key = jax.random.split(rng)
+            new_stats = stats_step(
+                self.state.params, self.state.frozen, self.state.batch_stats, batch, key
+            )
+            sums = jax.tree_util.tree_map(lambda a, b: a + b, sums, new_stats)
+            count += 1
+        mean_stats = jax.tree_util.tree_map(lambda a: a / max(count, 1), sums)
+        self.state = self.state.replace(batch_stats=mean_stats, rng=rng)
 
     def state_variables(self) -> Dict:
         out = {"params": self.state.params}

@@ -142,6 +142,23 @@ def _pallas_call(levels3d, lvl_idx, row0, ox_div, wy, wx, output_size: int):
     )(lvl_idx, row0, ox_div, wy, wx, *levels3d)
 
 
+def _bumped_levels(features, spatial_scales, boxes, levels):
+    """Level assignment after the span-fits-window bump (shared by forward
+    kernel and the autodiff backward)."""
+    num_levels = len(features)
+    scales = jnp.asarray(spatial_scales, jnp.float32)
+    lvl = levels.astype(jnp.int32)
+    usable = WIN - ALIGN + 1 - 2
+    for _ in range(num_levels - 1):
+        sc = scales[lvl]
+        span = jnp.maximum(
+            (boxes[:, 2] - boxes[:, 0]) * sc, (boxes[:, 3] - boxes[:, 1]) * sc
+        )
+        lvl = jnp.where((span > usable) & (lvl < num_levels - 1), lvl + 1, lvl)
+    return lvl
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
 def roi_align_multilevel_pallas(
     features,
     spatial_scales,
@@ -154,6 +171,9 @@ def roi_align_multilevel_pallas(
     """Drop-in multilevel ROIAlign on the fused kernel.
 
     features: per level (B, H, W, C); boxes (R, 4); levels (R,) assignments.
+    Differentiable w.r.t. features: the backward runs the VJP of the XLA
+    formulation at the SAME (bumped) level assignment — identical math, so
+    gradients are exact for the kernel's forward.
     """
     num_levels = len(features)
     c = features[0].shape[-1]
@@ -226,3 +246,42 @@ def roi_align_multilevel_pallas(
         wx,
         p,
     )
+
+
+def _fwd(features, spatial_scales, boxes, batch_indices, levels, output_size, sampling_ratio):
+    out = roi_align_multilevel_pallas(
+        features, spatial_scales, boxes, batch_indices, levels, output_size, sampling_ratio
+    )
+    return out, (features, boxes, batch_indices, levels)
+
+
+def _bwd(spatial_scales, output_size, sampling_ratio, residuals, g):
+    from ..roi_align import roi_align_multilevel
+
+    features, boxes, batch_indices, levels = residuals
+    lvl = _bumped_levels(features, spatial_scales, boxes, levels)
+
+    def ref(feats):
+        return roi_align_multilevel(
+            tuple(feats),
+            tuple(spatial_scales),
+            boxes,
+            batch_indices,
+            lvl,
+            output_size,
+            sampling_ratio,
+            True,
+        )
+
+    _, vjp = jax.vjp(ref, list(features))
+    (dfeats,) = vjp(g.astype(features[0].dtype))
+    zeros_like = lambda x: jnp.zeros_like(x)
+    return (
+        dfeats,
+        jax.tree_util.tree_map(zeros_like, boxes),
+        jax.tree_util.tree_map(zeros_like, batch_indices),
+        jax.tree_util.tree_map(zeros_like, levels),
+    )
+
+
+roi_align_multilevel_pallas.defvjp(_fwd, _bwd)

