@@ -1,0 +1,67 @@
+"""DensePose data plumbing (reference: projects/DensePose/densepose/data —
+loads IUV point annotations and combined loaders).
+
+Static-batch format (per image): annotated person GTs carry up to P_max
+sampled surface points:
+  gt_dp_coords (G, P, 2)  normalized within-gt-box (x, y)
+  gt_dp_patch  (G, P)     patch index 1..24 (0 = background)
+  gt_dp_u/v    (G, P)     UV coordinates
+  gt_dp_valid  (G, P)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from jtsm_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+from jtsm_tpu.data.datasets.coco import load_coco_json
+
+
+def load_densepose_annotations(json_file: str, image_root: str, dataset_name=None):
+    """COCO-DensePose json: standard instances + dp_* fields per annotation."""
+    dicts = load_coco_json(
+        json_file,
+        image_root,
+        dataset_name,
+        extra_annotation_keys=["dp_x", "dp_y", "dp_I", "dp_U", "dp_V", "dp_masks"],
+    )
+    return dicts
+
+
+def register_densepose(name: str, json_file: str, image_root: str) -> None:
+    DatasetCatalog.register(
+        name, lambda: load_densepose_annotations(json_file, image_root, name)
+    )
+    MetadataCatalog.get(name).set(
+        json_file=json_file, image_root=image_root, evaluator_type="densepose"
+    )
+
+
+def densepose_targets_from_annotations(
+    annos: List[dict], gt_boxes: np.ndarray, max_points: int = 196
+) -> Dict[str, np.ndarray]:
+    """Per-gt static point targets. dp_x/dp_y are in 256-normalized gt-box
+    coords in the COCO-DensePose format."""
+    g = len(gt_boxes)
+    out = {
+        "gt_dp_coords": np.zeros((g, max_points, 2), np.float32),
+        "gt_dp_patch": np.zeros((g, max_points), np.int32),
+        "gt_dp_u": np.zeros((g, max_points), np.float32),
+        "gt_dp_v": np.zeros((g, max_points), np.float32),
+        "gt_dp_valid": np.zeros((g, max_points), bool),
+    }
+    for i, ann in enumerate(annos[:g]):
+        if "dp_x" not in ann:
+            continue
+        xs = np.asarray(ann["dp_x"], np.float32) / 256.0
+        ys = np.asarray(ann["dp_y"], np.float32) / 256.0
+        n = min(len(xs), max_points)
+        out["gt_dp_coords"][i, :n, 0] = xs[:n]
+        out["gt_dp_coords"][i, :n, 1] = ys[:n]
+        out["gt_dp_patch"][i, :n] = np.asarray(ann["dp_I"], np.int32)[:n]
+        out["gt_dp_u"][i, :n] = np.asarray(ann["dp_U"], np.float32)[:n]
+        out["gt_dp_v"][i, :n] = np.asarray(ann["dp_V"], np.float32)[:n]
+        out["gt_dp_valid"][i, :n] = True
+    return out

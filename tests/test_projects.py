@@ -186,3 +186,66 @@ def test_densepose_head():
     assert out["coarse_segm"].shape == (4, 28, 28, 2)
     assert out["fine_segm"].shape == (4, 28, 28, 25)
     assert out["u"].shape == (4, 28, 28, 25)
+
+
+def test_tensormask_arch():
+    import tensormask.arch  # noqa: F401 (registers)
+    from tensormask import add_tensormask_config
+
+    cfg = get_cfg()
+    add_tensormask_config(cfg)
+    cfg.MODEL.META_ARCHITECTURE = "TensorMask"
+    cfg.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.TENSOR_MASK.IN_FEATURES = ["p3", "p4", "p5"]
+    cfg.MODEL.TENSOR_MASK.ANCHOR_SIZES = [[16], [32], [64]]
+    cfg.MODEL.TENSOR_MASK.NUM_CLASSES = 3
+    cfg.MODEL.TENSOR_MASK.NUM_CONVS = 1
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    b, g = 2, 3
+    batch = {
+        "image": jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([rng.rand(b, g, 2) * 20, 25 + rng.rand(b, g, 2) * 20], -1).astype(np.float32)
+        ),
+        "gt_classes": jnp.asarray(rng.randint(0, 3, (b, g)), jnp.int32),
+        "gt_valid": jnp.ones((b, g), bool),
+        "gt_mask_crops": jnp.asarray(rng.rand(b, g, 28, 28) > 0.5),
+    }
+    vs = model.init({"params": jax.random.key(0), "sampling": jax.random.key(1)}, batch, train=True)
+    losses = model.apply(vs, batch, train=True, rngs={"sampling": jax.random.key(2)})
+    assert set(losses) == {"loss_cls", "loss_box_reg", "loss_mask"}
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    out = model.apply(vs, batch, train=False)
+    assert out["masks"].shape[2:] == (15, 15)
+
+
+def test_densepose_data_targets():
+    from densepose.data import densepose_targets_from_annotations
+
+    annos = [
+        {
+            "dp_x": [64.0, 128.0],
+            "dp_y": [64.0, 192.0],
+            "dp_I": [1, 5],
+            "dp_U": [0.2, 0.7],
+            "dp_V": [0.3, 0.1],
+        },
+        {},
+    ]
+    gt_boxes = np.array([[0, 0, 10, 10], [5, 5, 20, 20]], np.float32)
+    t = densepose_targets_from_annotations(annos, gt_boxes, max_points=4)
+    assert t["gt_dp_valid"][0].sum() == 2
+    assert t["gt_dp_valid"][1].sum() == 0
+    np.testing.assert_allclose(t["gt_dp_coords"][0, 0], [0.25, 0.25])
+    assert t["gt_dp_patch"][0, 1] == 5
