@@ -233,6 +233,18 @@ class DefaultTrainer(TrainerBase):
             evaluators.append(SemSegEvaluator(dataset_name, output_dir=output_folder))
         if evaluator_type == "pascal_voc":
             evaluators.append(PascalVOCDetectionEvaluator(dataset_name))
+        if evaluator_type == "lvis":
+            from ..evaluation import LVISEvaluator
+
+            evaluators.append(LVISEvaluator(dataset_name, output_dir=output_folder))
+        if evaluator_type == "cityscapes_instance":
+            from ..evaluation import CityscapesInstanceEvaluator
+
+            evaluators.append(CityscapesInstanceEvaluator(dataset_name))
+        if evaluator_type == "cityscapes_sem_seg":
+            from ..evaluation import CityscapesSemSegEvaluator
+
+            evaluators.append(CityscapesSemSegEvaluator(dataset_name))
         if len(evaluators) == 0:
             raise NotImplementedError(
                 f"No evaluator for dataset {dataset_name} with type {evaluator_type}"

@@ -1,3 +1,7 @@
+from .cityscapes_evaluation import (
+    CityscapesInstanceEvaluator,
+    CityscapesSemSegEvaluator,
+)
 from .cocoeval import COCOEval
 from .coco_evaluation import COCOEvaluator, COCOProposalEvaluator
 from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
