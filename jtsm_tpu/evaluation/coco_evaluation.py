@@ -93,6 +93,12 @@ def batched_outputs_to_coco_json(
                     w,
                 )
                 res["segmentation"] = rle_string_encode(full)
+            if "keypoints" in outputs:
+                kps = np.asarray(outputs["keypoints"][i, j])  # (K, 4) x,y,logit,prob
+                flat = []
+                for x, y, _, p in kps:
+                    flat.extend([float(x), float(y), 2.0])
+                res["keypoints"] = flat
             results.append(res)
     return results
 
