@@ -51,6 +51,31 @@ class DetectionCheckpointer:
         self.tag_last_checkpoint(basename)
         logger.info(f"Saving checkpoint to {save_file}")
 
+    # -- orbax backend (optional, production-grade async/sharded saves) ----
+    def save_orbax(self, name: str, **kwargs) -> None:
+        """Save with orbax-checkpoint (handles sharded arrays natively;
+        preferred for multi-host training)."""
+        if not self.save_dir:
+            return
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.save_dir, name + ".orbax"))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"variables": self.variables}
+        payload.update({k: v for k, v in kwargs.items()})
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        self.tag_last_checkpoint(name + ".orbax")
+        logger.info(f"Saving orbax checkpoint to {path}")
+
+    def load_orbax(self, path: str) -> Dict:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        self.variables = restored.pop("variables")
+        return restored
+
     def load(self, path: str, checkpointables: Optional[List[str]] = None) -> Dict:
         if not path:
             logger.info("No checkpoint given; model stays at init.")
@@ -60,6 +85,8 @@ class DetectionCheckpointer:
             # reference-format weights
             self.variables = align_and_update_state_dict(self.variables, path)
             return {}
+        if path.endswith(".orbax"):
+            return self.load_orbax(path)
         with open(path, "rb") as f:
             data = pickle.load(f)
         self.variables = data.pop("variables")

@@ -313,8 +313,56 @@ class DefaultTrainer(TrainerBase):
         return self._trainer.state
 
     @classmethod
+    def test_with_TTA(cls, cfg, model, variables):
+        """Reference train_net.py / defaults.py TTA eval path: per-image
+        multi-scale + flip, union-NMS merge, COCO evaluation."""
+        from ..evaluation import COCOEvaluator, inference_on_dataset
+        from ..modeling.test_time_augmentation import GeneralizedRCNNWithTTA
+
+        jitted = jax.jit(lambda v, b: model.apply(v, b, train=False))
+
+        def predict(batch):
+            return jitted(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+
+        tta = GeneralizedRCNNWithTTA(
+            predict,
+            min_sizes=tuple(cfg.TEST.AUG.MIN_SIZES),
+            max_size=cfg.TEST.AUG.MAX_SIZE,
+            flip=cfg.TEST.AUG.FLIP,
+            buckets=[tuple(b) for b in cfg.TPU.IMAGE_BUCKETS],
+        )
+        results = OrderedDict()
+        for dataset_name in cfg.DATASETS.TEST:
+            from ..data import DatasetCatalog
+            from ..data.detection_utils import read_image
+
+            evaluator = cls.build_evaluator(cfg, dataset_name)
+            evaluator.reset()
+            for d in DatasetCatalog.get(dataset_name):
+                img = read_image(d["file_name"], cfg.INPUT.FORMAT)
+                merged = tta(img.astype(np.float32))
+                n = len(merged["boxes"])
+                outputs = {
+                    "boxes": merged["boxes"][None],
+                    "scores": merged["scores"][None],
+                    "classes": merged["classes"][None],
+                    "valid": np.ones((1, n), bool),
+                }
+                inputs = {
+                    "image_ids": np.asarray([d.get("image_id", -1)]),
+                    "orig_sizes": np.asarray([[d["height"], d["width"]]]),
+                }
+                evaluator.process(inputs, outputs)
+            results[dataset_name] = evaluator.evaluate() or {}
+        if len(results) == 1:
+            results = list(results.values())[0]
+        return results
+
+    @classmethod
     def test(cls, cfg, model, evaluators=None, variables=None):
         """Reference defaults.py:504."""
+        if cfg.TEST.AUG.ENABLED:
+            return cls.test_with_TTA(cfg, model, variables)
         results = OrderedDict()
         jitted = jax.jit(lambda v, b: model.apply(v, b, train=False))
 
