@@ -309,15 +309,24 @@ class JTSMROIHeads(nn.Module):
 
         def one(bx, v, sc, lbl, sp, oh):
             pgt = get_pgt_top_k(bx, sc, v, lbl, top_k=1)
-            out = jnp.full((hs, ws), self.sem_seg_ignore, jnp.int32)
-            # iterate joint classes statically
-            for c in range(cj):
-                ridx = pgt["idx"][c, 0]
-                present = pgt["valid"][c, 0]
-                member = oh[ridx][sp]  # (Hs, Ws) bool via superpixel union
-                paint = jnp.where(c < ct, 0, c - ct + 1)  # thing -> 0, stuff -> stuff id
-                out = jnp.where(member & present, paint, out)
-            return out
+            ridx = pgt["idx"][:, 0]  # (Cj,)
+            present = pgt["valid"][:, 0]  # (Cj,)
+            # vectorized painting: member[c, y, x] = superpixel-union of the
+            # class's top-1 proposal (one gather instead of Cj unrolled maps)
+            ohc = oh[ridx]  # (Cj, S)
+            member = jnp.take_along_axis(
+                ohc, jnp.broadcast_to(sp.reshape(1, -1), (cj, hs * ws)), axis=1
+            ).reshape(cj, hs, ws)
+            vals = member & present[:, None, None]
+            # reference paints class-by-class in order => LAST class wins
+            last = (cj - 1) - jnp.argmax(vals[::-1], axis=0)
+            any_paint = vals.any(axis=0)
+            paint_vals = jnp.where(
+                jnp.arange(cj) < ct, 0, jnp.arange(cj) - ct + 1
+            ).astype(jnp.int32)
+            return jnp.where(
+                any_paint, paint_vals[last], jnp.int32(self.sem_seg_ignore)
+            )
 
         return jax.vmap(one)(proposals, valid, scores, img_labels, superpixels, oh_labels)
 
