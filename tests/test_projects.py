@@ -249,3 +249,17 @@ def test_densepose_data_targets():
     assert t["gt_dp_valid"][1].sum() == 0
     np.testing.assert_allclose(t["gt_dp_coords"][0, 0], [0.25, 0.25])
     assert t["gt_dp_patch"][0, 1] == 5
+
+
+def test_densepose_gps():
+    from densepose.evaluation import gps_similarity
+
+    # exact predictions -> similarity 1
+    p = np.array([1, 2, 3])
+    u = np.array([0.1, 0.5, 0.9])
+    v = np.array([0.2, 0.6, 0.4])
+    ok = np.ones(3, bool)
+    assert gps_similarity(p, u, v, p, u, v, ok) == pytest.approx(1.0)
+    # wrong patch -> near zero
+    s = gps_similarity(p + 1, u, v, p, u, v, ok)
+    assert s < 0.01
