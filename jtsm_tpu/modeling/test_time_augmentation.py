@@ -120,6 +120,9 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
         proposals: np.ndarray,  # (R, 4) in original image coords
         proposal_scores: np.ndarray,
         predict_scores_fn: Callable,
+        score_thresh: float = 1e-5,
+        nms_thresh: float = 0.3,
+        topk: int = 100,
     ):
         h0, w0 = image.shape[:2]
         acc = None
@@ -159,6 +162,32 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
         result = {"proposal_class_scores": acc / max(n, 1)}
         if sem_acc is not None:
             result["sem_seg_logits"] = sem_acc / max(n, 1)
+
+        # Final merge (reference test_time_augmentation_avg.py:392-404):
+        # averaged (R, C) scores on the FIXED original-coordinate proposals
+        # -> one fast_rcnn-style per-class NMS.
+        import jax.numpy as jnp
+
+        from ..wsl.modeling.roi_heads_wsl import wsl_inference_single
+
+        w = proposals[:, 2] - proposals[:, 0]
+        ht = proposals[:, 3] - proposals[:, 1]
+        valid = (w > 0) & (ht > 0)
+        det = wsl_inference_single(
+            jnp.asarray(proposals),
+            jnp.asarray(result["proposal_class_scores"]),
+            jnp.asarray(valid),
+            jnp.asarray([h0, w0], jnp.float32),
+            score_thresh,
+            nms_thresh,
+            topk,
+        )
+        dv = np.asarray(det["valid"])
+        result["detections"] = {
+            "boxes": np.asarray(det["boxes"])[dv],
+            "scores": np.asarray(det["scores"])[dv],
+            "classes": np.asarray(det["classes"])[dv],
+        }
         return result
 
 

@@ -393,6 +393,9 @@ class JTSMROIHeads(nn.Module):
                 self.detections_per_image,
             )
         )(final_boxes, thing_scores, valid, image_sizes)
+        # raw per-proposal thing scores for TTA-AVG averaging (reference
+        # test_time_augmentation_avg.py:383-386)
+        detections["proposal_class_scores"] = thing_scores
 
         if self.mask_on and self.mask_head is not None:
             d = detections["boxes"].shape[1]

@@ -216,6 +216,9 @@ class WSDDNROIHeads(nn.Module):
                 self.detections_per_image,
             )
         )(proposals, mil, valid, image_sizes)
+        # raw per-proposal scores: consumed by TTA-AVG (reference
+        # test_time_augmentation_avg.py:383-386 averages these across augs)
+        detections["proposal_class_scores"] = mil
         return detections, {}
 
 
@@ -358,4 +361,5 @@ class OICRROIHeads(nn.Module):
                 self.detections_per_image,
             )
         )(final_boxes, avg, valid, image_sizes)
+        detections["proposal_class_scores"] = avg
         return detections, {}

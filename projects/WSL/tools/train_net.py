@@ -56,6 +56,92 @@ class Trainer(DefaultTrainer):
             evals.append(COCOPanopticEvaluator(dataset_name, output_folder))
         return evals[0] if len(evals) == 1 else DatasetEvaluators(evals)
 
+    @classmethod
+    def test_with_TTA(cls, cfg, model, variables):
+        """Reference projects/WSL/tools/train_net.py:219 (test_with_TTA_WSL):
+        use AVG merging (scores averaged across scales/flips over the FIXED
+        precomputed proposals) for WSOD models; UNION otherwise."""
+        if cfg.MODEL.PROPOSAL_GENERATOR.NAME != "PrecomputedProposals":
+            return DefaultTrainer.test_with_TTA(cfg, model, variables)
+
+        from collections import OrderedDict
+
+        import numpy as np
+
+        from jtsm_tpu.data import DatasetCatalog
+        from jtsm_tpu.data.build import get_detection_dataset_dicts
+        from jtsm_tpu.data.detection_utils import read_image
+        from jtsm_tpu.modeling.test_time_augmentation import GeneralizedRCNNWithTTAAVG
+
+        jitted = jax.jit(lambda v, b: model.apply(v, b, train=False))
+
+        def predict(batch):
+            return jitted(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+
+        tta = GeneralizedRCNNWithTTAAVG(
+            predict,
+            min_sizes=tuple(cfg.TEST.AUG.MIN_SIZES),
+            max_size=cfg.TEST.AUG.MAX_SIZE,
+            flip=cfg.TEST.AUG.FLIP,
+            buckets=[tuple(b) for b in cfg.TPU.IMAGE_BUCKETS],
+        )
+        topk = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+        results = OrderedDict()
+        for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
+            pf = (
+                [cfg.DATASETS.PROPOSAL_FILES_TEST[idx]]
+                if cfg.DATASETS.PROPOSAL_FILES_TEST
+                else None
+            )
+            dicts = get_detection_dataset_dicts(
+                [dataset_name], filter_empty=False, proposal_files=pf
+            )
+            evaluator = cls.build_evaluator(cfg, dataset_name)
+            evaluator.reset()
+            for d in dicts:
+                img = read_image(d["file_name"], cfg.INPUT.FORMAT).astype(np.float32)
+                boxes = np.asarray(d.get("proposal_boxes", np.zeros((0, 4))), np.float32)
+                logits = np.asarray(
+                    d.get("proposal_objectness_logits", np.zeros((0,))), np.float32
+                )
+                order = np.argsort(-logits)[:topk]
+                boxes, logits = boxes[order], logits[order]
+                # pad to the static proposal capacity (-inf marks padding)
+                pad = topk - len(boxes)
+                if pad > 0:
+                    boxes = np.concatenate([boxes, np.zeros((pad, 4), np.float32)])
+                    logits = np.concatenate(
+                        [logits, np.full((pad,), -np.inf, np.float32)]
+                    )
+                merged = tta(
+                    img,
+                    boxes,
+                    logits,
+                    predict,
+                    score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                    nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                    topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+                )
+                det = merged["detections"]
+                n = len(det["boxes"])
+                outputs = {
+                    "boxes": det["boxes"][None],
+                    "scores": det["scores"][None],
+                    "classes": det["classes"][None],
+                    "valid": np.ones((1, n), bool),
+                }
+                if "sem_seg_logits" in merged:
+                    outputs["sem_seg"] = np.argmax(merged["sem_seg_logits"], -1)[None]
+                inputs = {
+                    "image_ids": np.asarray([d.get("image_id", -1)]),
+                    "orig_sizes": np.asarray([[d["height"], d["width"]]]),
+                }
+                evaluator.process(inputs, outputs)
+            results[dataset_name] = evaluator.evaluate() or {}
+        if len(results) == 1:
+            results = list(results.values())[0]
+        return results
+
 
 def setup(args):
     cfg = get_cfg()

@@ -1,0 +1,102 @@
+"""Test-time augmentation wrappers (reference
+detectron2/modeling/test_time_augmentation.py and
+projects/WSL/wsl/modeling/test_time_augmentation_avg.py)."""
+
+import numpy as np
+
+from jtsm_tpu.modeling.test_time_augmentation import (
+    GeneralizedRCNNWithTTA,
+    GeneralizedRCNNWithTTAAVG,
+)
+
+
+def _make_image(h=96, w=128):
+    img = np.zeros((h, w, 3), np.float32)
+    img[40:50, 60:70] = 255.0  # bright patch: box (60, 40, 70, 50)
+    return img
+
+
+def test_tta_union_maps_boxes_back_to_original_coords():
+    """A fake detector that localizes the bright patch in each augmented view
+    must produce (after inverse flip + NMS merge) a single box at the patch's
+    original location."""
+
+    def predict(batch):
+        im = batch["image"][0]
+        hh, ww = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
+        oh, ow = int(batch["orig_sizes"][0][0]), int(batch["orig_sizes"][0][1])
+        mask = im[..., 0] > 128
+        ys, xs = np.nonzero(mask)
+        # box in view coords -> original scale (like detector_postprocess)
+        sx, sy = ow / ww, oh / hh
+        box = np.asarray(
+            [[xs.min() * sx, ys.min() * sy, (xs.max() + 1) * sx, (ys.max() + 1) * sy]],
+            np.float32,
+        )
+        return {
+            "boxes": box[None],
+            "scores": np.asarray([[0.9]], np.float32),
+            "classes": np.asarray([[2]], np.int64),
+            "valid": np.asarray([[True]]),
+        }
+
+    tta = GeneralizedRCNNWithTTA(
+        predict,
+        min_sizes=(64, 96),
+        max_size=200,
+        flip=True,
+        buckets=((256, 256),),
+    )
+    out = tta(_make_image(), topk=10, nms_thresh=0.5)
+    assert len(out["boxes"]) >= 1
+    # all surviving boxes agree with the patch location in ORIGINAL coords
+    for b in out["boxes"]:
+        assert np.allclose(b, [60, 40, 70, 50], atol=2.5), b
+    assert out["classes"][0] == 2
+
+
+def test_tta_avg_scores_and_detections():
+    """A fake WSOD head that scores each (view-space) proposal by its
+    normalized area is augmentation-invariant, so the TTA average must equal
+    the single-view scores; final detections pick the top-scoring proposal."""
+    rng = np.random.RandomState(0)
+    r, c = 8, 3
+    proposals = np.concatenate(
+        [rng.rand(r, 2) * 40, 50 + rng.rand(r, 2) * 40], axis=1
+    ).astype(np.float32)
+    prop_scores = np.zeros((r,), np.float32)
+    prop_scores[-2:] = -np.inf  # padding rows
+    proposals[-2:] = 0
+
+    def predict(batch):
+        p = batch["proposals"][0]
+        hh, ww = [float(v) for v in batch["image_sizes"][0]]
+        area = ((p[:, 2] - p[:, 0]) * (p[:, 3] - p[:, 1])) / (hh * ww)
+        scores = np.stack([area * (k + 1) / c for k in range(c)], axis=1)
+        return {"proposal_class_scores": scores.astype(np.float32)[None]}
+
+    tta = GeneralizedRCNNWithTTAAVG(
+        predict,
+        min_sizes=(64, 96),
+        max_size=200,
+        flip=True,
+        buckets=((256, 256),),
+    )
+    img = _make_image()
+    out = tta(img, proposals, prop_scores, predict, score_thresh=1e-6, nms_thresh=0.3, topk=5)
+    avg = out["proposal_class_scores"]
+    assert avg.shape == (r, c)
+    # invariant scorer => average == single-view scores (orig-coords view)
+    h0, w0 = img.shape[:2]
+    area0 = (
+        (proposals[:, 2] - proposals[:, 0]) * (proposals[:, 3] - proposals[:, 1])
+    ) / (h0 * w0)
+    expect = np.stack([area0 * (k + 1) / c for k in range(c)], axis=1)
+    assert np.allclose(avg, expect, rtol=0.05, atol=1e-4)
+
+    det = out["detections"]
+    assert len(det["boxes"]) >= 1
+    # the best detection is the largest valid proposal, class c-1
+    best = np.argmax(area0[:-2])
+    assert int(det["classes"][0]) == c - 1
+    assert np.allclose(det["boxes"][0], proposals[best], atol=1e-3)
