@@ -78,14 +78,10 @@ class GeneralizedRCNN(nn.Module):
             prop_scores = batch["proposal_scores"]
             rpn_losses = {}
 
+        # all gt_* fields flow to the roi heads; subclass branches (e.g.
+        # DensePose dp point targets) consume their own keys
         targets = (
-            {
-                k: batch[k]
-                for k in ("gt_boxes", "gt_classes", "gt_valid", "gt_mask_crops", "gt_keypoints")
-                if k in batch
-            }
-            if train
-            else None
+            {k: batch[k] for k in batch if k.startswith("gt_")} if train else None
         )
         detections, roi_losses = self.roi_heads(
             features, proposals, prop_scores, image_sizes, targets, train=train

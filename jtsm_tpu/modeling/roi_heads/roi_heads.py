@@ -236,6 +236,7 @@ class StandardROIHeads(nn.Module):
                 losses.update(
                     self._forward_keypoint_train(features, sampled, targets, b)
                 )
+            losses.update(self._forward_extra_train(features, sampled, targets, b))
             return {}, losses
         else:
             k = proposals.shape[1]
@@ -277,7 +278,16 @@ class StandardROIHeads(nn.Module):
                 kp_logits = self.keypoint_head(kp_feats)
                 kps = keypoint_rcnn_inference(kp_logits, det_boxes)
                 detections["keypoints"] = kps.reshape(b, d, -1, 4)
+            detections = self._forward_extra_inference(features, detections, b)
             return detections, {}
+
+    def _forward_extra_train(self, features, sampled, targets, b):
+        """Hook for subclass branches (e.g. DensePose) on the sampled rois."""
+        return {}
+
+    def _forward_extra_inference(self, features, detections, b):
+        """Hook for subclass branches on the final detections."""
+        return detections
 
     def _forward_mask_train(self, feats, sampled, targets, b):
         """Pick up to mask_fg_capacity fg rois per image, pool 14x14, BCE."""

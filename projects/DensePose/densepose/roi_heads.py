@@ -69,6 +69,7 @@ class DensePoseROIHeads(StandardROIHeads):
     index_weight: float = 5.0
     part_weight: float = 1.0
     uv_weight: float = 0.01
+    dp_fg_capacity: int = 32
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
@@ -92,8 +93,100 @@ class DensePoseROIHeads(StandardROIHeads):
             index_weight=dp.INDEX_WEIGHTS,
             part_weight=dp.PART_WEIGHTS,
             uv_weight=dp.POINT_REGRESSION_WEIGHTS,
+            dp_fg_capacity=dp.FG_CAPACITY,
         )
         return ret
+
+    def _forward_extra_train(self, features, sampled, targets, b):
+        """DensePose branch on fg rois (reference densepose/roi_head.py
+        ``DensePoseROIHeads._forward_densepose``). Static shape: up to
+        ``dp_fg_capacity`` fg rois per image; per-roi point targets come from
+        the matched gt's dp annotations, re-normalized from gt-box space to
+        the roi box space."""
+        if self.densepose_head is None or "gt_dp_coords" not in targets:
+            return {}
+        s = self.batch_size_per_image
+        sm = min(self.dp_fg_capacity, s)
+        fg = sampled["fg"]  # (B, S)
+        rng = self.make_rng("sampling")
+
+        def pick(rng_i, fg_i):
+            u = jax.random.uniform(rng_i, (s,))
+            pri = jnp.where(fg_i, 1.0 + u, -jnp.inf)
+            v, idx = jax.lax.top_k(pri, sm)
+            return idx, jnp.isfinite(v)
+
+        idx, roi_valid = jax.vmap(pick)(jax.random.split(rng, b), fg)  # (B, Sm)
+        roi_boxes = jnp.take_along_axis(sampled["boxes"], idx[..., None], axis=1)
+        matched = jnp.take_along_axis(sampled["matched_idx"], idx, axis=1)  # (B, Sm)
+        matched = jnp.clip(matched, 0, targets["gt_boxes"].shape[1] - 1)
+
+        def gather_gt(t, extra_dims):
+            mi = matched.reshape(b, sm, *([1] * extra_dims))
+            return jnp.take_along_axis(
+                t, jnp.broadcast_to(mi, (b, sm) + t.shape[2:]), axis=1
+            )
+
+        gt_boxes = gather_gt(targets["gt_boxes"], 1)  # (B, Sm, 4)
+        coords = gather_gt(targets["gt_dp_coords"], 2)  # (B, Sm, P, 2)
+        patch = gather_gt(targets["gt_dp_patch"], 1)  # (B, Sm, P)
+        uu = gather_gt(targets["gt_dp_u"], 1)
+        vv = gather_gt(targets["gt_dp_v"], 1)
+        pt_valid = gather_gt(targets["gt_dp_valid"], 1)
+
+        # gt-box-normalized -> absolute -> roi-box-normalized point coords
+        gx0, gy0 = gt_boxes[..., 0:1], gt_boxes[..., 1:2]
+        gw = jnp.maximum(gt_boxes[..., 2:3] - gx0, 1e-4)
+        gh = jnp.maximum(gt_boxes[..., 3:4] - gy0, 1e-4)
+        ax = gx0 + coords[..., 0] * gw
+        ay = gy0 + coords[..., 1] * gh
+        px0, py0 = roi_boxes[..., 0:1], roi_boxes[..., 1:2]
+        pw = jnp.maximum(roi_boxes[..., 2:3] - px0, 1e-4)
+        ph = jnp.maximum(roi_boxes[..., 3:4] - py0, 1e-4)
+        rx = (ax - px0) / pw
+        ry = (ay - py0) / ph
+        inside = (rx >= 0) & (rx <= 1) & (ry >= 0) & (ry <= 1)
+        pt_coords = jnp.stack([rx, ry], axis=-1)
+
+        p = coords.shape[2]
+        flat_boxes = roi_boxes.reshape(b * sm, 4)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
+        feats = [features[f] for f in self.box_in_features]
+        pooled = self.densepose_pooler(feats, flat_boxes, batch_idx)
+        outputs = self.densepose_head(pooled)
+        return self.densepose_losses(
+            outputs,
+            {
+                "pt_coords": pt_coords.reshape(b * sm, p, 2),
+                "pt_patch": patch.reshape(b * sm, p),
+                "pt_u": uu.reshape(b * sm, p),
+                "pt_v": vv.reshape(b * sm, p),
+                "pt_valid": (pt_valid & inside).reshape(b * sm, p),
+            },
+            roi_valid.reshape(-1).astype(jnp.float32),
+        )
+
+    def _forward_extra_inference(self, features, detections, b):
+        """Attach per-detection chart maps: patch argmax (masked by the
+        coarse fg segmentation) and the U/V values at the argmax patch
+        channel — the inputs DensePoseCOCOEvaluator samples at gt points."""
+        if self.densepose_head is None:
+            return detections
+        d = detections["boxes"].shape[1]
+        det_boxes = detections["boxes"].reshape(b * d, 4)
+        det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+        feats = [features[f] for f in self.box_in_features]
+        pooled = self.densepose_pooler(feats, det_boxes, det_batch)
+        out = self.densepose_head(pooled)
+        fg = jnp.argmax(out["coarse_segm"], axis=-1) > 0  # (N, S, S)
+        patch = jnp.argmax(out["fine_segm"], axis=-1) * fg  # (N, S, S)
+        u_at = jnp.take_along_axis(out["u"], patch[..., None], axis=-1)[..., 0]
+        v_at = jnp.take_along_axis(out["v"], patch[..., None], axis=-1)[..., 0]
+        ss = patch.shape[-1]
+        detections["dp_patch"] = patch.reshape(b, d, ss, ss).astype(jnp.int32)
+        detections["dp_u"] = u_at.reshape(b, d, ss, ss)
+        detections["dp_v"] = v_at.reshape(b, d, ss, ss)
+        return detections
 
     def densepose_losses(self, outputs: Dict[str, Array], targets: Dict[str, Array], valid: Array):
         """Chart losses at annotated points: coarse-segm CE, patch CE, U/V

@@ -188,6 +188,75 @@ def test_densepose_head():
     assert out["u"].shape == (4, 28, 28, 25)
 
 
+def test_densepose_roi_heads_e2e():
+    """Full GeneralizedRCNN with the DensePose branch: train losses on dp
+    point targets + inference chart maps (reference densepose/roi_head.py)."""
+    import densepose  # noqa: F401 (registers DensePoseROIHeads)
+    from densepose import add_densepose_config
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64], [128], [256]]
+    cfg.MODEL.ROI_HEADS.NAME = "DensePoseROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 1
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 16
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.FG_CAPACITY = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    b, g, p = 2, 3, 6
+    batch = {
+        "image": jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([rng.rand(b, g, 2) * 20, 25 + rng.rand(b, g, 2) * 25], -1).astype(
+                np.float32
+            )
+        ),
+        "gt_classes": jnp.zeros((b, g), jnp.int32),
+        "gt_valid": jnp.ones((b, g), bool),
+        "gt_dp_coords": jnp.asarray(rng.rand(b, g, p, 2), jnp.float32),
+        "gt_dp_patch": jnp.asarray(rng.randint(1, 25, (b, g, p)), jnp.int32),
+        "gt_dp_u": jnp.asarray(rng.rand(b, g, p), jnp.float32),
+        "gt_dp_v": jnp.asarray(rng.rand(b, g, p), jnp.float32),
+        "gt_dp_valid": jnp.ones((b, g, p), bool),
+    }
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
+    variables = model.init(rngs, batch, train=True)
+    losses = model.apply(
+        variables, batch, train=True, rngs={"sampling": jax.random.key(2)}
+    )
+    for k in ("loss_densepose_I", "loss_densepose_U", "loss_densepose_V"):
+        assert k in losses and np.isfinite(float(losses[k])), (k, losses.get(k))
+    out = model.apply(variables, batch, train=False)
+    d = out["boxes"].shape[1]
+    s2 = 2 * cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION
+    assert out["dp_patch"].shape == (b, d, s2, s2)
+    assert out["dp_u"].shape == (b, d, s2, s2)
+    assert int(out["dp_patch"].max()) <= 24 and int(out["dp_patch"].min()) >= 0
+
+
 def test_tensormask_arch():
     import tensormask.arch  # noqa: F401 (registers)
     from tensormask import add_tensormask_config
