@@ -2,10 +2,13 @@
 
 Why a kernel: the XLA formulation (ops/roi_align.py) materializes four
 corner-gather buffers in HBM before interpolating — ~3x the bandwidth floor.
-This kernel DMAs each ROI's (WIN, WIN, C) feature window into VMEM as ONE
-strided block copy, then computes the whole bilinear interpolation + sample
+This kernel DMAs each ROI's (rows, WIN, C) feature window into VMEM as ONE
+strided block copy — rows is the smallest ROW_BUCKETS entry covering the
+ROI's y-span — then computes the whole bilinear interpolation + sample
 averaging as two small MXU matmuls with separable weight matrices, writing
 only the (P, P, C) output back. Traffic = window read + output write.
+Windows are double-buffered: ROI r+1's DMA is issued before ROI r's wait,
+hiding the issue latency behind the in-flight transfer.
 
 Layout constraints honored (Mosaic (8,128)/(16,128) tiling): each level is a
 (B*H, Wpad, C) ref whose W is padded to a multiple of 8 and >= WIN; window x
@@ -33,6 +36,16 @@ Array = jax.Array
 
 WIN = 40  # window cells per axis
 ALIGN = 8  # x-origin alignment required by the sublane tiling
+# Window-size buckets for the per-ROI DMA. Rows (the leading dim of the 3-D
+# level refs) have no tiling constraint, and the x window only needs
+# multiple-of-ALIGN extents, so each ROI copies only the smallest bucket
+# covering its span instead of the full WIN x WIN — pure HBM traffic
+# savings, zero numerics change (axis weights are zero beyond the span;
+# stale cells in the scratch are finite feature values, zeroed at step 0).
+ROW_BUCKETS = (16, 24, 32, WIN)
+# x stays full width: narrower columns shrink the contiguous burst per row
+# and measured slower despite the traffic reduction (strided-DMA overhead)
+COL_BUCKETS = (WIN,)
 
 
 def _axis_weights(start: Array, bin_size: Array, origin: Array, size: Array, p: int, s: int):
@@ -61,63 +74,104 @@ def _axis_weights(start: Array, bin_size: Array, origin: Array, size: Array, p: 
 
 
 def _make_kernel(num_levels: int):
-    def kernel(lvl_ref, row_ref, ox_ref, wy_ref, wx_ref, *refs):
+    def kernel(lvl_ref, row_ref, ox_ref, ybkt_ref, wy_ref, wx_ref, *refs):
         level_refs = refs[:num_levels]
         out_ref = refs[num_levels]
-        win_buf = refs[num_levels + 1]
-        sem = refs[num_levels + 2]
+        bufs = (refs[num_levels + 1], refs[num_levels + 2])
+        sems = (refs[num_levels + 3], refs[num_levels + 4])
 
         r = pl.program_id(0)
-        lvl = lvl_ref[r]
-        row0 = row_ref[r]
-        ox = pl.multiple_of(ox_ref[r] * ALIGN, ALIGN)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(r, 2)
 
-        for l in range(num_levels):
-            @pl.when(lvl == l)
-            def _(l=l):
-                pltpu.make_async_copy(
-                    level_refs[l].at[pl.ds(row0, WIN), pl.ds(ox, WIN)],
-                    win_buf,
-                    sem,
-                ).start()
-        pltpu.make_async_copy(
-            level_refs[0].at[pl.ds(0, WIN), pl.ds(0, WIN)], win_buf, sem
-        ).wait()  # shape-compatible wait on the single semaphore
+        nyb = len(COL_BUCKETS)
+
+        def issue(i, buf, sem):
+            lv = lvl_ref[i]
+            ro = row_ref[i]
+            oxi = pl.multiple_of(ox_ref[i] * ALIGN, ALIGN)
+            bk = ybkt_ref[i]  # combined bucket: y * len(COL_BUCKETS) + x
+            for l in range(num_levels):
+                for ky, rows in enumerate(ROW_BUCKETS):
+                    for kx, cols in enumerate(COL_BUCKETS):
+                        @pl.when((lv == l) & (bk == ky * nyb + kx))
+                        def _(l=l, rows=rows, cols=cols):
+                            pltpu.make_async_copy(
+                                level_refs[l].at[pl.ds(ro, rows), pl.ds(oxi, cols)],
+                                buf.at[pl.ds(0, rows), pl.ds(0, cols)],
+                                sem,
+                            ).start()
+
+        def wait(i, buf, sem):
+            bk = ybkt_ref[i]
+            for ky, rows in enumerate(ROW_BUCKETS):
+                for kx, cols in enumerate(COL_BUCKETS):
+                    @pl.when(bk == ky * nyb + kx)
+                    def _(rows=rows, cols=cols):
+                        pltpu.make_async_copy(
+                            level_refs[0].at[pl.ds(0, rows), pl.ds(0, cols)],
+                            buf.at[pl.ds(0, rows), pl.ds(0, cols)],
+                            sem,
+                        ).wait()  # size-matched wait on this slot's semaphore
+
+        @pl.when(r == 0)
+        def _init():
+            # rows beyond a copied bucket keep their y-weight-zero garbage
+            # out of the contraction only if finite: zero both buffers once
+            # (later steps leave prior finite feature rows behind)
+            bufs[0][...] = jnp.zeros_like(bufs[0])
+            bufs[1][...] = jnp.zeros_like(bufs[1])
+            issue(0, bufs[0], sems[0])
+
+        # double-buffer: issue ROI r+1's window while ROI r is in flight
+        @pl.when(r + 1 < n)
+        def _prefetch():
+            for s in range(2):
+                @pl.when(slot == s)
+                def _(s=s):
+                    issue(r + 1, bufs[1 - s], sems[1 - s])
 
         wy = wy_ref[0]  # (P, WIN)
         wx = wx_ref[0]  # (P, WIN)
-        win = win_buf[:, :, :]  # (WIN, WIN, C)
 
-        # x-contraction: tmp[q, i, c] = sum_j wx[q, j] win[i, j, c]
-        tmp = jax.lax.dot_general(
-            wx.astype(jnp.float32),
-            win.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        # y-contraction: out[p, q, c] = sum_i wy[p, i] tmp[q, i, c]
-        out = jax.lax.dot_general(
-            wy.astype(jnp.float32),
-            tmp,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[0] = out.astype(out_ref.dtype)
+        def compute(buf):
+            win = buf[:, :, :]  # (WIN, WIN, C)
+            # x-contraction: tmp[q, i, c] = sum_j wx[q, j] win[i, j, c]
+            tmp = jax.lax.dot_general(
+                wx.astype(jnp.float32),
+                win.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # y-contraction: out[p, q, c] = sum_i wy[p, i] tmp[q, i, c]
+            out = jax.lax.dot_general(
+                wy.astype(jnp.float32),
+                tmp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_ref[0] = out.astype(out_ref.dtype)
+
+        for s in range(2):
+            @pl.when(slot == s)
+            def _(s=s):
+                wait(r, bufs[s], sems[s])
+                compute(bufs[s])
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("output_size",))
-def _pallas_call(levels3d, lvl_idx, row0, ox_div, wy, wx, output_size: int):
+def _pallas_call(levels3d, lvl_idx, row0, ox_div, ybkt, wy, wx, output_size: int):
     r = lvl_idx.shape[0]
     c = levels3d[0].shape[-1]
     p = output_size
     num_levels = len(levels3d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # lvl, row0, ox_div
+        num_scalar_prefetch=4,  # lvl, row0, ox_div, ybkt
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -129,6 +183,8 @@ def _pallas_call(levels3d, lvl_idx, row0, ox_div, wy, wx, output_size: int):
         ),
         scratch_shapes=[
             pltpu.VMEM((WIN, WIN, c), levels3d[0].dtype),
+            pltpu.VMEM((WIN, WIN, c), levels3d[0].dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -139,7 +195,7 @@ def _pallas_call(levels3d, lvl_idx, row0, ox_div, wy, wx, output_size: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-    )(lvl_idx, row0, ox_div, wy, wx, *levels3d)
+    )(lvl_idx, row0, ox_div, ybkt, wy, wx, *levels3d)
 
 
 def _bumped_levels(features, spatial_scales, boxes, levels):
@@ -230,6 +286,20 @@ def roi_align_multilevel_pallas(
     oy = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, None)
     row0 = batch_indices.astype(jnp.int32) * h_p + oy
 
+    # smallest window bucket covering [origin, floor(min(hi, extent-1))] +
+    # the bilinear +1 neighbor + 1 slack cell, per axis
+    y_hi = jnp.floor(jnp.minimum(y1, (h_l - 1).astype(jnp.float32))).astype(jnp.int32)
+    rows_needed = jnp.clip(y_hi - oy + 3, 1, WIN)
+    ybkt = jnp.zeros_like(rows_needed)
+    for rb in ROW_BUCKETS[:-1]:
+        ybkt = ybkt + (rows_needed > rb).astype(jnp.int32)
+    x_hi = jnp.floor(jnp.minimum(x1, (w_l - 1).astype(jnp.float32))).astype(jnp.int32)
+    cols_needed = jnp.clip(x_hi - ox + 3, 1, WIN)
+    xbkt = jnp.zeros_like(cols_needed)
+    for cb in COL_BUCKETS[:-1]:
+        xbkt = xbkt + (cols_needed > cb).astype(jnp.int32)
+    ybkt = ybkt * len(COL_BUCKETS) + xbkt
+
     wy = jax.vmap(
         lambda st, bs, o, sz: _axis_weights(st, bs, o.astype(jnp.float32), sz.astype(jnp.float32), p, s)
     )(y0, bin_h, oy, h_l)
@@ -242,6 +312,7 @@ def roi_align_multilevel_pallas(
         lvl,
         row0.astype(jnp.int32),
         (ox // ALIGN).astype(jnp.int32),
+        ybkt.astype(jnp.int32),
         wy,
         wx,
         p,
