@@ -17,6 +17,11 @@ def add_wsl_config(cfg: CN) -> None:
     _C.WSL.REFINE_MIST = False
     _C.WSL.HAS_GAM = False
     _C.WSL.CSC_MAX_ITER = 35000
+    # WSJDS (reference wsjds_heads.py): CSC proposal-mass threshold and the
+    # CPG fg/bg thresholds for mined sem-seg targets
+    _C.WSL.CSC_FG_THRESHOLD = 0.1
+    _C.WSL.SEM_FG_THRESHOLD = 0.7
+    _C.WSL.SEM_BG_THRESHOLD = 0.1
     _C.WSL.SIZE_EPOCH = 5000
     _C.WSL.CMIL = False
     # JTSM panoptic switches

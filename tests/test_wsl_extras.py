@@ -1,0 +1,165 @@
+"""WSL extras: WSL mask heads, RPNWSL (MRRP), WSJDS heads (reference:
+projects/WSL/wsl/modeling/roi_heads/mask_head.py, proposal_generator/rpn.py,
+seg_heads/wsjds_heads.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jtsm_tpu.config import get_cfg
+from jtsm_tpu.wsl import add_wsl_config
+
+
+def test_wsl_mask_head_and_losses():
+    from jtsm_tpu.wsl.modeling.mask_head_wsl import (
+        MaskRCNNConvUpsampleWSLHead,
+        mask_rcnn_co_loss,
+        mask_rcnn_loss_wsl,
+    )
+
+    head = MaskRCNNConvUpsampleWSLHead(num_classes=5, num_conv=1, conv_dim=16)
+    x = jnp.zeros((4, 7, 7, 32))
+    v = head.init(jax.random.key(0), x)
+    logits, feats = head.apply(v, x)
+    assert logits.shape == (4, 14, 14, 5)
+    assert feats.shape == (4, 14, 14, 16)
+
+    cls = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    valid = jnp.ones((4,), bool)
+    gt = jnp.ones((4, 14, 14))
+    # logits strongly positive at the gt channel -> both losses near 0 for
+    # score 1.0 and larger for score 0
+    big = jnp.full((4, 14, 14, 5), -20.0)
+    big = jax.vmap(lambda m, c: m.at[..., c].set(20.0))(big, cls)
+    l_bce = mask_rcnn_loss_wsl(big, cls, gt, valid)
+    assert float(l_bce) < 1e-3
+    l_co_match = mask_rcnn_co_loss(big, cls, jnp.ones((4,)), valid)
+    l_co_off = mask_rcnn_co_loss(big, cls, jnp.zeros((4,)), valid)
+    assert float(l_co_match) < 0.1 < float(l_co_off)
+
+
+def test_rpn_wsl_mrrp():
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.rpn_wsl import RPNWSL
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.MRRP.MRRP_ON = True
+    cfg.MODEL.MRRP.NUM_BRANCH = 2
+    cfg.MODEL.RPN.IN_FEATURES = ["res4"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32]]
+    rpn = RPNWSL(**RPNWSL.from_config(cfg, {"res4": ShapeSpec(channels=32, stride=16)}))
+
+    b = 2
+    feats = {"res4": jnp.ones((b * 2, 8, 8, 32))}  # branches folded into batch
+    sizes = jnp.tile(jnp.asarray([[128, 128]], jnp.int32), (b, 1))
+    gt_boxes = jnp.asarray([[[10.0, 10, 60, 60]]] * b)
+    gt_valid = jnp.ones((b, 1), bool)
+    variables = rpn.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        sizes,
+        feats,
+        gt_boxes,
+        gt_valid,
+        train=True,
+    )
+    props, scores, losses = rpn.apply(
+        variables,
+        sizes,
+        feats,
+        gt_boxes,
+        gt_valid,
+        train=True,
+        rngs={"sampling": jax.random.key(2)},
+    )
+    assert props.shape == (b, 32, 4)
+    assert np.isfinite(float(losses["loss_rpn_cls"]))
+    # inference path (single branch reused across level slots)
+    props_t, _, _ = rpn.apply(variables, sizes, feats, train=False)
+    assert props_t.shape[0] == b
+
+
+def test_sem_seg_targets_from_cpg():
+    from jtsm_tpu.wsl.modeling.wsjds import sem_seg_targets_from_cpg
+
+    cpg = np.zeros((3, 8, 8), np.float32)
+    cpg[0, :4, :4] = 1.0  # strong evidence for class 0 top-left
+    cpg[0, 4:, 4:] = 0.4  # ambiguous -> ignore
+    labels = jnp.asarray([1.0, 0.0, 1.0])
+    t, w = sem_seg_targets_from_cpg(jnp.asarray(cpg), labels, 0.7, 0.1)
+    t, w = np.asarray(t), np.asarray(w)
+    assert t[0, 0, 0] == 1 and w[0, 0, 0] > 0  # fg
+    assert t[0, 7, 0] == 0 and w[0, 7, 0] > 0  # bg
+    assert w[0, 5, 5] == 0  # ignore band
+    assert t[1].max() == 0 and (w[1] > 0).all()  # absent class: all bg
+    # balanced: fg weight mass == bg weight mass for class 0
+    np.testing.assert_allclose((t[0] * w[0]).sum(), ((1 - t[0]) * w[0]).sum(), rtol=1e-5)
+
+
+def test_wsjds_roi_heads():
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.wsjds import WSJDSROIHeads
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [64, 64]
+    head = WSJDSROIHeads(
+        **WSJDSROIHeads.from_config(cfg, {"res4": ShapeSpec(channels=16, stride=16)})
+    )
+
+    rng = np.random.RandomState(0)
+    b, r, h, w = 2, 8, 64, 64
+    feats = {"res4": jnp.asarray(rng.rand(b, 4, 4, 16), jnp.float32)}
+    boxes = jnp.asarray(
+        np.concatenate([rng.rand(b, r, 2) * 20, 30 + rng.rand(b, r, 2) * 30], -1),
+        jnp.float32,
+    )
+    scores = jnp.zeros((b, r))
+    sizes = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1))
+    targets = {
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, 2)), jnp.int32),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "cpg": jnp.asarray(rng.rand(b, 4, h, w), jnp.float32),
+    }
+    variables = head.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1), "dropout": jax.random.key(2)},
+        feats,
+        boxes,
+        scores,
+        sizes,
+        targets,
+        train=True,
+    )
+    aux, losses = head.apply(
+        variables,
+        feats,
+        boxes,
+        scores,
+        sizes,
+        targets,
+        train=True,
+        rngs={"sampling": jax.random.key(3), "dropout": jax.random.key(4)},
+    )
+    assert np.isfinite(float(losses["loss_mil_csc"]))
+    assert aux["pgt_sem_seg_binary"].shape == (b, 4, h, w)
+    assert aux["pgt_sem_seg_weights"].shape == (b, 4, h, w)
+
+    # without cpg: plain MIL loss
+    t2 = {k: v for k, v in targets.items() if k != "cpg"}
+    _, losses2 = head.apply(
+        variables, feats, boxes, scores, sizes, t2, train=True,
+        rngs={"sampling": jax.random.key(3), "dropout": jax.random.key(4)},
+    )
+    assert "loss_mil" in losses2
+
+    det, _ = head.apply(
+        variables, feats, boxes, scores, sizes, train=False,
+        rngs={"dropout": jax.random.key(5)},
+    )
+    assert det["boxes"].shape[0] == b
+    assert det["proposal_class_scores"].shape == (b, r, 4)
