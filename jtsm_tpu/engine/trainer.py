@@ -12,6 +12,7 @@ device scalars and are logged asynchronously.
 from __future__ import annotations
 
 import logging
+import math
 import time
 import weakref
 from typing import Any, Dict, List, Optional
@@ -133,8 +134,19 @@ class SimpleTrainer(TrainerBase):
             self.storage.put_scalar("data_time", data_time)
             pending = self._pending_metrics
             if pending is not None:
+                total = 0.0
                 for k, v in pending.items():
-                    self.storage.put_scalar(k, float(v))
+                    v = float(v)
+                    self.storage.put_scalar(k, v)
+                    if k.startswith("loss"):
+                        total += v
+                # loss-finiteness guard (reference train_loop.py:278-282):
+                # fail loudly instead of training on garbage
+                if not math.isfinite(total):
+                    raise FloatingPointError(
+                        f"Loss became infinite or NaN at iteration={self.iter - 1}!\n"
+                        f"loss_dict = {{ {', '.join(f'{k}: {float(v)}' for k, v in pending.items())} }}"
+                    )
         self._pending_metrics = metrics
 
     def sync_checkpointer(self):

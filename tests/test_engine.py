@@ -126,3 +126,27 @@ def test_argument_parser():
     args = parser.parse_args(["--config-file", "x.yaml", "SOLVER.BASE_LR", "0.01"])
     assert args.config_file == "x.yaml"
     assert args.opts == ["SOLVER.BASE_LR", "0.01"]
+
+
+def test_nan_loss_guard():
+    """The trainer raises FloatingPointError when losses go non-finite
+    (reference train_loop.py:278-282)."""
+    import numpy as np
+    import pytest
+
+    from jtsm_tpu.engine.trainer import SimpleTrainer
+    from jtsm_tpu.utils.events import EventStorage
+
+    t = SimpleTrainer.__new__(SimpleTrainer)
+    t.iter = 5
+    t._pending_metrics = {"loss_cls": np.float32("nan"), "loss_reg": np.float32(1.0)}
+    with EventStorage(0) as storage:
+        t.storage = storage
+        with pytest.raises(FloatingPointError, match="iteration=4"):
+            t._write_metrics({"loss_cls": 0.5}, data_time=0.0)
+
+    # finite losses pass through
+    t._pending_metrics = {"loss_cls": np.float32(0.5)}
+    with EventStorage(0) as storage:
+        t.storage = storage
+        t._write_metrics({"loss_cls": 0.4}, data_time=0.0)
