@@ -172,7 +172,7 @@ class DefaultTrainer(TrainerBase):
         variables = jax.jit(
             lambda r, s: self.model.init({"params": r, "sampling": s}, example, train=True)
         )(init_rng, sample_rng)
-        self.tx = build_optimizer(cfg, variables["params"])
+        self.tx = self.build_optimizer(cfg, variables["params"])
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
@@ -212,6 +212,11 @@ class DefaultTrainer(TrainerBase):
         model = build_model(cfg)
         logger.info(f"Model:\n{model}")
         return model
+
+    @classmethod
+    def build_optimizer(cls, cfg, params):
+        """Reference defaults.py:430 (``DefaultTrainer.build_optimizer``)."""
+        return build_optimizer(cfg, params)
 
     @classmethod
     def build_train_loader(cls, cfg):

@@ -28,6 +28,20 @@ class Trainer(DefaultTrainer):
     accumulation is optax.MultiSteps on the optimizer."""
 
     @classmethod
+    def build_optimizer(cls, cfg, params):
+        """Gradient accumulation over WSL.ITER_SIZE mini-batches
+        (reference train_net.py:74-119 accumulates manually; here it is
+        optax.MultiSteps around the standard optimizer)."""
+        import optax
+
+        from jtsm_tpu.solver import build_optimizer
+
+        tx = build_optimizer(cfg, params)
+        if cfg.WSL.ITER_SIZE > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.WSL.ITER_SIZE)
+        return tx
+
+    @classmethod
     def build_train_loader(cls, cfg):
         from jtsm_tpu.data import build_detection_train_loader
 

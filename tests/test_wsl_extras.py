@@ -163,3 +163,29 @@ def test_wsjds_roi_heads():
     )
     assert det["boxes"].shape[0] == b
     assert det["proposal_class_scores"].shape == (b, r, 4)
+
+
+def test_wsl_iter_size_gradient_accumulation():
+    """WSL.ITER_SIZE>1 wraps the optimizer in optax.MultiSteps: updates are
+    zero until ITER_SIZE grads have accumulated (reference
+    projects/WSL/tools/train_net.py:74-119)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "wsl_train_net", "projects/WSL/tools/train_net.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.WSL.ITER_SIZE = 2
+    cfg.SOLVER.WARMUP_ITERS = 0
+    params = {"dense": {"kernel": jnp.ones((3,))}}
+    tx = mod.Trainer.build_optimizer(cfg, params)
+    state = tx.init(params)
+    g = {"dense": {"kernel": jnp.ones((3,))}}
+    u1, state = tx.update(g, state, params)
+    assert float(jnp.abs(u1["dense"]["kernel"]).max()) == 0.0
+    u2, state = tx.update(g, state, params)
+    assert float(jnp.abs(u2["dense"]["kernel"]).max()) > 0.0
