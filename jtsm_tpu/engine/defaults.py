@@ -191,7 +191,9 @@ class DefaultTrainer(TrainerBase):
             if n_dev > 1
             else None
         )
-        self._trainer = SimpleTrainer(self.model, self.data_loader, self.tx, state, mesh)
+        self._trainer = SimpleTrainer(
+            self.model, self.data_loader, self.tx, state, mesh, fsdp=cfg.TPU.FSDP
+        )
         # reuse the example batch by chaining iterators
         import itertools
 

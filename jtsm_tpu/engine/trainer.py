@@ -87,7 +87,7 @@ class TrainerBase:
 class SimpleTrainer(TrainerBase):
     """Drives the jitted train step over a data loader."""
 
-    def __init__(self, model, data_loader, tx, state: TrainState, mesh=None):
+    def __init__(self, model, data_loader, tx, state: TrainState, mesh=None, fsdp=False):
         super().__init__()
         self.model = model
         self.data_loader = data_loader
@@ -102,10 +102,20 @@ class SimpleTrainer(TrainerBase):
 
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
+            if fsdp:
+                # FSDP / ZeRO-3: big params and optimizer buffers sharded
+                # over the data axis; XLA all-gathers at use sites and
+                # reduce-scatters grads (SURVEY.md §2.4 stretch goal)
+                from ..parallel.mesh import fsdp_shardings
+
+                state_sh = fsdp_shardings(state, mesh)
+                self.state = jax.device_put(state, state_sh)
+            else:
+                state_sh = repl
             self._train_step = jax.jit(
                 step,
-                in_shardings=(repl, data),
-                out_shardings=(repl, repl),
+                in_shardings=(state_sh, data),
+                out_shardings=(state_sh, repl),
                 donate_argnums=(0,),  # old state buffers are reused in place
             )
         else:

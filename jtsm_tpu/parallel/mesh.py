@@ -51,3 +51,30 @@ def shard_batch_pytree(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place every leaf with its leading dim sharded over ``axis``."""
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def fsdp_leaf_sharding(
+    x: Any, mesh: Mesh, axis: str = "data", min_size: int = 1 << 16
+) -> NamedSharding:
+    """FSDP-style sharding rule for one array: shard the largest
+    axis-size-divisible dim of big leaves over ``axis``; small leaves stay
+    replicated. XLA then all-gathers params where used and reduce-scatters
+    grads — ZeRO-3 semantics without manual collectives."""
+    n = mesh.shape[axis]
+    shape = getattr(x, "shape", ())
+    size = int(np.prod(shape)) if shape else 0
+    if n > 1 and size >= min_size:
+        for d in sorted(range(len(shape)), key=lambda d: -shape[d]):
+            if shape[d] % n == 0:
+                spec = [None] * len(shape)
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data", min_size: int = 1 << 16) -> Any:
+    """Pytree of FSDP shardings matching ``tree`` (params or optimizer
+    state — the rule is shape-based so it maps 1:1 onto momentum buffers)."""
+    return jax.tree_util.tree_map(
+        lambda x: fsdp_leaf_sharding(x, mesh, axis, min_size), tree
+    )
