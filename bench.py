@@ -37,7 +37,7 @@ def main():
     )
     model = build_model(cfg)
 
-    b = int(os.environ.get("BENCH_BATCH", "32"))
+    b = int(os.environ.get("BENCH_BATCH", "64"))
     h, w = 800, 1344
     batch0 = {
         "image": jnp.zeros((b, h, w, 3), jnp.float32),
