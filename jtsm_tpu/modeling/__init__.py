@@ -35,7 +35,9 @@ from .roi_heads.keypoint_head import (
     KRCNNConvDeconvUpsampleHead,
     build_keypoint_head,
 )
+from .roi_heads.cascade_rcnn import CascadeROIHeads
 from .roi_heads.res5_roi_heads import Res5ROIHeads
 from .roi_heads.roi_heads import ROI_HEADS_REGISTRY, StandardROIHeads, build_roi_heads
+from .roi_heads.rotated_fast_rcnn import RROIHeads
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]
