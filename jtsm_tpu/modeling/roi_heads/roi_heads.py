@@ -68,6 +68,7 @@ class StandardROIHeads(nn.Module):
     proposal_append_gt: bool = True
     smooth_l1_beta: float = 0.0
     box_reg_loss_type: str = "smooth_l1"
+    train_on_pred_boxes: bool = False
     score_thresh_test: float = 0.05
     nms_thresh_test: float = 0.5
     detections_per_image: int = 100
@@ -125,6 +126,7 @@ class StandardROIHeads(nn.Module):
             proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
             smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
             box_reg_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
+            train_on_pred_boxes=cfg.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES,
             score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
             nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
@@ -227,6 +229,16 @@ class StandardROIHeads(nn.Module):
                 self.smooth_l1_beta,
                 self.box_reg_loss_type,
             )
+
+            if self.train_on_pred_boxes:
+                # reference fast_rcnn.py predict_boxes_for_gt_classes: the
+                # downstream heads train on the box head's refined boxes
+                # (gradients cut — they are "data", like proposals)
+                d = jax.lax.stop_gradient(deltas).reshape(b * s, -1, 4)
+                cls = jnp.clip(sampled["gt_classes"].reshape(-1), 0, d.shape[1] - 1)
+                sel = jnp.take_along_axis(d, cls[:, None, None], axis=1)[:, 0]
+                pred = self.box2box_transform.apply_deltas(sel, flat_boxes)
+                sampled = dict(sampled, boxes=pred.reshape(b, s, 4))
 
             if self.mask_on:
                 losses.update(

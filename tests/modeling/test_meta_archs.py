@@ -176,6 +176,18 @@ def test_res5_roi_heads_c4():
     assert "masks" in out
 
 
+def test_train_on_pred_boxes():
+    # reference tests/modeling/test_roi_heads.py test_StandardROIHeads_train_on_pred_boxes
+    cfg = get_cfg()
+    _fpn_tiny(cfg)
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = True
+    model = build_model(cfg)
+    losses, out = _run(model, _batch(masks=True))
+    assert "loss_mask" in losses and "loss_box_reg" in losses
+    assert "masks" in out
+
+
 def test_keypoint_rcnn():
     cfg = get_cfg()
     _fpn_tiny(cfg)
