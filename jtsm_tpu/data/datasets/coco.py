@@ -172,11 +172,13 @@ def convert_to_coco_dict(dataset_name: str) -> dict:
             if isinstance(bbox, np.ndarray):
                 bbox = bbox.tolist()
             bbox_mode = annotation["bbox_mode"]
-            bbox = BoxMode.convert(bbox, bbox_mode, BoxMode.XYWH_ABS)
+            # rotated (5-dim) boxes stay XYWHA (reference data/datasets/coco.py:341)
+            to_mode = BoxMode.XYWH_ABS if len(bbox) == 4 else BoxMode.XYWHA_ABS
+            bbox = BoxMode.convert(bbox, bbox_mode, to_mode)
             coco_annotation["id"] = len(coco_annotations) + 1
             coco_annotation["image_id"] = coco_image["id"]
             coco_annotation["bbox"] = [round(float(x), 3) for x in bbox]
-            coco_annotation["area"] = float(bbox[2] * bbox[3])
+            coco_annotation["area"] = float(abs(bbox[2] * bbox[3]))
             coco_annotation["iscrowd"] = int(annotation.get("iscrowd", 0))
             coco_annotation["category_id"] = int(reverse_id(annotation["category_id"]))
             if "segmentation" in annotation:

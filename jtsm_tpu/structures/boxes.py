@@ -55,7 +55,9 @@ class BoxMode(IntEnum):
 
         xp = jnp if isinstance(arr, jax.Array) else np
 
-        if from_mode == BoxMode.XYWHA_ABS and to_mode == BoxMode.XYXY_ABS:
+        if from_mode == to_mode:
+            out = arr
+        elif from_mode == BoxMode.XYWHA_ABS and to_mode == BoxMode.XYXY_ABS:
             assert arr.shape[-1] == 5, "The last dimension of input shape must be 5 for XYWHA format"
             cx, cy, w, h, a = (arr[..., i] for i in range(5))
             theta = a * math.pi / 180.0

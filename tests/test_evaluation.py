@@ -215,3 +215,81 @@ def test_native_matches_python():
             assert np.isnan(s_native[k]), k
         else:
             assert s_native[k] == pytest.approx(s_python[k], abs=1e-9), k
+
+
+def test_rotated_iou_np_matches_jax():
+    import jax.numpy as jnp
+
+    from jtsm_tpu.evaluation import pairwise_iou_rotated_np
+    from jtsm_tpu.structures.rotated_boxes import pairwise_iou_rotated
+
+    rng = np.random.RandomState(3)
+    b1 = np.stack(
+        [rng.rand(8) * 80, rng.rand(8) * 80, 5 + rng.rand(8) * 30,
+         5 + rng.rand(8) * 30, rng.rand(8) * 360 - 180], axis=1
+    ).astype(np.float32)
+    b2 = np.stack(
+        [rng.rand(6) * 80, rng.rand(6) * 80, 5 + rng.rand(6) * 30,
+         5 + rng.rand(6) * 30, rng.rand(6) * 360 - 180], axis=1
+    ).astype(np.float32)
+    got = pairwise_iou_rotated_np(b1, b2)
+    want = np.asarray(pairwise_iou_rotated(jnp.asarray(b1), jnp.asarray(b2)))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_rotated_cocoeval_axis_aligned_equals_plain():
+    """Angle-0 XYWHA detections must score identically to the XYWH path."""
+    from jtsm_tpu.evaluation import RotatedCOCOEval
+
+    gt = _gt_dataset()
+    dets_xywh = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 2, "bbox": [52, 50, 40, 30], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [0, 0, 30, 30], "score": 0.7},
+        {"image_id": 2, "category_id": 1, "bbox": [60, 60, 10, 10], "score": 0.6},
+    ]
+    plain = COCOEval(gt, "bbox").evaluate(dets_xywh)
+    dets_xywha = [
+        dict(d, bbox=[d["bbox"][0] + d["bbox"][2] / 2, d["bbox"][1] + d["bbox"][3] / 2,
+                      d["bbox"][2], d["bbox"][3], 0.0])
+        for d in dets_xywh
+    ]
+    rot = RotatedCOCOEval(gt, "bbox").evaluate(dets_xywha)
+    for k in plain:
+        assert np.isclose(plain[k], rot[k], atol=1e-6, equal_nan=True), (k, plain[k], rot[k])
+
+
+def test_rotated_coco_evaluator_e2e():
+    from jtsm_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from jtsm_tpu.evaluation import RotatedCOCOEvaluator
+
+    name = "_rot_eval_test"
+    if name in DatasetCatalog.list():
+        DatasetCatalog.remove(name)
+        MetadataCatalog.remove(name)
+    DatasetCatalog.register(
+        name,
+        lambda: [
+            {
+                "image_id": 1, "height": 100, "width": 100, "file_name": "x.jpg",
+                "annotations": [
+                    {"bbox": [30, 30, 20, 10, 30.0], "bbox_mode": 4, "category_id": 0,
+                     "iscrowd": 0, "area": 200},
+                ],
+            }
+        ],
+    )
+    MetadataCatalog.get(name).set(thing_classes=["a"])
+    ev = RotatedCOCOEvaluator(name, distributed=False)
+    ev.reset()
+    ev.process(
+        {"image_ids": np.array([1]), "orig_sizes": np.array([[100, 100]])},
+        {
+            "boxes": np.array([[[30, 30, 20, 10, 30.0], [0, 0, 0, 0, 0]]], np.float32),
+            "scores": np.array([[0.9, 0.0]], np.float32),
+            "classes": np.array([[0, 0]], np.int32),
+            "valid": np.array([[True, False]]),
+        },
+    )
+    res = ev.evaluate()
+    assert np.isclose(res["bbox"]["AP"], 100.0), res
