@@ -155,10 +155,33 @@ def register_all_lvis(root: str) -> None:
         )
 
 
+def register_all_ade20k(root: str) -> None:
+    """ADE20k-150 sem-seg splits (reference builtin.py:237)."""
+    from .builtin_meta import ADE20K_SEM_SEG_CATEGORIES
+
+    base = os.path.join(root, "ADEChallengeData2016")
+    for name, dirname in [("train", "training"), ("val", "validation")]:
+        image_dir = os.path.join(base, "images", dirname)
+        gt_dir = os.path.join(base, "annotations_detectron2", dirname)
+        name = f"ade20k_sem_seg_{name}"
+        DatasetCatalog.register(
+            name,
+            lambda x=image_dir, y=gt_dir: load_sem_seg(y, x, gt_ext="png", image_ext="jpg"),
+        )
+        MetadataCatalog.get(name).set(
+            stuff_classes=ADE20K_SEM_SEG_CATEGORIES[:],
+            image_root=image_dir,
+            sem_seg_root=gt_dir,
+            evaluator_type="sem_seg",
+            ignore_label=255,
+        )
+
+
 _root = os.environ.get("JTSM_DATASETS", "datasets")
 register_all_coco(_root)
 register_all_coco_panoptic(_root)
 register_all_lvis(_root)
+register_all_ade20k(_root)
 try:
     register_all_pascal_voc(_root)
 except ImportError:

@@ -19,4 +19,8 @@ def register_all():
 
 register_all()
 
+from . import builtin as _builtin  # noqa: E402
+
+_builtin.register_all()
+
 __all__ = ["add_wsl_config"]
