@@ -54,9 +54,16 @@ class NaiveSyncBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
-        use_ra = nn.merge_param(
-            "use_running_average", self.use_running_average, use_running_average
-        )
+        if self.use_running_average is None and use_running_average is None:
+            # flax convention: training iff the caller made batch_stats
+            # mutable (apply(..., mutable=["batch_stats"])); eval otherwise
+            use_ra = not (
+                self.is_initializing() or self.is_mutable_collection("batch_stats")
+            )
+        else:
+            use_ra = nn.merge_param(
+                "use_running_average", self.use_running_average, use_running_average
+            )
         c = self.num_features
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
