@@ -43,14 +43,20 @@ class TPUTracer:
         return text
 
     def export_jax_exported(self, output_path: Optional[str] = None) -> bytes:
-        """jax.export serialized artifact (versioned, reload-able)."""
+        """jax.export serialized artifact (versioned, reload-able). Weights
+        are closed over — baked into the artifact as constants — so the
+        deserialized callable takes only the input batch (what a serving
+        host wants; see tools/deploy/jtsm_infer.cpp)."""
         from jax import export as jax_export
 
-        exported = jax_export.export(jax.jit(self._fn))(
-            self.variables, self.example_batch
-        )
+        exported = jax_export.export(
+            jax.jit(lambda b: self._fn(self.variables, b)),
+            # multi-platform artifact: serve on TPU or CPU hosts alike
+            platforms=("tpu", "cpu"),
+        )(self.example_batch)
         blob = exported.serialize()
         if output_path:
+            os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
             with open(output_path, "wb") as f:
                 f.write(blob)
             logger.info(f"jax.export artifact written to {output_path}")
