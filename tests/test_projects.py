@@ -332,3 +332,37 @@ def test_densepose_gps():
     # wrong patch -> near zero
     s = gps_similarity(p + 1, u, v, p, u, v, ok)
     assert s < 0.01
+
+
+def test_hrnet_hrfpn_backbone():
+    """HRNet multi-resolution backbone + HRFPN neck output contract
+    (reference densepose/modeling/hrnet.py, hrfpn.py)."""
+    import jax
+
+    from densepose import add_densepose_config, build_hrfpn_backbone
+    from jtsm_tpu.layers import ShapeSpec
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.MODEL.HRNET.STEM_INPLANES = 16
+    cfg.MODEL.HRNET.STAGE2.NUM_CHANNELS = [8, 16]
+    cfg.MODEL.HRNET.STAGE2.NUM_BLOCKS = [1, 1]
+    cfg.MODEL.HRNET.STAGE3.NUM_MODULES = 1
+    cfg.MODEL.HRNET.STAGE3.NUM_CHANNELS = [8, 16, 32]
+    cfg.MODEL.HRNET.STAGE3.NUM_BLOCKS = [1, 1, 1]
+    cfg.MODEL.HRNET.STAGE4.NUM_MODULES = 1
+    cfg.MODEL.HRNET.STAGE4.NUM_CHANNELS = [8, 16, 32, 64]
+    cfg.MODEL.HRNET.STAGE4.NUM_BLOCKS = [1, 1, 1, 1]
+    cfg.MODEL.HRNET.HRFPN.OUT_CHANNELS = 32
+
+    fpn = build_hrfpn_backbone(cfg, ShapeSpec(channels=3))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = fpn.init(jax.random.key(0), x)
+    out, _ = fpn.apply(variables, x, mutable=["batch_stats"])
+    assert out["p2"].shape == (1, 16, 16, 32)
+    assert out["p6"].shape == (1, 1, 1, 32)
+    shapes = fpn.output_shape()
+    assert shapes["p2"].stride == 4 and shapes["p6"].stride == 64
+    # eval mode without mutable batch_stats also works (running stats)
+    out2 = fpn.apply(variables, x)
+    assert out2["p4"].shape == out["p4"].shape
