@@ -9,6 +9,7 @@ plumbing + dataset registration (densepose/data.py), GPS-based evaluation
 from .config import add_densepose_config, add_hrnet_config
 from .hrnet import HRFPN, HRNet, build_hrfpn_backbone, build_pose_hrnet_backbone
 from .roi_heads import DensePoseROIHeads, DensePoseV1ConvXHead
+from .vis import DensePoseOutputsExtractor, DensePoseResultsVisualizer
 
 __all__ = [
     "add_densepose_config",
