@@ -60,6 +60,11 @@ def mask_iou(det_rles: List, gt_rles: List, iscrowd: np.ndarray, h: int, w: int)
     out = np.zeros((d, g))
     if d == 0 or g == 0:
         return out
+    from ..data.rle_native import rle_iou_batch
+
+    native = rle_iou_batch(det_rles, gt_rles, iscrowd, h, w)
+    if native is not None:
+        return native
     det_masks = [decode_segmentation(r, h, w) for r in det_rles]
     gt_masks = [decode_segmentation(r, h, w) for r in gt_rles]
     det_areas = [m.sum() for m in det_masks]

@@ -293,3 +293,32 @@ def test_rotated_coco_evaluator_e2e():
     )
     res = ev.evaluate()
     assert np.isclose(res["bbox"]["AP"], 100.0), res
+
+
+def test_native_rle_iou_matches_python():
+    """csrc/rle.cpp run-merge IoU == full-decode numpy IoU (crowd-aware)."""
+    from jtsm_tpu.data import rle
+    from jtsm_tpu.data.rle_native import get_lib, rle_iou_batch
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(7)
+    h, w = 120, 90
+    def rand(string):
+        m = np.zeros((h, w), bool)
+        y, x = rng.randint(0, h - 30), rng.randint(0, w - 30)
+        m[y : y + rng.randint(4, 30), x : x + rng.randint(4, 30)] = True
+        return (rle.rle_string_encode(m) if string else rle.rle_encode(m)), m
+
+    dets, dm = zip(*[rand(i % 2 == 0) for i in range(6)])
+    gts, gm = zip(*[rand(i % 2 == 1) for i in range(5)])
+    crowd = np.array([False, True, False, False, True])
+    native = rle_iou_batch(list(dets), list(gts), crowd, h, w)
+    for i in range(6):
+        for j in range(5):
+            inter = (dm[i] & gm[j]).sum()
+            denom = dm[i].sum() if crowd[j] else dm[i].sum() + gm[j].sum() - inter
+            want = inter / denom if denom else 0.0
+            assert np.isclose(native[i, j], want, atol=1e-12)
