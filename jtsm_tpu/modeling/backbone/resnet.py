@@ -59,15 +59,21 @@ class BasicBlock(nn.Module):
     out_channels: int
     stride: int = 1
     norm: str = "FrozenBN"
+    dilation: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, dilation: int = 0) -> Array:
+        # call-time dilation override: lets MRRP/Trident-style backbones run
+        # the SAME block (shared weights) at several rates (kernel shapes do
+        # not depend on dilation, so flax param sharing is exact)
+        d = dilation or self.dilation
         out = Conv2d(
             features=self.out_channels,
             kernel_size=3,
             stride=self.stride,
-            padding=1,
+            padding=d,
+            dilation=d,
             use_bias=False,
             norm=self.norm,
             activation=nn.relu,
@@ -78,7 +84,8 @@ class BasicBlock(nn.Module):
             features=self.out_channels,
             kernel_size=3,
             stride=1,
-            padding=1,
+            padding=d,
+            dilation=d,
             use_bias=False,
             norm=self.norm,
             dtype=self.dtype,
@@ -113,7 +120,8 @@ class BottleneckBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, dilation: int = 0) -> Array:
+        d = dilation or self.dilation  # call-time override (MRRP sharing)
         stride_1x1, stride_3x3 = (
             (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
         )
@@ -131,8 +139,8 @@ class BottleneckBlock(nn.Module):
             features=self.bottleneck_channels,
             kernel_size=3,
             stride=stride_3x3,
-            padding=self.dilation,
-            dilation=self.dilation,
+            padding=d,
+            dilation=d,
             groups=self.num_groups,
             use_bias=False,
             norm=self.norm,

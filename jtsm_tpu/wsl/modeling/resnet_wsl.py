@@ -77,3 +77,68 @@ def build_wsl_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> WSLResNet
 @BACKBONE_REGISTRY.register()
 def build_wsl_resnet_v2_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> WSLResNet:
     return build_wsl_resnet_backbone(cfg, input_shape)
+
+
+class MRRPWSLResNet(WSLResNet):
+    """WS-ResNet whose ``mrrp_stage`` runs as a Multi-Rate Region Pyramid:
+    ``num_branch`` weight-SHARED copies of the stage at different dilations,
+    folded into the batch dimension (B*num_branch images), matching the
+    reference resnet_wsl_mrrp.py:1033 / TridentNet semantics. Downstream WSL
+    RPN/heads unfold the branches (see rpn_wsl.py)."""
+
+    mrrp_num_branch: int = 3
+    mrrp_dilations: Sequence[int] = (1, 2, 3)
+    mrrp_stage: str = "res5"
+    mrrp_test_branch_idx: int = -1  # -1 = keep all branches at test time
+
+    def __call__(self, x: Array, train: bool = True) -> Dict[str, Array]:
+        outputs: Dict[str, Array] = {}
+        x = self.stem(x)
+        if self.freeze_at >= 1:
+            x = jax.lax.stop_gradient(x)
+        if "stem" in self.out_features:
+            outputs["stem"] = x
+
+        branched = False
+        xs = [x]
+        for i, (name, blocks) in enumerate(zip(self._stage_names, self.stages)):
+            if name == self.mrrp_stage and not branched:
+                branched = True
+                if train or self.mrrp_test_branch_idx < 0:
+                    dilations = list(self.mrrp_dilations)[: self.mrrp_num_branch]
+                else:
+                    dilations = [self.mrrp_dilations[self.mrrp_test_branch_idx]]
+                xs = [xs[0]] * len(dilations)
+                for block in blocks:
+                    xs = [block(b, dilation=d) for b, d in zip(xs, dilations)]
+            else:
+                for block in blocks:
+                    xs = [block(b) for b in xs]
+            if self.freeze_at >= i + 2:
+                xs = [jax.lax.stop_gradient(b) for b in xs]
+            if name in self.out_features:
+                outputs[name] = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+        return outputs
+
+
+@BACKBONE_REGISTRY.register()
+def build_mrrp_wsl_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> MRRPWSLResNet:
+    """Reference wsl/modeling/backbone/resnet_wsl_mrrp.py (config MODEL.MRRP.*)."""
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    return MRRPWSLResNet(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        norm=cfg.MODEL.RESNETS.NORM,
+        out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
+        mrrp_dilations=tuple(cfg.MODEL.MRRP.BRANCH_DILATIONS),
+        mrrp_stage=cfg.MODEL.MRRP.MRRP_STAGE,
+        mrrp_test_branch_idx=cfg.MODEL.MRRP.TEST_BRANCH_IDX,
+        dtype=dtype,
+    )

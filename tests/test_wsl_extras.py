@@ -189,3 +189,36 @@ def test_wsl_iter_size_gradient_accumulation():
     assert float(jnp.abs(u1["dense"]["kernel"]).max()) == 0.0
     u2, state = tx.update(g, state, params)
     assert float(jnp.abs(u2["dense"]["kernel"]).max()) > 0.0
+
+
+def test_mrrp_wsl_resnet_backbone():
+    """MRRP stage: weight-shared multi-dilation branches folded into batch
+    (reference resnet_wsl_mrrp.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl import add_wsl_config
+    from jtsm_tpu.wsl.modeling.resnet_wsl import build_mrrp_wsl_resnet_backbone
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res5"]
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.MRRP.MRRP_ON = True
+    cfg.MODEL.MRRP.MRRP_STAGE = "res5"
+    cfg.MODEL.MRRP.TEST_BRANCH_IDX = 1
+    net = build_mrrp_wsl_resnet_backbone(cfg, ShapeSpec(channels=3))
+    x = jnp.ones((2, 64, 64, 3))
+    variables = net.init(jax.random.key(0), x, train=True)
+    out = net.apply(variables, x, train=True)
+    assert out["res5"].shape[0] == 6  # 2 images x 3 branches, batch-folded
+    # branches share weights but differ numerically (different dilations)
+    b0, b1 = np.asarray(out["res5"][:2]), np.asarray(out["res5"][2:4])
+    assert not np.allclose(b0, b1)
+    # eval keeps only TEST_BRANCH_IDX
+    out_eval = net.apply(variables, x, train=False)
+    assert out_eval["res5"].shape[0] == 2
