@@ -12,3 +12,4 @@ __all__ = [
     "convert_c2_detectron_names",
     "convert_d2_state_dict_to_variables",
 ]
+from .catalog import ModelCatalog

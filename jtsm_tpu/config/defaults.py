@@ -36,6 +36,9 @@ _C.INPUT.CROP = CN()
 _C.INPUT.CROP.ENABLED = False
 _C.INPUT.CROP.TYPE = "relative_range"
 _C.INPUT.CROP.SIZE = [0.9, 0.9]
+# < 1.0 switches to RandomCrop_CategoryAreaConstraint (sem-seg crops must
+# keep category diversity; reference augmentation_impl.py:291)
+_C.INPUT.CROP.SINGLE_CATEGORY_MAX_AREA = 1.0
 _C.INPUT.FORMAT = "BGR"
 _C.INPUT.MASK_FORMAT = "polygon"
 

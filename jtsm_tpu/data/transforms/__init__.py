@@ -5,6 +5,7 @@ from .augmentation import (
     RandomBrightness,
     RandomContrast,
     RandomCrop,
+    RandomCrop_CategoryAreaConstraint,
     RandomExtent,
     RandomFlip,
     RandomLighting,

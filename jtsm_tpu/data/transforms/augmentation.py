@@ -227,6 +227,42 @@ class RandomCrop(Augmentation):
             return ch, cw
 
 
+class RandomCrop_CategoryAreaConstraint(Augmentation):
+    """RandomCrop that retries (10x) until no single sem-seg category fills
+    more than ``single_category_max_area`` of the crop (reference
+    augmentation_impl.py:291 — used by the Panoptic-DeepLab/sem-seg configs
+    to avoid single-class crops)."""
+
+    input_args = ("image", "sem_seg")
+
+    def __init__(
+        self,
+        crop_type: str,
+        crop_size,
+        single_category_max_area: float = 1.0,
+        ignored_category: int = None,
+    ):
+        self.crop_aug = RandomCrop(crop_type, crop_size)
+        self.single_category_max_area = single_category_max_area
+        self.ignored_category = ignored_category
+
+    def get_transform(self, image, sem_seg):
+        if self.single_category_max_area >= 1.0 or sem_seg is None:
+            return self.crop_aug.get_transform(image)
+        h, w = sem_seg.shape
+        for _ in range(10):
+            croph, cropw = self.crop_aug.get_crop_size((h, w))
+            y0 = np.random.randint(h - croph + 1)
+            x0 = np.random.randint(w - cropw + 1)
+            crop = sem_seg[y0 : y0 + croph, x0 : x0 + cropw]
+            labels, counts = np.unique(crop, return_counts=True)
+            if self.ignored_category is not None:
+                counts = counts[labels != self.ignored_category]
+            if len(counts) > 1 and np.max(counts) < np.sum(counts) * self.single_category_max_area:
+                break
+        return CropTransform(x0, y0, cropw, croph)
+
+
 class RandomContrast(Augmentation):
     def __init__(self, intensity_min, intensity_max):
         self.intensity_min, self.intensity_max = intensity_min, intensity_max

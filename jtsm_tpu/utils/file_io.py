@@ -23,6 +23,10 @@ _CACHE = os.path.expanduser(os.environ.get("JTSM_CACHE", "~/.cache/jtsm_tpu"))
 class PathManager:
     @staticmethod
     def get_local_path(path: str) -> str:
+        if path.startswith("catalog://"):
+            from ..checkpoint.catalog import ModelCatalog
+
+            path = ModelCatalog.get(path)
         if path.startswith(_D2_PREFIX):
             path = _D2_BASE + path[len(_D2_PREFIX) :]
         if path.startswith(("http://", "https://")):
@@ -42,7 +46,7 @@ class PathManager:
 
     @staticmethod
     def exists(path: str) -> bool:
-        if path.startswith((_D2_PREFIX, "http://", "https://")):
+        if path.startswith((_D2_PREFIX, "catalog://", "http://", "https://")):
             return True  # optimistic; resolved at open time
         return os.path.exists(path)
 
