@@ -73,7 +73,12 @@ def _axis_weights(start: Array, bin_size: Array, origin: Array, size: Array, p: 
     return w.reshape(p, s, WIN).sum(axis=1) / s  # (P, WIN)
 
 
-def _make_kernel(num_levels: int):
+def _make_kernel(num_levels: int, group: int):
+    """Each grid step handles ``group`` ROIs: their window DMAs are all in
+    flight together (per-ROI semaphore slots) and the per-ROI matmuls queue
+    back-to-back on the MXU, amortizing the scalar-core control overhead
+    that dominates at one-ROI-per-step granularity for large windows."""
+
     def kernel(lvl_ref, row_ref, ox_ref, ybkt_ref, wy_ref, wx_ref, *refs):
         level_refs = refs[:num_levels]
         out_ref = refs[num_levels]
@@ -86,23 +91,26 @@ def _make_kernel(num_levels: int):
 
         nyb = len(COL_BUCKETS)
 
-        def issue(i, buf, sem):
-            lv = lvl_ref[i]
-            ro = row_ref[i]
-            oxi = pl.multiple_of(ox_ref[i] * ALIGN, ALIGN)
-            bk = ybkt_ref[i]  # combined bucket: y * len(COL_BUCKETS) + x
-            for l in range(num_levels):
-                for ky, rows in enumerate(ROW_BUCKETS):
-                    for kx, cols in enumerate(COL_BUCKETS):
-                        @pl.when((lv == l) & (bk == ky * nyb + kx))
-                        def _(l=l, rows=rows, cols=cols):
-                            pltpu.make_async_copy(
-                                level_refs[l].at[pl.ds(ro, rows), pl.ds(oxi, cols)],
-                                buf.at[pl.ds(0, rows), pl.ds(0, cols)],
-                                sem,
-                            ).start()
+        def issue(block, buf, sem):
+            for g in range(group):
+                i = block * group + g
+                lv = lvl_ref[i]
+                ro = row_ref[i]
+                oxi = pl.multiple_of(ox_ref[i] * ALIGN, ALIGN)
+                bk = ybkt_ref[i]  # combined bucket: y * len(COL_BUCKETS) + x
+                for l in range(num_levels):
+                    for ky, rows in enumerate(ROW_BUCKETS):
+                        for kx, cols in enumerate(COL_BUCKETS):
+                            @pl.when((lv == l) & (bk == ky * nyb + kx))
+                            def _(l=l, rows=rows, cols=cols, g=g):
+                                pltpu.make_async_copy(
+                                    level_refs[l].at[pl.ds(ro, rows), pl.ds(oxi, cols)],
+                                    buf.at[g, pl.ds(0, rows), pl.ds(0, cols)],
+                                    sem.at[g],
+                                ).start()
 
-        def wait(i, buf, sem):
+        def wait(block, g, buf, sem):
+            i = block * group + g
             bk = ybkt_ref[i]
             for ky, rows in enumerate(ROW_BUCKETS):
                 for kx, cols in enumerate(COL_BUCKETS):
@@ -110,9 +118,9 @@ def _make_kernel(num_levels: int):
                     def _(rows=rows, cols=cols):
                         pltpu.make_async_copy(
                             level_refs[0].at[pl.ds(0, rows), pl.ds(0, cols)],
-                            buf.at[pl.ds(0, rows), pl.ds(0, cols)],
-                            sem,
-                        ).wait()  # size-matched wait on this slot's semaphore
+                            buf.at[g, pl.ds(0, rows), pl.ds(0, cols)],
+                            sem.at[g],
+                        ).wait()  # size-matched wait on this ROI's semaphore
 
         @pl.when(r == 0)
         def _init():
@@ -123,7 +131,7 @@ def _make_kernel(num_levels: int):
             bufs[1][...] = jnp.zeros_like(bufs[1])
             issue(0, bufs[0], sems[0])
 
-        # double-buffer: issue ROI r+1's window while ROI r is in flight
+        # double-buffer: issue block r+1's windows while block r is in flight
         @pl.when(r + 1 < n)
         def _prefetch():
             for s in range(2):
@@ -131,11 +139,10 @@ def _make_kernel(num_levels: int):
                 def _(s=s):
                     issue(r + 1, bufs[1 - s], sems[1 - s])
 
-        wy = wy_ref[0]  # (P, WIN)
-        wx = wx_ref[0]  # (P, WIN)
-
-        def compute(buf):
-            win = buf[:, :, :]  # (WIN, WIN, C)
+        def compute(g, buf):
+            win = buf[g]  # (WIN, WIN, C)
+            wy = wy_ref[g]  # (P, WIN)
+            wx = wx_ref[g]  # (P, WIN)
             # x-contraction: tmp[q, i, c] = sum_j wx[q, j] win[i, j, c]
             tmp = jax.lax.dot_general(
                 wx.astype(jnp.float32),
@@ -152,15 +159,22 @@ def _make_kernel(num_levels: int):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            out_ref[0] = out.astype(out_ref.dtype)
+            out_ref[g] = out.astype(out_ref.dtype)
 
         for s in range(2):
             @pl.when(slot == s)
             def _(s=s):
-                wait(r, bufs[s], sems[s])
-                compute(bufs[s])
+                for g in range(group):
+                    wait(r, g, bufs[s], sems[s])
+                    compute(g, bufs[s])
 
     return kernel
+
+
+# ROIs per grid step (see _make_kernel). 8 windows x2 slots at C=256 bf16 is
+# ~13 MB of VMEM — comfortably inside the limit. Measured optimum among
+# {4, 8, 16} on the dev chip (16 regresses: VMEM pressure hurts overlap).
+GROUP = 8
 
 
 @partial(jax.jit, static_argnames=("output_size",))
@@ -170,32 +184,44 @@ def _pallas_call(levels3d, lvl_idx, row0, ox_div, ybkt, wy, wx, output_size: int
     p = output_size
     num_levels = len(levels3d)
 
+    # pad the ROI axis to a multiple of GROUP (degenerate zero-weight ROIs)
+    rp = ((r + GROUP - 1) // GROUP) * GROUP
+    if rp != r:
+        pad = rp - r
+        lvl_idx = jnp.pad(lvl_idx, (0, pad))
+        row0 = jnp.pad(row0, (0, pad))
+        ox_div = jnp.pad(ox_div, (0, pad))
+        ybkt = jnp.pad(ybkt, (0, pad))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # lvl, row0, ox_div, ybkt
-        grid=(r,),
+        grid=(rp // GROUP,),
         in_specs=[
-            pl.BlockSpec((1, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec(
-            (1, p, p, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (GROUP, p, p, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WIN, WIN, c), levels3d[0].dtype),
-            pltpu.VMEM((WIN, WIN, c), levels3d[0].dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((GROUP, WIN, WIN, c), levels3d[0].dtype),
+            pltpu.VMEM((GROUP, WIN, WIN, c), levels3d[0].dtype),
+            pltpu.SemaphoreType.DMA((GROUP,)),
+            pltpu.SemaphoreType.DMA((GROUP,)),
         ],
     )
-    return pl.pallas_call(
-        _make_kernel(num_levels),
+    out = pl.pallas_call(
+        _make_kernel(num_levels, GROUP),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, p, p, c), levels3d[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((rp, p, p, c), levels3d[0].dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(lvl_idx, row0, ox_div, ybkt, wy, wx, *levels3d)
+    return out[:r] if rp != r else out
 
 
 def _bumped_levels(features, spatial_scales, boxes, levels):
