@@ -72,8 +72,11 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     t0 = time.time()
-    for i in range(2, 2 + iters):
-        val = float(fwd(variables, i))
+    # async dispatch keeps the device queue full (steady-state serving
+    # throughput); the scalar fetch at the end syncs the whole stream
+    vals = [fwd(variables, i) for i in range(2, 2 + iters)]
+    val = float(vals[-1])
+    jax.block_until_ready(vals)
     dt = time.time() - t0
     imgs_per_sec = b * iters / dt
     print(
