@@ -43,8 +43,10 @@ ALIGN = 8  # x-origin alignment required by the sublane tiling
 # savings, zero numerics change (axis weights are zero beyond the span;
 # stale cells in the scratch are finite feature values, zeroed at step 0).
 ROW_BUCKETS = (16, 24, 32, WIN)
-# x stays full width: narrower columns shrink the contiguous burst per row
-# and measured slower despite the traffic reduction (strided-DMA overhead)
+# x stays full width. The per-ROI window DMA is ROW-DESCRIPTOR-bound on
+# this chip (~160ns per strided row chunk), not byte-bound: narrowing the
+# columns (even one extra {24, WIN} bucket) keeps the same descriptor count
+# with less payload per descriptor and measured 16% SLOWER end-to-end.
 COL_BUCKETS = (WIN,)
 
 
