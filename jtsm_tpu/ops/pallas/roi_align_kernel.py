@@ -355,6 +355,11 @@ def _fwd(features, spatial_scales, boxes, batch_indices, levels, output_size, sa
 
 
 def _bwd(spatial_scales, output_size, sampling_ratio, residuals, g):
+    """Backward without re-running the forward: ROIAlign is LINEAR in the
+    features (boxes fix the sample indices/weights), so the exact cotangent
+    is ``jax.linear_transpose`` of the XLA formulation — XLA emits its fused
+    scatter-add directly, and the expensive gather forward that a plain
+    ``jax.vjp`` would execute just to build residuals never runs."""
     from ..roi_align import roi_align_multilevel
 
     features, boxes, batch_indices, levels = residuals
@@ -372,8 +377,11 @@ def _bwd(spatial_scales, output_size, sampling_ratio, residuals, g):
             True,
         )
 
-    _, vjp = jax.vjp(ref, list(features))
-    (dfeats,) = vjp(g.astype(features[0].dtype))
+    shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in features]
+    transpose = jax.linear_transpose(ref, list(shapes))
+    (dfeats,) = transpose(g.astype(features[0].dtype))
+    if isinstance(features, tuple):
+        dfeats = tuple(dfeats)
     zeros_like = lambda x: jnp.zeros_like(x)
     return (
         dfeats,
