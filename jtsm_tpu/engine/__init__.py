@@ -6,6 +6,7 @@ from .defaults import (
 )
 from .hooks import HookBase
 from .launch import launch
+from .project_cli import project_cli
 from .train_loop import TrainState, create_train_state, make_train_step
 from .trainer import SimpleTrainer, TrainerBase
 
@@ -16,6 +17,7 @@ __all__ = [
     "default_setup",
     "HookBase",
     "launch",
+    "project_cli",
     "TrainState",
     "create_train_state",
     "make_train_step",

@@ -155,6 +155,11 @@ class RPN(nn.Module):
         train: bool = False,
     ):
         feats = [features[f] for f in self.in_features]
+        # subclass hook: TridentRPN tiles sizes/GT when branches are folded
+        # into the feature batch (reference trident_rpn.py duplicates images)
+        images_sizes, gt_boxes, gt_valid = self._adapt_inputs(
+            feats[0].shape[0], images_sizes, gt_boxes, gt_valid
+        )
         logits_per_level, deltas_per_level = self.head(feats)
 
         grid_sizes = [(f.shape[1], f.shape[2]) for f in feats]
@@ -188,6 +193,9 @@ class RPN(nn.Module):
             anchors, logits_flat, deltas_flat, images_sizes, train
         )
         return proposals, prop_scores, losses
+
+    def _adapt_inputs(self, feature_batch, image_sizes, gt_boxes, gt_valid):
+        return image_sizes, gt_boxes, gt_valid
 
     def _losses(self, rng, anchors, logits, deltas, gt_boxes, gt_valid):
         """anchors (N, 4); logits (B, N); deltas (B, N, 4)."""

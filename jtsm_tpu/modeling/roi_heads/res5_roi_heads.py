@@ -157,6 +157,10 @@ class Res5ROIHeads(nn.Module):
     ):
         feats = [features[f] for f in self.in_features]
         b = proposals.shape[0]
+        # subclass hooks: TridentRes5ROIHeads tiles sizes/targets over the
+        # branch-folded batch and merges branch detections at inference
+        orig_b = image_sizes.shape[0]
+        image_sizes, targets = self._adapt_inputs(b, image_sizes, targets)
 
         if train:
             assert targets is not None
@@ -281,4 +285,10 @@ class Res5ROIHeads(nn.Module):
             mask_logits = self.mask_head(res5_m)
             probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
             detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
-        return detections, {}
+        return self._merge_detections(detections, orig_b), {}
+
+    def _adapt_inputs(self, batch, image_sizes, targets):
+        return image_sizes, targets
+
+    def _merge_detections(self, detections, orig_batch):
+        return detections

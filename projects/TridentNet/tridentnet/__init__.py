@@ -9,5 +9,13 @@ the branches as extra batch entries.
 
 from .config import add_tridentnet_config
 from .trident_backbone import TridentResNet, build_trident_resnet_backbone
+from .trident_rcnn import TridentRes5ROIHeads, TridentRPN, merge_branch_detections
 
-__all__ = ["add_tridentnet_config", "TridentResNet", "build_trident_resnet_backbone"]
+__all__ = [
+    "add_tridentnet_config",
+    "TridentResNet",
+    "build_trident_resnet_backbone",
+    "TridentRPN",
+    "TridentRes5ROIHeads",
+    "merge_branch_detections",
+]

@@ -90,6 +90,10 @@ class TridentBlock(nn.Module):
 
         mids = [conv1(x) for x in inputs]
         mids = mrrp(mids, train=train)
+        if len(mids) > len(inputs):
+            # MRRPConv expanded 1 -> num_branch (test_branch_idx == -1 at
+            # inference): replicate the residual input per branch too
+            inputs = list(inputs) * (len(mids) // len(inputs))
         outs = []
         for x_in, m in zip(inputs, mids):
             y = nn.relu(norm2(m))

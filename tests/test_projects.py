@@ -366,3 +366,57 @@ def test_hrnet_hrfpn_backbone():
     # eval mode without mutable batch_stats also works (running stats)
     out2 = fpn.apply(variables, x)
     assert out2["p4"].shape == out["p4"].shape
+
+
+def _trident_tiny_cfg(test_branch_idx):
+    from tridentnet import add_tridentnet_config
+
+    import tridentnet.trident_rcnn  # noqa: F401 (registers RPN/heads)
+
+    cfg = get_cfg()
+    add_tridentnet_config(cfg)
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.NUM_GROUPS = 1
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 16
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.BACKBONE.NAME = "build_trident_resnet_backbone"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res4"]
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "TridentRPN"
+    cfg.MODEL.RPN.IN_FEATURES = ["res4"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64]]
+    cfg.MODEL.ROI_HEADS.NAME = "TridentRes5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.TRIDENT.TEST_BRANCH_IDX = test_branch_idx
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    return cfg
+
+
+@pytest.mark.parametrize("test_branch_idx", [1, -1])
+def test_tridentnet_e2e(test_branch_idx):
+    """Full TridentNet fwd (train+eval): branch-folded batch through
+    TridentRPN/TridentRes5ROIHeads; -1 exercises all-branch merge
+    (reference trident_rcnn.py merge_branch_instances)."""
+    from tests.modeling.test_meta_archs import _batch
+
+    cfg = _trident_tiny_cfg(test_branch_idx)
+    model = build_model(cfg)
+    batch = _batch(b=2, h=64, w=64)
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
+    variables = model.init(rngs, batch, train=True)
+    losses = model.apply(
+        variables, batch, train=True, rngs={"sampling": jax.random.key(2)}
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    out = model.apply(variables, batch, train=False)
+    assert out["boxes"].shape == (2, 10, 4)
+    assert out["scores"].shape == (2, 10)
