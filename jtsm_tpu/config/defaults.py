@@ -235,6 +235,8 @@ _C.SOLVER = CN()
 _C.SOLVER.MAX_ITER = 40000
 _C.SOLVER.BASE_LR = 0.001
 _C.SOLVER.MOMENTUM = 0.9
+# "SGD" or "ADAM" (Panoptic-DeepLab uses ADAM)
+_C.SOLVER.OPTIMIZER = "SGD"
 _C.SOLVER.NESTEROV = False
 _C.SOLVER.WEIGHT_DECAY = 0.0001
 _C.SOLVER.WEIGHT_DECAY_NORM = 0.0

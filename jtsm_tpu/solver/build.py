@@ -87,7 +87,8 @@ def _param_label_fn(path: tuple, leaf) -> str:
 
 
 def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
-    """SGD + momentum with detectron2's per-group lr/wd rules."""
+    """SGD + momentum (or Adam, per SOLVER.OPTIMIZER — Panoptic-DeepLab's
+    build_solver.py uses ADAM) with detectron2's per-group lr/wd rules."""
     schedule = build_lr_schedule(cfg)
     momentum = cfg.SOLVER.MOMENTUM
     nesterov = cfg.SOLVER.NESTEROV
@@ -95,6 +96,7 @@ def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
     wd_norm = cfg.SOLVER.WEIGHT_DECAY_NORM
     wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS
     bias_lr_factor = cfg.SOLVER.BIAS_LR_FACTOR
+    optimizer_name = getattr(cfg.SOLVER, "OPTIMIZER", "SGD").upper()
 
     labels = jax.tree_util.tree_map_with_path(_param_label_fn, params)
 
@@ -102,7 +104,10 @@ def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
         chain = []
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+        if optimizer_name == "ADAM":
+            chain.append(optax.scale_by_adam())
+        else:
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
         chain.append(
             optax.scale_by_schedule(lambda step: -schedule(step) * lr_factor)
         )

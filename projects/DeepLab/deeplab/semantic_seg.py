@@ -102,6 +102,7 @@ class DeepLabV3PlusHead(nn.Module):
     norm: str = "GN"
     loss_weight: float = 1.0
     loss_type: str = "hard_pixel_mining"
+    loss_top_k: float = 0.2
     ignore_value: int = 255
     dtype: Any = jnp.float32
 
@@ -116,6 +117,12 @@ class DeepLabV3PlusHead(nn.Module):
             common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
             **base,
         )
+
+    def _head_transform(self, x):
+        """Extra transform between decoder and predictor — identity here;
+        Panoptic-DeepLab's sem-seg head overrides it (reference
+        panoptic_deeplab/panoptic_seg.py:213 adds a HEAD_CHANNELS conv)."""
+        return x
 
     @nn.compact
     def __call__(self, features, targets=None, train: bool = False):
@@ -153,6 +160,7 @@ class DeepLabV3PlusHead(nn.Module):
                 name=f"fuse_{f}",
             )(x)
 
+        x = self._head_transform(x)
         logits = Conv2d(
             features=self.num_classes,
             kernel_size=1,
@@ -166,7 +174,7 @@ class DeepLabV3PlusHead(nn.Module):
             stride = self.common_stride
             t = targets[:, ::stride, ::stride][:, : logits.shape[1], : logits.shape[2]]
             if self.loss_type == "hard_pixel_mining":
-                loss = DeepLabCE(logits, t, self.ignore_value)
+                loss = DeepLabCE(logits, t, self.ignore_value, self.loss_top_k)
             else:
                 from jtsm_tpu.ops.losses import softmax_cross_entropy
 

@@ -8,6 +8,23 @@ plumbing + dataset registration (densepose/data.py), GPS-based evaluation
 
 from .config import add_densepose_config, add_hrnet_config
 from .hrnet import HRFPN, HRNet, build_hrfpn_backbone, build_pose_hrnet_backbone
+from .modeling.confidence import (
+    DensePoseConfidenceModelConfig,
+    DensePoseUVConfidenceType,
+)
+from .modeling.cse import Embedder, VertexDirectEmbedder, VertexFeatureEmbedder
+from .modeling.heads import (
+    ROI_DENSEPOSE_HEAD_REGISTRY,
+    DensePoseDeepLabHead,
+    build_densepose_head,
+)
+from .modeling.losses import DENSEPOSE_LOSS_REGISTRY, build_densepose_losses
+from .modeling.predictors import (
+    DENSEPOSE_PREDICTOR_REGISTRY,
+    DensePoseChartPredictor,
+    DensePoseChartWithConfidencePredictor,
+    build_densepose_predictor,
+)
 from .roi_heads import DensePoseROIHeads, DensePoseV1ConvXHead
 from .vis import DensePoseOutputsExtractor, DensePoseResultsVisualizer
 
@@ -16,6 +33,20 @@ __all__ = [
     "add_hrnet_config",
     "DensePoseROIHeads",
     "DensePoseV1ConvXHead",
+    "DensePoseDeepLabHead",
+    "DensePoseChartPredictor",
+    "DensePoseChartWithConfidencePredictor",
+    "DensePoseConfidenceModelConfig",
+    "DensePoseUVConfidenceType",
+    "Embedder",
+    "VertexDirectEmbedder",
+    "VertexFeatureEmbedder",
+    "ROI_DENSEPOSE_HEAD_REGISTRY",
+    "DENSEPOSE_PREDICTOR_REGISTRY",
+    "DENSEPOSE_LOSS_REGISTRY",
+    "build_densepose_head",
+    "build_densepose_predictor",
+    "build_densepose_losses",
     "HRNet",
     "HRFPN",
     "build_pose_hrnet_backbone",

@@ -3,6 +3,18 @@ from jtsm_tpu.config import CfgNode as CN
 
 def add_panoptic_deeplab_config(cfg):
     """Reference: projects/Panoptic-DeepLab/panoptic_deeplab/config.py."""
+    from deeplab import add_deeplab_config
+
+    add_deeplab_config(cfg)
+    # target generation (reference config.py: INPUT.GAUSSIAN_SIGMA etc.)
+    cfg.INPUT.GAUSSIAN_SIGMA = 10
+    cfg.INPUT.IGNORE_STUFF_IN_OFFSET = True
+    cfg.INPUT.SMALL_INSTANCE_AREA = 4096
+    cfg.INPUT.SMALL_INSTANCE_WEIGHT = 3
+    cfg.INPUT.IGNORE_CROWD_IN_SEMANTIC = False
+    # extra conv before the sem-seg predictor + hard-pixel-mining top-k
+    cfg.MODEL.SEM_SEG_HEAD.HEAD_CHANNELS = 256
+    cfg.MODEL.SEM_SEG_HEAD.LOSS_TOP_K = 0.2
     cfg.MODEL.INS_EMBED_HEAD = CN()
     cfg.MODEL.INS_EMBED_HEAD.NAME = "PanopticDeepLabInsEmbedHead"
     cfg.MODEL.INS_EMBED_HEAD.IN_FEATURES = ["res2", "res3", "res5"]

@@ -14,13 +14,21 @@ from jtsm_tpu.config import CfgNode
 from jtsm_tpu.layers import ASPP, Conv2d, ShapeSpec, interpolate_bilinear
 from jtsm_tpu.modeling.backbone.build import build_backbone
 from jtsm_tpu.modeling.meta_arch.build import META_ARCH_REGISTRY
-from jtsm_tpu.modeling.meta_arch.semantic_seg import build_sem_seg_head
+from jtsm_tpu.modeling.meta_arch.semantic_seg import (
+    SEM_SEG_HEADS_REGISTRY,
+    build_sem_seg_head,
+)
+from jtsm_tpu.utils.registry import Registry
 
 Array = jax.Array
 
+INS_EMBED_BRANCHES_REGISTRY = Registry("INS_EMBED_BRANCHES")
 
-class InsEmbedHead(nn.Module):
-    """Decoder producing a 1-channel center heatmap + 2-channel offsets."""
+
+@INS_EMBED_BRANCHES_REGISTRY.register()
+class PanopticDeepLabInsEmbedHead(nn.Module):
+    """Decoder producing a 1-channel center heatmap + 2-channel offsets
+    (reference panoptic_seg.py:355 ``PanopticDeepLabInsEmbedHead``)."""
 
     in_features: Sequence[str]
     project_features: Sequence[str]
@@ -94,6 +102,53 @@ class InsEmbedHead(nn.Module):
         return center[..., 0], offset
 
 
+# backwards-compat alias (earlier name in this repo)
+InsEmbedHead = PanopticDeepLabInsEmbedHead
+
+
+def _import_deeplab_v3plus():
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "DeepLab")
+    )
+    from deeplab.semantic_seg import DeepLabV3PlusHead
+
+    return DeepLabV3PlusHead
+
+
+_DeepLabV3PlusHead = _import_deeplab_v3plus()
+
+
+@SEM_SEG_HEADS_REGISTRY.register()
+class PanopticDeepLabSemSegHead(_DeepLabV3PlusHead):
+    """DeepLabV3+ decoder with an extra HEAD_CHANNELS conv before the
+    predictor and top-k hard-pixel-mining CE (reference
+    panoptic_deeplab/panoptic_seg.py:213)."""
+
+    head_channels: int = 256
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape):
+        ret = _DeepLabV3PlusHead.from_config(cfg, input_shape)
+        ret["head_channels"] = cfg.MODEL.SEM_SEG_HEAD.HEAD_CHANNELS
+        ret["loss_top_k"] = cfg.MODEL.SEM_SEG_HEAD.LOSS_TOP_K
+        return ret
+
+    def _head_transform(self, x):
+        return Conv2d(
+            features=self.head_channels,
+            kernel_size=3,
+            padding=1,
+            use_bias=not self.norm,
+            norm=self.norm,
+            activation=nn.relu,
+            dtype=self.dtype,
+            name="head_conv",
+        )(x)
+
+
 @META_ARCH_REGISTRY.register()
 class PanopticDeepLab(nn.Module):
     backbone: nn.Module
@@ -118,7 +173,7 @@ class PanopticDeepLab(nn.Module):
         return dict(
             backbone=backbone,
             sem_seg_head=build_sem_seg_head(cfg, shapes),
-            ins_embed_head=InsEmbedHead(
+            ins_embed_head=INS_EMBED_BRANCHES_REGISTRY.get(ih.NAME)(
                 in_features=tuple(ih.IN_FEATURES),
                 project_features=tuple(ih.PROJECT_FEATURES),
                 project_channels=tuple(ih.PROJECT_CHANNELS),

@@ -10,8 +10,12 @@ from .point_features import (
 )
 from .point_head import StandardPointHead
 from .roi_heads import PointRendROIHeads
+from .semantic_seg import PointRendSemSegHead
+from .color_augmentation import ColorAugSSDTransform
 
 __all__ = [
+    "PointRendSemSegHead",
+    "ColorAugSSDTransform",
     "add_pointrend_config",
     "point_sample",
     "generate_regular_grid_point_coords",

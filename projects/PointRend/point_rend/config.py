@@ -3,6 +3,8 @@ from jtsm_tpu.config import CfgNode as CN
 
 def add_pointrend_config(cfg):
     """Reference: projects/PointRend/point_rend/config.py."""
+    # SSD color augmentation for sem-seg training (reference config.py:15)
+    cfg.INPUT.COLOR_AUG_SSD = False
     cfg.MODEL.ROI_MASK_HEAD.FC_DIM = 1024
     cfg.MODEL.ROI_MASK_HEAD.NUM_FC = 0
     cfg.MODEL.ROI_MASK_HEAD.OUTPUT_SIDE_RESOLUTION = 7
@@ -22,3 +24,4 @@ def add_pointrend_config(cfg):
     cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 28 * 28
     cfg.MODEL.POINT_HEAD.CLS_AGNOSTIC_MASK = False
     cfg.MODEL.POINT_HEAD.COARSE_PRED_EACH_LAYER = True
+    cfg.MODEL.POINT_HEAD.COARSE_SEM_SEG_HEAD_NAME = "SemSegFPNHead"

@@ -82,13 +82,22 @@ def get_uncertain_point_coords_on_grid(
     return idx, coords
 
 
+def calculate_uncertainty_sem_seg(point_logits: Array) -> Array:
+    """Top-1 minus top-2 logit difference, negated (reference
+    semantic_seg.py:19 ``calculate_uncertainty``): most uncertain where the
+    two best classes are closest. point_logits (N, P, K) -> (N, P)."""
+    top2 = jax.lax.top_k(point_logits, 2)[0]
+    return top2[..., 1] - top2[..., 0]
+
+
 def get_uncertain_point_coords_with_randomness(
     rng: Array,
     coarse_logits: Array,  # (N, S, S, K)
-    classes: Array,  # (N,)
+    classes: Array,  # (N,) or None when uncertainty_fn is given
     num_points: int,
     oversample_ratio: float,
     importance_sample_ratio: float,
+    uncertainty_fn=None,
 ) -> Array:
     """Training-time point selection (reference :72): oversample random
     points, keep the most uncertain fraction, fill the rest randomly."""
@@ -97,7 +106,10 @@ def get_uncertain_point_coords_with_randomness(
     r1, r2 = jax.random.split(rng)
     point_coords = jax.random.uniform(r1, (n, num_sampled, 2))
     point_logits = point_sample(coarse_logits, point_coords)
-    uncert = calculate_uncertainty(point_logits, classes)  # (N, num_sampled)
+    if uncertainty_fn is not None:
+        uncert = uncertainty_fn(point_logits)  # (N, num_sampled)
+    else:
+        uncert = calculate_uncertainty(point_logits, classes)  # (N, num_sampled)
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain
     _, idx = jax.lax.top_k(uncert, num_uncertain)

@@ -251,7 +251,7 @@ def test_densepose_roi_heads_e2e():
         assert k in losses and np.isfinite(float(losses[k])), (k, losses.get(k))
     out = model.apply(variables, batch, train=False)
     d = out["boxes"].shape[1]
-    s2 = 2 * cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION
+    s2 = 4 * cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION  # deconv x2 then UP_SCALE x2
     assert out["dp_patch"].shape == (b, d, s2, s2)
     assert out["dp_u"].shape == (b, d, s2, s2)
     assert int(out["dp_patch"].max()) <= 24 and int(out["dp_patch"].min()) >= 0
@@ -420,3 +420,312 @@ def test_tridentnet_e2e(test_branch_idx):
     out = model.apply(variables, batch, train=False)
     assert out["boxes"].shape == (2, 10, 4)
     assert out["scores"].shape == (2, 10)
+
+
+def test_pointrend_semseg_head():
+    """PointRendSemSegHead: coarse + point loss at train, subdivision
+    refine at inference (reference point_rend/semantic_seg.py:36)."""
+    from point_rend import add_pointrend_config
+
+    import point_rend.semantic_seg  # noqa: F401 (registers)
+
+    cfg = get_cfg()
+    add_pointrend_config(cfg)
+    cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "PointRendSemSegHead"
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.MODEL.POINT_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS = 32
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 64
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 64, 64
+    batch = {
+        "image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "gt_sem_seg": jnp.asarray(rng.randint(0, 4, (b, h, w)), jnp.int32),
+    }
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
+    v = model.init(rngs, batch, train=True)
+    losses = model.apply(v, batch, train=True, rngs={"sampling": jax.random.key(2)})
+    assert "loss_sem_seg" in losses and "loss_sem_seg_point" in losses
+    for k, x in losses.items():
+        assert np.isfinite(float(x)), (k, x)
+    out = model.apply(v, batch, train=False)
+    assert out["sem_seg"].shape == (b, h, w)
+
+
+def test_project_configs_load():
+    """Every shipped project yaml merges cleanly after its add_*_config and
+    its registered names resolve (mirrors the reference's per-project
+    configs/ trees)."""
+    import glob
+    import os
+
+    from deeplab import add_deeplab_config
+    from panoptic_deeplab import add_panoptic_deeplab_config
+    from point_rend import add_pointrend_config
+    from tensormask import add_tensormask_config
+    from tridentnet import add_tridentnet_config
+
+    import point_rend.roi_heads  # noqa: F401
+    import point_rend.semantic_seg  # noqa: F401
+    import tensormask.arch  # noqa: F401
+    import tridentnet.trident_rcnn  # noqa: F401
+
+    sys.path.insert(0, "projects/DensePose")
+    import densepose.roi_heads  # noqa: F401
+    from densepose import add_densepose_config
+
+    from jtsm_tpu.modeling.meta_arch.build import META_ARCH_REGISTRY
+    from jtsm_tpu.modeling.meta_arch.semantic_seg import SEM_SEG_HEADS_REGISTRY
+    from jtsm_tpu.modeling.backbone.build import BACKBONE_REGISTRY
+    from jtsm_tpu.modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+
+    adders = {
+        "TridentNet": add_tridentnet_config,
+        "DeepLab": add_deeplab_config,
+        "PointRend": add_pointrend_config,
+        "Panoptic-DeepLab": add_panoptic_deeplab_config,
+        "TensorMask": add_tensormask_config,
+        "DensePose": add_densepose_config,
+    }
+    n = 0
+    for proj, adder in adders.items():
+        for path in glob.glob(f"projects/{proj}/configs/**/*.yaml", recursive=True):
+            cfg = get_cfg()
+            adder(cfg)
+            cfg.merge_from_file(path)
+            # registered component names must resolve
+            META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)
+            if cfg.MODEL.BACKBONE.NAME != "build_resnet_backbone":
+                BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)
+            if cfg.MODEL.META_ARCHITECTURE in ("SemanticSegmentor", "PanopticDeepLab"):
+                SEM_SEG_HEADS_REGISTRY.get(cfg.MODEL.SEM_SEG_HEAD.NAME)
+            if cfg.MODEL.META_ARCHITECTURE == "GeneralizedRCNN":
+                ROI_HEADS_REGISTRY.get(cfg.MODEL.ROI_HEADS.NAME)
+            n += 1
+    assert n >= 20, n
+
+
+def test_densepose_confidence_predictor_and_loss():
+    """Confidence channels + Gaussian NLL UV losses (reference
+    modeling/predictors/chart_confidence.py, losses/chart_with_confidences.py)."""
+    from densepose import add_densepose_config
+    from densepose.modeling import (
+        DensePoseChartWithConfidencePredictor,
+        build_densepose_losses,
+        iid_isotropic_gaussian_uv_nll,
+        indep_anisotropic_gaussian_uv_nll,
+    )
+
+    pred = DensePoseChartWithConfidencePredictor(
+        num_patches=24, uv_enabled=True, uv_type="indep_aniso",
+        segm_enabled=True, dtype=jnp.float32,
+    )
+    x = jnp.zeros((2, 7, 7, 16))
+    v = pred.init(jax.random.key(0), x)
+    out = pred.apply(v, x)
+    assert out["sigma_2"].shape == (2, 28, 28, 25)
+    assert out["kappa_u"].shape == (2, 28, 28, 25)
+    assert out["fine_segm_confidence"].shape == (2, 28, 28, 1)
+
+    # NLL sanity: zero residual scores lower than large residual
+    z = jnp.zeros((4,))
+    lo = iid_isotropic_gaussian_uv_nll(z, z, z, z, z, 0.01)
+    hi = iid_isotropic_gaussian_uv_nll(z + 1, z, z, z, z, 0.01)
+    assert float(lo.sum()) < float(hi.sum())
+    lo2 = indep_anisotropic_gaussian_uv_nll(z, z, z, z, z, z, z, 0.01)
+    assert np.all(np.isfinite(np.asarray(lo2)))
+
+    # registry-built loss with confidence enabled produces loss_densepose_UV
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.ENABLED = True
+    loss_fn = build_densepose_losses(cfg)
+    n, p = 3, 5
+    outputs = {
+        k: jnp.zeros((n, 14, 14, 25)) for k in ("fine_segm", "u", "v", "sigma_2")
+    }
+    targets = {
+        "pt_coords": jnp.full((n, p, 2), 0.5),
+        "pt_patch": jnp.ones((n, p), jnp.int32),
+        "pt_u": jnp.zeros((n, p)),
+        "pt_v": jnp.zeros((n, p)),
+        "pt_valid": jnp.ones((n, p), bool),
+    }
+    losses = loss_fn(outputs, targets, jnp.ones((n,)))
+    assert "loss_densepose_UV" in losses and "loss_densepose_I" in losses
+    assert all(np.isfinite(float(x)) for x in losses.values())
+
+
+def test_densepose_deeplab_head():
+    """DensePoseDeepLabHead: ASPP + nonlocal + stacked convs (reference
+    modeling/roi_heads/deeplab.py)."""
+    from densepose import add_densepose_config, build_densepose_head
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseDeepLabHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 32
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NONLOCAL_ON = 1
+    head = build_densepose_head(cfg)
+    x = jnp.ones((2, 14, 14, 64))
+    v = head.init(jax.random.key(0), x)
+    y = head.apply(v, x)
+    assert y.shape == (2, 14, 14, 32)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_densepose_cse():
+    """CSE: vertex embedders + embedding predictor + embed losses (reference
+    modeling/cse/, predictors/cse.py, losses/{embed,soft_embed}.py)."""
+    from densepose.modeling.cse import (
+        DensePoseEmbeddingPredictor,
+        Embedder,
+        VertexDirectEmbedder,
+        embedding_loss,
+        normalize_embeddings,
+        soft_embedding_loss,
+    )
+
+    emb = VertexDirectEmbedder(num_vertices=10, embed_dim=4)
+    v = emb.init(jax.random.key(0))
+    e = emb.apply(v)
+    assert e.shape == (10, 4)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(e), axis=1), 1.0, atol=1e-4)
+
+    embedder = Embedder(
+        mesh_specs={
+            "smpl_27554": {"TYPE": "vertex_direct", "NUM_VERTICES": 12,
+                           "FEATURE_DIM": 0, "FEATURES_TRAINABLE": False},
+            "cat_5001": {"TYPE": "vertex_feature", "NUM_VERTICES": 8,
+                         "FEATURE_DIM": 6, "FEATURES_TRAINABLE": False},
+        },
+        embed_dim=4,
+    )
+    ve = embedder.init(jax.random.key(1))
+    e1 = embedder.apply(ve, "smpl_27554")
+    e2 = embedder.apply(ve, "cat_5001")
+    assert e1.shape == (12, 4) and e2.shape == (8, 4)
+
+    pred = DensePoseEmbeddingPredictor(num_coarse_segm=2, embed_dim=4, dtype=jnp.float32)
+    pv = pred.init(jax.random.key(2), jnp.zeros((2, 7, 7, 16)))
+    out = pred.apply(pv, jnp.zeros((2, 7, 7, 16)))
+    assert out["embedding"].shape == (2, 28, 28, 4)
+    assert out["coarse_segm"].shape == (2, 28, 28, 2)
+
+    # embedding loss: matching embeddings beat mismatched ones
+    mesh = np.asarray(jax.random.normal(jax.random.key(3), (8, 4)))
+    mesh = np.asarray(normalize_embeddings(jnp.asarray(mesh)))
+    ids = jnp.arange(6) % 8
+    good = jnp.asarray(mesh)[ids] * 10.0
+    bad = -good
+    valid = jnp.ones((6,), bool)
+    l_good = embedding_loss(good, ids, valid, jnp.asarray(mesh), 0.05)
+    l_bad = embedding_loss(bad, ids, valid, jnp.asarray(mesh), 0.05)
+    assert float(l_good) < float(l_bad)
+
+    gd = jnp.asarray(np.abs(np.arange(8)[:, None] - np.arange(8)[None, :]), jnp.float32)
+    l_soft = soft_embedding_loss(good, ids, valid, jnp.asarray(mesh), gd, 0.05, 4.0)
+    assert np.isfinite(float(l_soft))
+
+
+def test_densepose_cse_e2e():
+    """CSE pipeline end-to-end: embedding predictor + embedder in the ROI
+    heads, DensePoseCseLoss on vertex-id targets (reference losses/cse.py)."""
+    from densepose import add_densepose_config
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.merge_from_file("projects/DensePose/configs/cse/Base-DensePose-RCNN-FPN.yaml")
+    cfg.MODEL.WEIGHTS = ""
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS["smpl_27554"]["NUM_VERTICES"] = 32
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS["smpl_27554"]["FEATURE_DIM"] = 8
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64], [128], [256]]
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 1
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 16
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.FG_CAPACITY = 8
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    b, g, p = 2, 3, 6
+    batch = {
+        "image": jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32) * 255),
+        "image_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([rng.rand(b, g, 2) * 20, 25 + rng.rand(b, g, 2) * 25], -1).astype(
+                np.float32
+            )
+        ),
+        "gt_classes": jnp.zeros((b, g), jnp.int32),
+        "gt_valid": jnp.ones((b, g), bool),
+        "gt_dp_coords": jnp.asarray(rng.rand(b, g, p, 2), jnp.float32),
+        "gt_dp_valid": jnp.ones((b, g, p), bool),
+        "gt_dp_vertex": jnp.asarray(rng.randint(0, 32, (b, g, p)), jnp.int32),
+        "gt_dp_mesh": jnp.zeros((b, g), jnp.int32),
+    }
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
+    variables = model.init(rngs, batch, train=True)
+    losses = model.apply(
+        variables, batch, train=True, rngs={"sampling": jax.random.key(2)}
+    )
+    assert "loss_densepose_E" in losses
+    assert np.isfinite(float(losses["loss_densepose_E"]))
+    out = model.apply(variables, batch, train=False)
+    assert "dp_embedding" in out and out["dp_embedding"].shape[-1] == 4
+
+
+def test_densepose_configs_load():
+    """All shipped DensePose yamls merge + their head/predictor/loss names
+    resolve in the registries."""
+    import glob
+
+    from densepose import add_densepose_config
+    from densepose.modeling.heads import ROI_DENSEPOSE_HEAD_REGISTRY
+    from densepose.modeling.losses import DENSEPOSE_LOSS_REGISTRY
+    from densepose.modeling.predictors import DENSEPOSE_PREDICTOR_REGISTRY
+
+    import densepose.modeling.cse  # noqa: F401 (registers CSE pieces)
+
+    n = 0
+    for path in glob.glob("projects/DensePose/configs/**/*.yaml", recursive=True):
+        cfg = get_cfg()
+        add_densepose_config(cfg)
+        cfg.merge_from_file(path)
+        dp = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        ROI_DENSEPOSE_HEAD_REGISTRY.get(dp.NAME or "DensePoseV1ConvXHead")
+        DENSEPOSE_PREDICTOR_REGISTRY.get(dp.PREDICTOR_NAME)
+        DENSEPOSE_LOSS_REGISTRY.get(dp.LOSS_NAME)
+        assert dp.UV_CONFIDENCE.TYPE in ("iid_iso", "indep_aniso")
+        n += 1
+    assert n >= 35, n
