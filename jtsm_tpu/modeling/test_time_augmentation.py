@@ -66,11 +66,20 @@ class GeneralizedRCNNWithTTA(TTAWrapperBase):
     """Union of detections across augs -> NMS -> topk
     (reference test_time_augmentation.py:85)."""
 
+    def _convert_flipped_outputs(self, outputs):
+        """Hook for subclasses that must un-flip extra per-detection maps
+        (e.g. DensePose chart outputs — part labels swap left/right)."""
+        return outputs
+
     def __call__(self, image: np.ndarray, topk: int = 100, nms_thresh: float = 0.5):
         h0, w0 = image.shape[:2]
         all_boxes, all_scores, all_classes = [], [], []
+        extra_keys = None
+        all_extras: Dict[str, list] = {}
         for batch, flipped in self._augmented_batches(image, (h0, w0)):
             out = {k: np.asarray(v) for k, v in self.predict_fn(batch).items()}
+            if flipped:
+                out = self._convert_flipped_outputs(out)
             valid = out["valid"][0]
             boxes = out["boxes"][0][valid]
             if flipped:
@@ -80,6 +89,13 @@ class GeneralizedRCNNWithTTA(TTAWrapperBase):
             all_boxes.append(boxes)
             all_scores.append(out["scores"][0][valid])
             all_classes.append(out["classes"][0][valid])
+            # carry per-detection extra maps (dp_*, masks) through the merge
+            if extra_keys is None:
+                extra_keys = [
+                    k for k in out if k.startswith("dp_") or k == "masks"
+                ]
+            for k in extra_keys:
+                all_extras.setdefault(k, []).append(out[k][0][valid])
         if not all_boxes or sum(len(b) for b in all_boxes) == 0:
             return {
                 "boxes": np.zeros((0, 4), np.float32),
@@ -101,11 +117,14 @@ class GeneralizedRCNNWithTTA(TTAWrapperBase):
             )
         )
         keep_idx = keep_idx[keep_idx >= 0]
-        return {
+        result = {
             "boxes": boxes[keep_idx],
             "scores": scores[keep_idx],
             "classes": classes[keep_idx],
         }
+        for k, vals in all_extras.items():
+            result[k] = np.concatenate(vals)[keep_idx]
+        return result
 
 
 class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):

@@ -25,7 +25,29 @@ from .modeling.predictors import (
     DensePoseChartWithConfidencePredictor,
     build_densepose_predictor,
 )
+from .converters import (
+    HFlipConverter,
+    ToChartResultConverter,
+    ToMaskConverter,
+    densepose_chart_predictor_output_hflip,
+)
+from .data_samplers import (
+    DensePoseConfidenceBasedSampler,
+    DensePoseUniformSampler,
+    MaskFromDensePoseSampler,
+    PredictionToGroundTruthSampler,
+)
 from .roi_heads import DensePoseROIHeads, DensePoseV1ConvXHead
+from .test_time_augmentation import DensePoseGeneralizedRCNNWithTTA
+from .video import (
+    CombinedDataLoader,
+    FirstKFramesSelector,
+    ImageListDataset,
+    InferenceBasedLoader,
+    LastKFramesSelector,
+    RandomKFramesSelector,
+    VideoKeyframeDataset,
+)
 from .vis import DensePoseOutputsExtractor, DensePoseResultsVisualizer
 
 __all__ = [

@@ -729,3 +729,108 @@ def test_densepose_configs_load():
         assert dp.UV_CONFIDENCE.TYPE in ("iid_iso", "indep_aniso")
         n += 1
     assert n >= 35, n
+
+
+def test_densepose_converters_and_samplers():
+    """Chart-result/mask converters, hflip semantics, and bootstrapping
+    samplers (reference densepose/converters/, data/samplers/)."""
+    from densepose.converters import (
+        DP_HFLIP_PART_SWAP,
+        ToChartResultConverter,
+        ToMaskConverter,
+        densepose_chart_predictor_output_hflip,
+    )
+    from densepose.data_samplers import (
+        DensePoseConfidenceBasedSampler,
+        DensePoseUniformSampler,
+        PredictionToGroundTruthSampler,
+    )
+
+    rng = np.random.RandomState(0)
+    b, d, s = 1, 2, 8
+    outputs = {
+        "boxes": np.asarray([[[2, 2, 18, 26], [5, 5, 9, 9]]], np.float32),
+        "scores": np.asarray([[0.9, 0.8]], np.float32),
+        "classes": np.zeros((b, d), np.int64),
+        "valid": np.asarray([[True, True]]),
+        "dp_patch": rng.randint(0, 25, (b, d, s, s)),
+        "dp_u": rng.rand(b, d, s, s).astype(np.float32),
+        "dp_v": rng.rand(b, d, s, s).astype(np.float32),
+        "dp_sigma": rng.rand(b, d, s, s).astype(np.float32),
+    }
+    results = ToChartResultConverter.convert(outputs, 0)
+    assert len(results) == 2
+    assert results[0]["labels"].shape == (24, 16)
+    assert results[0]["uv"].shape == (2, 24, 16)
+    # uv zero on background
+    bg = results[0]["labels"] == 0
+    assert np.all(results[0]["uv"][0][bg] == 0)
+
+    masks = ToMaskConverter.convert(outputs, 0, (32, 32))
+    assert masks.shape == (2, 32, 32)
+    assert masks[:, 0, 0].sum() == 0  # outside all boxes
+
+    flipped = densepose_chart_predictor_output_hflip(outputs)
+    lut = np.arange(25)
+    for a, bb in DP_HFLIP_PART_SWAP.items():
+        lut[a] = bb
+    np.testing.assert_array_equal(
+        flipped["dp_patch"], lut[outputs["dp_patch"][..., ::-1]]
+    )
+    # involution: flipping twice restores the labels
+    twice = densepose_chart_predictor_output_hflip(flipped)
+    np.testing.assert_array_equal(twice["dp_patch"], outputs["dp_patch"])
+
+    for sampler in (
+        DensePoseUniformSampler(count_per_class=3),
+        DensePoseConfidenceBasedSampler(count_per_class=3, search_count_multiplier=2.0),
+    ):
+        anns = sampler(outputs, 0)
+        assert len(anns) == 2
+        assert len(anns[0]["dp_I"]) == len(anns[0]["dp_x"]) > 0
+        assert all(0 <= x <= 256 for x in anns[0]["dp_x"])
+
+    p2g = PredictionToGroundTruthSampler()
+    p2g.register_sampler("densepose", DensePoseUniformSampler(2))
+    data = p2g(np.zeros((32, 32, 3), np.uint8), outputs, 0)
+    assert len(data.annotations) == 2 and data.boxes_xyxy.shape == (2, 4)
+
+
+def test_densepose_video_and_loaders():
+    """Frame selectors, combined loader ratios, inference-based loader
+    (reference densepose/data/video/, combined_loader.py)."""
+    from densepose.video import (
+        CombinedDataLoader,
+        FirstKFramesSelector,
+        InferenceBasedLoader,
+        LastKFramesSelector,
+        RandomKFramesSelector,
+    )
+
+    ids = list(range(10))
+    assert FirstKFramesSelector(3)(ids) == [0, 1, 2]
+    assert LastKFramesSelector(3)(ids) == [7, 8, 9]
+    assert len(RandomKFramesSelector(4)(ids)) == 4
+
+    l1 = [["a"]] * 5
+    l2 = [["b"]] * 5
+    combined = CombinedDataLoader([l1, l2], batch_size=1, ratios=[0.5, 0.5])
+    batches = []
+    it = iter(combined)
+    for _ in range(6):
+        batches.append(next(it))
+    assert all(b in (["a"], ["b"]) for b in batches)
+
+    def fake_predictor(image):
+        return {
+            "boxes": np.asarray([[[0, 0, 4, 4]]], np.float32),
+            "scores": np.asarray([[0.9]], np.float32),
+            "classes": np.zeros((1, 1), np.int64),
+            "valid": np.asarray([[True]]),
+        }
+
+    loader = InferenceBasedLoader(
+        fake_predictor, [[np.zeros((8, 8, 3), np.uint8)] * 3], batch_size=2
+    )
+    out = list(loader)
+    assert sum(len(b) for b in out) == 3
