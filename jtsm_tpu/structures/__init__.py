@@ -5,6 +5,7 @@ from .boxes import (
     box_centers,
     boxes_inside_box,
     clip_boxes,
+    matched_boxlist_iou,
     matched_pairwise_iou,
     nonempty_boxes,
     pairwise_intersection,

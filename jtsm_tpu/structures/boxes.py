@@ -161,7 +161,8 @@ def pairwise_ioa(boxes1: Array, boxes2: Array) -> Array:
 
 
 def matched_pairwise_iou(boxes1: Array, boxes2: Array) -> Array:
-    """Element-wise IoU of aligned (N, 4) arrays (reference boxes.py:414)."""
+    """Element-wise IoU of aligned (N, 4) arrays (reference boxes.py:414
+    ``matched_boxlist_iou``)."""
     area1 = box_area(boxes1)
     area2 = box_area(boxes2)
     lt = jnp.maximum(boxes1[:, :2], boxes2[:, :2])
@@ -253,3 +254,7 @@ def unique_boxes(boxes: np.ndarray, scale: float = 1.0) -> np.ndarray:
     hashes = np.round(boxes * scale).dot([1, 1e3, 1e6, 1e9])
     _, index = np.unique(hashes, return_index=True)
     return np.sort(index)
+
+
+# API-compat alias (the reference calls it matched_boxlist_iou)
+matched_boxlist_iou = matched_pairwise_iou

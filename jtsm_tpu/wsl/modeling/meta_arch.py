@@ -57,7 +57,11 @@ class GeneralizedRCNNWSL(nn.Module):
         proposals = batch["proposals"]
         prop_scores = batch["proposal_scores"]
         targets = (
-            {k: batch[k] for k in ("gt_classes", "gt_valid", "gt_boxes") if k in batch}
+            {
+                k: batch[k]
+                for k in ("gt_classes", "gt_valid", "gt_boxes", "cpg")
+                if k in batch
+            }
             if train
             else None
         )

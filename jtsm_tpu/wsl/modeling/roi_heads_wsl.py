@@ -255,6 +255,11 @@ class OICRROIHeads(nn.Module):
             **base,
         )
 
+    def _mil_losses(self, mil, img_labels, proposals, valid, targets):
+        """Base MIL image loss; CSCOICRROIHeads overrides with CSC
+        weighting (reference roi_heads_csc.py)."""
+        return {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+
     @nn.compact
     def __call__(
         self,
@@ -300,9 +305,9 @@ class OICRROIHeads(nn.Module):
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            losses = {
-                "loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()
-            }
+            losses = dict(
+                self._mil_losses(mil, img_labels, proposals, valid, targets)
+            )
             source = mil  # (B, R, C) probabilities
             for k, (logits, deltas) in enumerate(branches):
                 has_reg = deltas is not None

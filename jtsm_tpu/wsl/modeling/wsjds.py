@@ -32,6 +32,7 @@ from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from .mil_heads import MILOutputLayers, mil_image_loss, wsddn_scores
 from .roi_heads_wsl import (
     DiscriminativeAdaptionNeck,
+    OICRROIHeads,
     WSDDNROIHeads,
     image_level_gt,
     wsl_inference_single,
@@ -60,6 +61,43 @@ def sem_seg_targets_from_cpg(
     n_neg = jnp.maximum(neg.sum(axis=(1, 2), keepdims=True), 1.0)
     weights = jnp.where(pos, 1.0 / n_pos, jnp.where(neg, 1.0 / n_neg, 0.0))
     return targets, weights
+
+
+def csc_weighted_mil_image_loss(
+    mil_i,  # (R, C) WSDDN probabilities, one image
+    boxes_i,  # (R, 4)
+    valid_i,  # (R,)
+    labels_i,  # (C,) image-level one-hot
+    cpg_i,  # (C, H, W) class peak gradient maps
+    num_classes: int,
+    csc_fg_threshold: float = 0.1,
+):
+    """CSC weighting (reference roi_heads_csc.py / wsjds_heads.py:596): per
+    present class, proposals whose boxes capture the CPG mass keep their
+    positive contribution; leaky proposals are pushed toward 0."""
+
+    def one_class(c):
+        w = csc(cpg_i[c], boxes_i, valid_i, fg_thresh=csc_fg_threshold)
+        pos_w = w["pos_weight"]
+        neg_w = w["neg_weight"]
+        s_pos = jnp.sum(mil_i[:, c] * pos_w) / jnp.maximum(jnp.sum(pos_w), 1e-6)
+        s_neg = jnp.sum(mil_i[:, c] * neg_w) / jnp.maximum(jnp.sum(neg_w), 1e-6)
+        return s_pos, s_neg
+
+    s_pos, s_neg = jax.vmap(one_class)(jnp.arange(num_classes))
+    sum_scores = jnp.clip(mil_i.sum(0), 1e-6, 1 - 1e-6)
+    s_pos = jnp.clip(s_pos, 1e-6, 1 - 1e-6)
+    s_neg = jnp.clip(s_neg, 1e-6, 1 - 1e-6)
+    # present classes: confident (pos-weighted) mass -> label 1,
+    # leaked (neg-weighted) mass -> label 0; absent: sum -> 0
+    loss_pos = -(labels_i * jnp.log(s_pos)).sum() / jnp.maximum(labels_i.sum(), 1.0)
+    loss_neg = -(labels_i * jnp.log1p(-s_neg)).sum() / jnp.maximum(
+        labels_i.sum(), 1.0
+    )
+    loss_abs = -((1 - labels_i) * jnp.log1p(-sum_scores)).sum() / jnp.maximum(
+        (1 - labels_i).sum(), 1.0
+    )
+    return loss_pos + loss_neg + loss_abs
 
 
 @ROI_HEADS_REGISTRY.register()
@@ -125,47 +163,11 @@ class WSJDSROIHeads(WSDDNROIHeads):
                 loss = jax.vmap(mil_image_loss)(mil, img_labels).mean()
                 return {}, {"loss_mil": loss}
 
-            # CSC weighting: per present class, proposals whose boxes
-            # capture the CPG mass keep their positive contribution;
-            # leaky proposals are pushed toward 0 (reference :596).
-            def one_image(mil_i, boxes_i, valid_i, labels_i, cpg_i):
-                def one_class(c):
-                    w = csc(
-                        cpg_i[c],
-                        boxes_i,
-                        valid_i,
-                        fg_thresh=self.csc_fg_threshold,
-                    )
-                    pos_w = w["pos_weight"]
-                    neg_w = w["neg_weight"]
-                    s_pos = jnp.sum(mil_i[:, c] * pos_w) / jnp.maximum(
-                        jnp.sum(pos_w), 1e-6
-                    )
-                    s_neg = jnp.sum(mil_i[:, c] * neg_w) / jnp.maximum(
-                        jnp.sum(neg_w), 1e-6
-                    )
-                    return s_pos, s_neg
-
-                s_pos, s_neg = jax.vmap(one_class)(jnp.arange(self.num_classes))
-                sum_scores = jnp.clip(mil_i.sum(0), 1e-6, 1 - 1e-6)
-                s_pos = jnp.clip(s_pos, 1e-6, 1 - 1e-6)
-                s_neg = jnp.clip(s_neg, 1e-6, 1 - 1e-6)
-                # present classes: confident (pos-weighted) mass -> label 1,
-                # leaked (neg-weighted) mass -> label 0; absent: sum -> 0
-                loss_pos = -(labels_i * jnp.log(s_pos)).sum() / jnp.maximum(
-                    labels_i.sum(), 1.0
+            loss_csc = jax.vmap(
+                lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
+                    m, bx, v, l, c, self.num_classes, self.csc_fg_threshold
                 )
-                loss_neg = -(labels_i * jnp.log1p(-s_neg)).sum() / jnp.maximum(
-                    labels_i.sum(), 1.0
-                )
-                loss_abs = -((1 - labels_i) * jnp.log1p(-sum_scores)).sum() / jnp.maximum(
-                    (1 - labels_i).sum(), 1.0
-                )
-                return loss_pos + loss_neg + loss_abs
-
-            loss_csc = jax.vmap(one_image)(
-                mil, proposals, valid, img_labels, cpg
-            ).mean()
+            )(mil, proposals, valid, img_labels, cpg).mean()
 
             sem_t, sem_w = jax.vmap(
                 lambda c, l: sem_seg_targets_from_cpg(
@@ -188,3 +190,38 @@ class WSJDSROIHeads(WSDDNROIHeads):
         )(proposals, mil, valid, image_sizes)
         detections["proposal_class_scores"] = mil
         return detections, {}
+
+
+@ROI_HEADS_REGISTRY.register()
+class CSCROIHeads(WSJDSROIHeads):
+    """CSC: CPG-weighted WSDDN (reference roi_heads_csc.py:35
+    ``CSCROIHeads``). Same machinery as WSJDS minus the stuff branch — the
+    sem-seg pseudo targets it mines are simply unused when the meta-arch has
+    no seg head."""
+
+
+@ROI_HEADS_REGISTRY.register()
+class CSCOICRROIHeads(OICRROIHeads):
+    """CSC + OICR refinement (reference roi_heads_csc.py ``CSC_OICR`` /
+    config name ``CSCOICRROIHeads``): the base MIL image loss is CSC-weighted
+    from CPG maps in targets['cpg']; the K refinement branches are standard
+    OICR."""
+
+    csc_fg_threshold: float = 0.1
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        ret = OICRROIHeads.from_config(cfg, input_shape)
+        ret["csc_fg_threshold"] = cfg.WSL.CSC_FG_THRESHOLD
+        return ret
+
+    def _mil_losses(self, mil, img_labels, proposals, valid, targets):
+        cpg = targets.get("cpg") if targets is not None else None
+        if cpg is None:
+            return super()._mil_losses(mil, img_labels, proposals, valid, targets)
+        loss = jax.vmap(
+            lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
+                m, bx, v, l, c, self.num_classes, self.csc_fg_threshold
+            )
+        )(mil, proposals, valid, img_labels, cpg).mean()
+        return {"loss_mil_csc": loss}

@@ -49,9 +49,16 @@ def gps_similarity(
 
 class DensePoseCOCOEvaluator(DatasetEvaluator):
     """Matches predictions to gt person boxes (IoU > 0.5 greedy) and
-    computes AP over GPS thresholds 0.5:0.05:0.95."""
+    computes AP over GPS thresholds 0.5:0.05:0.95.
 
-    def __init__(self, dataset_name: str):
+    eval_mode 'gps' scores matches by point similarity alone; 'gpsm'
+    (reference densepose_coco_evaluation.py:738) geometric-means GPS with
+    the mask IoU between the predicted fg chart and the gt box mask:
+    sqrt(gps * mask_iou)."""
+
+    def __init__(self, dataset_name: str, eval_mode: str = "gps"):
+        assert eval_mode in ("gps", "gpsm"), eval_mode
+        self._eval_mode = eval_mode
         self._dataset_name = dataset_name
         dicts = DatasetCatalog.get(dataset_name)
         self._gt = {}
@@ -114,17 +121,33 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
                     0,
                     det["u_map"].shape[0] - 1,
                 )
-                sims.append(
-                    gps_similarity(
-                        det["patch_map"][ys, xs],
-                        det["u_map"][ys, xs],
-                        det["v_map"][ys, xs],
-                        np.asarray(a["dp_I"]),
-                        np.asarray(a["dp_U"]),
-                        np.asarray(a["dp_V"]),
-                        np.ones(len(xs), bool),
-                    )
+                gps = gps_similarity(
+                    det["patch_map"][ys, xs],
+                    det["u_map"][ys, xs],
+                    det["v_map"][ys, xs],
+                    np.asarray(a["dp_I"]),
+                    np.asarray(a["dp_U"]),
+                    np.asarray(a["dp_V"]),
+                    np.ones(len(xs), bool),
                 )
+                if self._eval_mode == "gpsm":
+                    # mask IoU between predicted fg chart and gt dp mask
+                    # (gt mask rasterized from dp points when no dp_masks)
+                    pred_fg = det["patch_map"] > 0
+                    hM, wM = pred_fg.shape
+                    gt_fg = np.zeros_like(pred_fg)
+                    gxs = np.clip(
+                        (np.asarray(a["dp_x"]) / 256.0 * (wM - 1)).astype(int), 0, wM - 1
+                    )
+                    gys = np.clip(
+                        (np.asarray(a["dp_y"]) / 256.0 * (hM - 1)).astype(int), 0, hM - 1
+                    )
+                    gt_fg[gys, gxs] = True
+                    inter = np.logical_and(pred_fg, gt_fg).sum()
+                    union = np.logical_or(pred_fg, gt_fg).sum()
+                    mask_iou = inter / max(union, 1)
+                    gps = float(np.sqrt(gps * mask_iou))
+                sims.append(gps)
         sims_arr = np.asarray(sims)
         thresholds = np.linspace(0.5, 0.95, 10)
         recalls = [(sims_arr >= t).sum() / max(n_gt, 1) for t in thresholds]

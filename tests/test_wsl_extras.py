@@ -222,3 +222,89 @@ def test_mrrp_wsl_resnet_backbone():
     # eval keeps only TEST_BRANCH_IDX
     out_eval = net.apply(variables, x, train=False)
     assert out_eval["res5"].shape[0] == 2
+
+
+def test_wsl_config_zoo_loads():
+    """Every shipped WSL yaml merges cleanly and its head / backbone /
+    proposal-generator names resolve (mirrors the reference's
+    projects/WSL/configs tree)."""
+    import glob
+
+    import jtsm_tpu.wsl  # noqa: F401 (registers everything)
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.modeling.backbone.build import BACKBONE_REGISTRY
+    from jtsm_tpu.modeling.meta_arch.build import META_ARCH_REGISTRY
+    from jtsm_tpu.modeling.proposal_generator.rpn import PROPOSAL_GENERATOR_REGISTRY
+    from jtsm_tpu.modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+    from jtsm_tpu.wsl import add_wsl_config
+
+    n = 0
+    for path in glob.glob("projects/WSL/configs/**/*.yaml", recursive=True):
+        cfg = get_cfg()
+        add_wsl_config(cfg)
+        cfg.merge_from_file(path)
+        META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)
+        BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)
+        ROI_HEADS_REGISTRY.get(cfg.MODEL.ROI_HEADS.NAME)
+        if cfg.MODEL.PROPOSAL_GENERATOR.NAME != "PrecomputedProposals":
+            PROPOSAL_GENERATOR_REGISTRY.get(cfg.MODEL.PROPOSAL_GENERATOR.NAME)
+        n += 1
+    assert n >= 40, n
+
+
+def test_csc_oicr_heads():
+    """CSCOICRROIHeads: CSC-weighted MIL base loss + OICR refinement
+    (reference roi_heads_csc.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import jtsm_tpu.wsl  # noqa: F401
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl import add_wsl_config
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res5"]
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 4
+    cfg.WSL.REFINE_NUM = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cls_ = ROI_HEADS_REGISTRY.get("CSCOICRROIHeads")
+    heads = cls_(**cls_.from_config(cfg, {"res5": ShapeSpec(channels=16, stride=16)}))
+
+    rng = np.random.RandomState(0)
+    b, r, hh = 2, 8, 8
+    feats = {"res5": jnp.asarray(rng.rand(b, hh, hh, 16), jnp.float32)}
+    proposals = jnp.asarray(
+        np.concatenate([rng.rand(b, r, 2) * 40, 60 + rng.rand(b, r, 2) * 40], -1),
+        jnp.float32,
+    )
+    scores = jnp.zeros((b, r))
+    sizes = jnp.full((b, 2), 128, jnp.int32)
+    targets = {
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, 3)), jnp.int32),
+        "gt_valid": jnp.ones((b, 3), bool),
+        "cpg": jnp.asarray(rng.rand(b, 4, 128, 128), jnp.float32),
+    }
+    rngs3 = {"params": jax.random.key(0), "sampling": jax.random.key(1),
+             "dropout": jax.random.key(3)}
+    variables = heads.init(
+        rngs3, feats, proposals, scores, sizes, targets, train=True,
+    )
+    _, losses = heads.apply(
+        variables, feats, proposals, scores, sizes, targets, train=True,
+        rngs={"sampling": jax.random.key(2), "dropout": jax.random.key(4)},
+    )
+    assert "loss_mil_csc" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    # without cpg: falls back to plain MIL loss
+    t2 = {k: v for k, v in targets.items() if k != "cpg"}
+    _, losses2 = heads.apply(
+        variables, feats, proposals, scores, sizes, t2, train=True,
+        rngs={"sampling": jax.random.key(2), "dropout": jax.random.key(4)},
+    )
+    assert "loss_mil" in losses2
