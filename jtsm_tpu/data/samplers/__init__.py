@@ -3,5 +3,11 @@ from .distributed_sampler import (
     RepeatFactorTrainingSampler,
     TrainingSampler,
 )
+from .grouped_batch_sampler import GroupedBatchSampler
 
-__all__ = ["TrainingSampler", "InferenceSampler", "RepeatFactorTrainingSampler"]
+__all__ = [
+    "TrainingSampler",
+    "InferenceSampler",
+    "RepeatFactorTrainingSampler",
+    "GroupedBatchSampler",
+]

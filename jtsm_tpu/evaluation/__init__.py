@@ -4,7 +4,12 @@ from .cityscapes_evaluation import (
 )
 from .cocoeval import COCOEval
 from .coco_evaluation import COCOEvaluator, COCOProposalEvaluator
-from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
+from .evaluator import (
+    DatasetEvaluator,
+    DatasetEvaluators,
+    inference_context,
+    inference_on_dataset,
+)
 from .lvis_evaluation import LVISEvaluator
 from .panoptic_evaluation import COCOPanopticEvaluator, PQStat, pq_compute_single_image
 from .pascal_voc_evaluation import PascalVOCDetectionEvaluator, voc_ap

@@ -105,3 +105,15 @@ def inference_on_dataset(
     if results is None:
         results = {}
     return results
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def inference_context(model=None):
+    """API-parity shim (reference evaluation/evaluator.py:86
+    ``inference_context``): the torch version flips model.train/eval; jtsm
+    models are functional — train/eval is the ``train=`` argument — so this
+    is a no-op context kept for code written against the reference API."""
+    yield model

@@ -1,9 +1,58 @@
 from jtsm_tpu.config import CfgNode as CN
 
 
+def add_dataset_category_config(cfg):
+    """Category whitelisting / mapping (reference config.py:7
+    ``add_dataset_category_config``), consumed by
+    densepose.data.apply_category_maps for the bootstrapping pipelines."""
+    cfg.DATASETS.CATEGORY_MAPS = CN()
+    cfg.DATASETS.WHITELISTED_CATEGORIES = CN()
+
+
+def add_bootstrap_config(cfg):
+    """Bootstrapping/evolution pipeline keys (reference config.py:18)."""
+    cfg.BOOTSTRAP_DATASETS = []
+    cfg.BOOTSTRAP_MODEL = CN()
+    cfg.BOOTSTRAP_MODEL.WEIGHTS = ""
+
+
+def get_bootstrap_dataset_config():
+    """Per-bootstrap-dataset spec skeleton (reference config.py:27)."""
+    _C = CN()
+    _C.DATASET = ""
+    _C.RATIO = 0.1
+    _C.IMAGE_LOADER = CN()
+    _C.IMAGE_LOADER.TYPE = ""
+    _C.IMAGE_LOADER.BATCH_SIZE = 4
+    _C.IMAGE_LOADER.NUM_WORKERS = 4
+    _C.INFERENCE = CN()
+    _C.INFERENCE.INPUT_BATCH_SIZE = 4
+    _C.INFERENCE.OUTPUT_BATCH_SIZE = 2
+    _C.DATA_SAMPLER = CN()
+    _C.DATA_SAMPLER.TYPE = ""
+    _C.FILTER = CN()
+    _C.FILTER.TYPE = ""
+    return _C
+
+
+def load_bootstrap_config(cfg):
+    """Normalize BOOTSTRAP_DATASETS dict entries into full CfgNodes
+    (reference config.py:52)."""
+    if not cfg.BOOTSTRAP_DATASETS:
+        return
+    nodes = []
+    for dataset_cfg in cfg.BOOTSTRAP_DATASETS:
+        _C = get_bootstrap_dataset_config().clone()
+        _C.merge_from_other_cfg(CN(dataset_cfg))
+        nodes.append(_C)
+    cfg.BOOTSTRAP_DATASETS = nodes
+
+
 def add_densepose_config(cfg):
     """Reference: projects/DensePose/densepose/config.py."""
     _C = cfg
+    add_dataset_category_config(cfg)
+    add_bootstrap_config(cfg)
     _C.MODEL.DENSEPOSE_ON = True
     _C.MODEL.ROI_DENSEPOSE_HEAD = CN()
     _C.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseV1ConvXHead"

@@ -65,3 +65,29 @@ def densepose_targets_from_annotations(
         out["gt_dp_v"][i, :n] = np.asarray(ann["dp_V"], np.float32)[:n]
         out["gt_dp_valid"][i, :n] = True
     return out
+
+
+def apply_category_maps(dataset_dicts, category_map):
+    """Remap annotation category ids (reference data/utils.py /
+    build.py combined-loader category mapping; cfg key
+    DATASETS.CATEGORY_MAPS). category_map: {src_id (str|int): dst_id}."""
+    cmap = {int(k): int(v) for k, v in dict(category_map).items()}
+    for entry in dataset_dicts:
+        for ann in entry.get("annotations", []):
+            cid = int(ann.get("category_id", -1))
+            if cid in cmap:
+                ann["category_id"] = cmap[cid]
+    return dataset_dicts
+
+
+def filter_whitelisted_categories(dataset_dicts, whitelist):
+    """Keep only annotations whose category is whitelisted (reference
+    cfg key DATASETS.WHITELISTED_CATEGORIES)."""
+    allowed = {int(c) for c in whitelist}
+    for entry in dataset_dicts:
+        entry["annotations"] = [
+            a
+            for a in entry.get("annotations", [])
+            if int(a.get("category_id", -1)) in allowed
+        ]
+    return dataset_dicts

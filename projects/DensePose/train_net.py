@@ -9,8 +9,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import densepose  # noqa: F401 — registers DensePose heads/backbones
 from densepose import add_densepose_config
+from densepose.engine import Trainer
 
 from jtsm_tpu.engine import project_cli
 
 if __name__ == "__main__":
-    project_cli(add_densepose_config)
+    project_cli(add_densepose_config, trainer_cls=Trainer)
