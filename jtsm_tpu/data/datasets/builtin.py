@@ -192,3 +192,9 @@ try:
     register_cityscapes(_root)
 except Exception:
     pass
+try:
+    from .cityscapes_panoptic import register_all_cityscapes_panoptic
+
+    register_all_cityscapes_panoptic(_root)
+except Exception:
+    pass

@@ -111,6 +111,12 @@ class ROIPooler:
         if self._use_pallas(features):
             from ..ops.pallas.roi_align_kernel import roi_align_multilevel_pallas
 
+            # every modeling caller flattens (B, k, 4) boxes with
+            # batch_idx = repeat(arange(B), k): image-major, k per image —
+            # which enables the level-resident kernel
+            b = features[0].shape[0]
+            r = boxes.shape[0]
+            rois_per_image = r // b if r % b == 0 else None
             return roi_align_multilevel_pallas(
                 list(features),
                 self.scales,
@@ -119,6 +125,7 @@ class ROIPooler:
                 levels,
                 self.output_size[0],
                 self.sampling_ratio,
+                rois_per_image,
             )
         return roi_align_multilevel(
             tuple(features),

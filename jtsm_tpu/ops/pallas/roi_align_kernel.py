@@ -178,6 +178,174 @@ def _make_kernel(num_levels: int, group: int):
 # {4, 8, 16} on the dev chip (16 regresses: VMEM pressure hurts overlap).
 GROUP = 8
 
+# ---------------------------------------------------------------------------
+# Level-resident variant: the per-ROI window DMA above is ROW-DESCRIPTOR
+# bound (~160 ns x rows per ROI -> 168 ms for the 64k-ROI box pooler at
+# batch 64). When ROIs arrive image-major with a fixed count per image (all
+# detection-head callers: batch_idx = repeat(arange(B), R/B)), we instead
+# make EACH IMAGE'S WHOLE PYRAMID resident in VMEM — one contiguous slab
+# copy per level (4 descriptors/image instead of ~R*rows) — and slice every
+# ROI window straight out of VMEM. Traffic drops to the pyramid itself
+# (~46 MB/image at 800x1344 C=256) and the kernel becomes MXU-bound.
+# ---------------------------------------------------------------------------
+
+
+def _make_resident_kernel(
+    num_levels: int, group: int, rb: int, h_sizes, win_rows: int, mode: str
+):
+    """Grid (B, rb): step (b, 0) copies image b's level slabs into VMEM;
+    every step computes ``group`` ROIs by slicing windows from the resident
+    buffers. ``h_sizes``: static per-level image row counts. ``mode``
+    selects the per-ROI contraction strategy (see _roi_contract)."""
+
+    def _roi_contract(win, wy, wx, out_dtype, p):
+        win = win.astype(jnp.float32)
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if mode == "xfirst":
+            tmp = jax.lax.dot_general(
+                wx, win, dimension_numbers=(((1,), (1,)), ((), ())), **kw
+            )
+            out = jax.lax.dot_general(
+                wy, tmp, dimension_numbers=(((1,), (1,)), ((), ())), **kw
+            )
+            return out.astype(out_dtype)
+        # "yfirst": contract the window's leading (row) dim first — a clean
+        # (P, WIN) @ (WIN, WIN*C) matmul in the buffer's natural layout —
+        # then P small (P, WIN) @ (WIN, C) matmuls for the x axis
+        s1 = jax.lax.dot_general(
+            wy, win, dimension_numbers=(((1,), (0,)), ((), ())), **kw
+        )  # (P, WIN, C)
+        rows = [
+            jax.lax.dot_general(
+                wx, s1[q], dimension_numbers=(((1,), (0,)), ((), ())), **kw
+            )
+            for q in range(p)
+        ]
+        return jnp.stack(rows, axis=0).astype(out_dtype)
+
+    def kernel(lvl_ref, oy_ref, ox_ref, wy_ref, wx_ref, *refs):
+        level_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        bufs = refs[num_levels + 1 : 2 * num_levels + 1]
+        sems = refs[2 * num_levels + 1]
+        wbuf = refs[2 * num_levels + 2] if mode.endswith("_copy") else None
+
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        p = out_ref.shape[1]
+
+        @pl.when(j == 0)
+        def _load_levels():
+            for l in range(num_levels):
+                pltpu.make_async_copy(
+                    level_refs[l].at[pl.ds(b * h_sizes[l], h_sizes[l] + win_rows)],
+                    bufs[l],
+                    sems.at[l],
+                ).start()
+            for l in range(num_levels):
+                pltpu.make_async_copy(
+                    level_refs[l].at[pl.ds(0, h_sizes[l] + win_rows)],
+                    bufs[l],
+                    sems.at[l],
+                ).wait()
+
+        for g in range(group):
+            i = (b * rb + j) * group + g
+            lv = lvl_ref[i]
+            oy = oy_ref[i]
+            oxi = pl.multiple_of(ox_ref[i] * ALIGN, ALIGN)
+            if wbuf is not None:
+                # branch only the window materialization; contract uniformly
+                for l in range(num_levels):
+                    @pl.when(lv == l)
+                    def _(l=l):
+                        wbuf[...] = bufs[l][
+                            pl.ds(oy, win_rows), pl.ds(oxi, WIN), :
+                        ]
+                out_ref[g] = _roi_contract(
+                    wbuf[...], wy_ref[g], wx_ref[g], out_ref.dtype, p
+                )
+            else:
+                for l in range(num_levels):
+                    @pl.when(lv == l)
+                    def _(l=l, g=g, oy=oy, oxi=oxi):
+                        win = bufs[l][pl.ds(oy, win_rows), pl.ds(oxi, WIN), :]
+                        out_ref[g] = _roi_contract(
+                            win, wy_ref[g], wx_ref[g], out_ref.dtype, p
+                        )
+
+    return kernel
+
+
+# VMEM the resident pyramid may occupy; beyond this fall back to the
+# windowed kernel (96 MB compiler limit minus out/weight/compute slack)
+RESIDENT_VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def _resident_group(rois_per_image: int) -> int:
+    for g in (16, 8, 4, 2, 1):
+        if rois_per_image % g == 0:
+            return g
+    return 1
+
+
+@partial(
+    jax.jit, static_argnames=("output_size", "rois_per_image", "h_sizes", "mode")
+)
+def _pallas_call_resident(
+    levels3d, lvl_idx, oy, ox_div, wy, wx, output_size: int,
+    rois_per_image: int, h_sizes: Tuple[int, ...], mode: str = "xfirst",
+):
+    r = lvl_idx.shape[0]
+    c = levels3d[0].shape[-1]
+    p = output_size
+    num_levels = len(levels3d)
+    b = r // rois_per_image
+    group = _resident_group(rois_per_image)
+    rb = rois_per_image // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lvl, oy, ox_div
+        grid=(b, rb),
+        in_specs=[
+            pl.BlockSpec(
+                (group, p, WIN), lambda bi, j, *_: (bi * rb + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, p, WIN), lambda bi, j, *_: (bi * rb + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        out_specs=pl.BlockSpec(
+            (group, p, p, c), lambda bi, j, *_: (bi * rb + j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h_sizes[l] + WIN, levels3d[l].shape[1], c), levels3d[l].dtype)
+            for l in range(num_levels)
+        ]
+        + [pltpu.SemaphoreType.DMA((num_levels,))]
+        + (
+            [pltpu.VMEM((WIN, WIN, c), levels3d[0].dtype)]
+            if mode.endswith("_copy")
+            else []
+        ),
+    )
+    return pl.pallas_call(
+        _make_resident_kernel(num_levels, group, rb, h_sizes, WIN, mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, p, p, c), levels3d[0].dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(lvl_idx, oy, ox_div, wy, wx, *levels3d)
+
 
 @partial(jax.jit, static_argnames=("output_size",))
 def _pallas_call(levels3d, lvl_idx, row0, ox_div, ybkt, wy, wx, output_size: int):
@@ -242,7 +410,7 @@ def _bumped_levels(features, spatial_scales, boxes, levels):
     return lvl
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
 def roi_align_multilevel_pallas(
     features,
     spatial_scales,
@@ -251,6 +419,7 @@ def roi_align_multilevel_pallas(
     levels,
     output_size: int,
     sampling_ratio: int = 2,
+    rois_per_image: int | None = None,
 ):
     """Drop-in multilevel ROIAlign on the fused kernel.
 
@@ -258,6 +427,11 @@ def roi_align_multilevel_pallas(
     Differentiable w.r.t. features: the backward runs the VJP of the XLA
     formulation at the SAME (bumped) level assignment — identical math, so
     gradients are exact for the kernel's forward.
+
+    ``rois_per_image``: when set, the caller PROMISES image-major ROI order
+    with exactly this many ROIs per image (batch_idx = repeat(arange(B),
+    rois_per_image)); the level-resident kernel is then used when the
+    pyramid fits the VMEM budget — ~4x faster than per-ROI window DMAs.
     """
     num_levels = len(features)
     c = features[0].shape[-1]
@@ -312,6 +486,9 @@ def roi_align_multilevel_pallas(
     ox = (ox // ALIGN) * ALIGN
     ox = jnp.minimum(ox, ((ws_pad[lvl] - WIN) // ALIGN) * ALIGN)
     oy = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, None)
+    # oy may not exceed the level's row extent (windows then read the +WIN
+    # slack rows / next image's rows, which carry zero axis weight)
+    oy = jnp.minimum(oy, hs[lvl])
     row0 = batch_indices.astype(jnp.int32) * h_p + oy
 
     # smallest window bucket covering [origin, floor(min(hi, extent-1))] +
@@ -335,6 +512,37 @@ def roi_align_multilevel_pallas(
         lambda st, bs, o, sz: _axis_weights(st, bs, o.astype(jnp.float32), sz.astype(jnp.float32), p, s)
     )(x0, bin_w, ox, w_l)
 
+    r = boxes.shape[0]
+    b = features[0].shape[0]
+    h_sizes = tuple(int(f.shape[1]) for f in padded)
+    pyramid_bytes = sum(
+        (h_sizes[l] + WIN) * levels3d[l].shape[1] * c * levels3d[l].dtype.itemsize
+        for l in range(num_levels)
+    )
+    import os
+
+    # level-resident kernel: opt-in while being validated at bench scale
+    # (JTSM_RESIDENT_MODE=yfirst_copy is the measured best variant)
+    mode = os.environ.get("JTSM_RESIDENT_MODE")
+    if (
+        mode
+        and rois_per_image is not None
+        and r == b * rois_per_image
+        and pyramid_bytes <= RESIDENT_VMEM_BUDGET
+    ):
+        return _pallas_call_resident(
+            tuple(levels3d),
+            lvl,
+            oy.astype(jnp.int32),
+            (ox // ALIGN).astype(jnp.int32),
+            wy,
+            wx,
+            p,
+            rois_per_image,
+            h_sizes,
+            mode,
+        )
+
     return _pallas_call(
         tuple(levels3d),
         lvl,
@@ -347,14 +555,18 @@ def roi_align_multilevel_pallas(
     )
 
 
-def _fwd(features, spatial_scales, boxes, batch_indices, levels, output_size, sampling_ratio):
+def _fwd(
+    features, spatial_scales, boxes, batch_indices, levels, output_size,
+    sampling_ratio, rois_per_image=None,
+):
     out = roi_align_multilevel_pallas(
-        features, spatial_scales, boxes, batch_indices, levels, output_size, sampling_ratio
+        features, spatial_scales, boxes, batch_indices, levels, output_size,
+        sampling_ratio, rois_per_image,
     )
     return out, (features, boxes, batch_indices, levels)
 
 
-def _bwd(spatial_scales, output_size, sampling_ratio, residuals, g):
+def _bwd(spatial_scales, output_size, sampling_ratio, rois_per_image, residuals, g):
     """Backward without re-running the forward: ROIAlign is LINEAR in the
     features (boxes fix the sample indices/weights), so the exact cotangent
     is ``jax.linear_transpose`` of the XLA formulation — XLA emits its fused

@@ -226,3 +226,17 @@ def crf_mean_field(
         energy = log_unary + pos_w * msg_pos + bi_w * msg_bi
         q = jax.nn.softmax(energy, axis=-1)
     return q
+
+
+def csc_constraint(x: Array, w: Array, polar: bool = True) -> Array:
+    """Spatial-constraint multiply (reference wsl/layers/csc.py:102-140,
+    ``_CSCConstraint``): keep only the positive (polar=True) or negated
+    negative (polar=False) part of the CSC weight ``w`` and scale ``x`` by
+    it. The weight is a constant in the backward pass (the reference's
+    custom Function returns ``dX = dY * W_`` and no grad for ``W``), which
+    in JAX is simply a ``stop_gradient`` on the clamped weight."""
+    if polar:
+        w_ = jnp.clip(w, a_min=0.0)
+    else:
+        w_ = -jnp.clip(w, a_max=0.0)
+    return x * jax.lax.stop_gradient(w_)

@@ -11,12 +11,14 @@ _sys.path.insert(
 )
 
 from .config import add_panoptic_deeplab_config
+from .dataset_mapper import PanopticDeeplabDatasetMapper
 from .panoptic_seg import PanopticDeepLab, PanopticDeepLabSemSegHead
 from .post_processing import get_panoptic_segmentation
 from .target_generator import panoptic_deeplab_targets
 
 __all__ = [
     "add_panoptic_deeplab_config",
+    "PanopticDeeplabDatasetMapper",
     "PanopticDeepLab",
     "get_panoptic_segmentation",
     "panoptic_deeplab_targets",

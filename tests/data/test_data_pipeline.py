@@ -147,3 +147,47 @@ def test_mapper_inference(tiny_coco):
     out = mapper(d)
     assert "instances" not in out
     assert out["image"].ndim == 3
+
+
+def test_cityscapes_panoptic_loader(tmp_path):
+    """reference data/datasets/cityscapes_panoptic.py:51 — remaps category
+    ids to trainIds and emits pan/sem seg file paths."""
+    from jtsm_tpu.data.datasets.cityscapes_panoptic import (
+        CITYSCAPES_CATEGORIES,
+        load_cityscapes_panoptic,
+    )
+
+    img_dir = tmp_path / "leftImg8bit" / "val" / "cityA"
+    img_dir.mkdir(parents=True)
+    gt_dir = tmp_path / "gtFine" / "cityscapes_panoptic_val"
+    gt_dir.mkdir(parents=True)
+    stem = "cityA_000000_000000"
+    Image.new("RGB", (8, 8)).save(img_dir / f"{stem}_leftImg8bit.png")
+    gt_json = tmp_path / "gtFine" / "cityscapes_panoptic_val.json"
+    ann = {
+        "image_id": stem,
+        "file_name": f"{stem}_gtFine_panoptic.png",
+        "segments_info": [
+            {"id": 26001, "category_id": 26, "iscrowd": 0},  # car (thing)
+            {"id": 7, "category_id": 7, "iscrowd": 0},  # road (stuff)
+        ],
+    }
+    gt_json.write_text(json.dumps({"annotations": [ann]}))
+
+    meta = {
+        "thing_dataset_id_to_contiguous_id": {
+            c[0]: c[1] for c in CITYSCAPES_CATEGORIES if c[2]
+        },
+        "stuff_dataset_id_to_contiguous_id": {
+            c[0]: c[1] for c in CITYSCAPES_CATEGORIES if not c[2]
+        },
+    }
+    dicts = load_cityscapes_panoptic(
+        str(tmp_path / "leftImg8bit" / "val"), str(gt_dir), str(gt_json), meta
+    )
+    assert len(dicts) == 1
+    d = dicts[0]
+    cats = {s["category_id"] for s in d["segments_info"]}
+    assert cats == {13, 0}  # car trainId 13, road trainId 0
+    assert d["pan_seg_file_name"].endswith("_gtFine_panoptic.png")
+    assert d["sem_seg_file_name"].endswith("_labelTrainIds.png")

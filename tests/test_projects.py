@@ -834,3 +834,60 @@ def test_densepose_video_and_loaders():
     )
     out = list(loader)
     assert sum(len(b) for b in out) == 3
+
+
+def test_panoptic_deeplab_dataset_mapper(tmp_path):
+    """reference projects/Panoptic-DeepLab/panoptic_deeplab/dataset_mapper.py:19 —
+    panoptic PNG + segments_info -> sem_seg + center/offset targets."""
+    from PIL import Image
+
+    from panoptic_deeplab import (
+        PanopticDeeplabDatasetMapper,
+        add_panoptic_deeplab_config,
+    )
+
+    cfg = get_cfg()
+    add_panoptic_deeplab_config(cfg)
+    cfg.INPUT.MIN_SIZE_TRAIN = (32,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.INPUT.CROP.ENABLED = False
+    cfg.DATASETS.TRAIN = ("coco_2017_train_panoptic_separated",)
+
+    h = w = 32
+    # panoptic id map: segment 26001 (a "thing") fills a blob, 7 is stuff
+    ids = np.full((h, w), 7, np.uint32)
+    ids[8:20, 8:24] = 26001
+    rgb = np.stack(
+        [ids % 256, (ids // 256) % 256, ids // 256**2], -1
+    ).astype(np.uint8)
+    png = tmp_path / "pan.png"
+    Image.fromarray(rgb).save(png)
+    img_file = tmp_path / "img.png"
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(img_file)
+
+    mapper = PanopticDeeplabDatasetMapper(
+        augmentations=[],
+        image_format="RGB",
+        ignore_label=255,
+        thing_ids=[13],
+        sigma=2.0,
+    )
+    d = mapper(
+        {
+            "file_name": str(img_file),
+            "pan_seg_file_name": str(png),
+            "height": h,
+            "width": w,
+            "segments_info": [
+                {"id": 26001, "category_id": 13, "iscrowd": 0},
+                {"id": 7, "category_id": 0, "iscrowd": 0},
+            ],
+        }
+    )
+    assert d["sem_seg"].shape == (h, w)
+    assert set(np.unique(d["sem_seg"])) == {0, 13}
+    assert d["gt_center"].max() > 0.9  # gaussian peak at the blob center
+    assert d["gt_offset_weight"].sum() == (12 * 16)  # thing pixels only
+    # offsets point at the centroid: zero mean over the mask
+    m = d["gt_offset_weight"] > 0
+    assert abs(d["gt_offset"][m].mean()) < 1.0

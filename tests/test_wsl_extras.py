@@ -308,3 +308,45 @@ def test_csc_oicr_heads():
         rngs={"sampling": jax.random.key(2), "dropout": jax.random.key(4)},
     )
     assert "loss_mil" in losses2
+
+
+def test_csc_constraint():
+    """Reference wsl/layers/csc.py:102-140 _CSCConstraint: forward scales by
+    the clamped weight; backward treats the weight as a constant."""
+    from jtsm_tpu.wsl.ops import csc_constraint
+
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    w = jnp.asarray([0.5, -0.25, 0.0])
+    np.testing.assert_allclose(
+        csc_constraint(x, w, polar=True), [0.5, 0.0, 0.0]
+    )
+    np.testing.assert_allclose(
+        csc_constraint(x, w, polar=False), [0.0, 0.5, 0.0]
+    )
+    # grad flows to x scaled by clamped w; none to w
+    gx, gw = jax.grad(lambda a, b: csc_constraint(a, b, True).sum(), (0, 1))(x, w)
+    np.testing.assert_allclose(gx, [0.5, 0.0, 0.0])
+    np.testing.assert_allclose(gw, [0.0, 0.0, 0.0])
+
+
+def test_csc_statistic_writer():
+    """Reference third_party/cpg_stats.py Statistic: per-class accumulation
+    of label / pred / CSC-proposal counters."""
+    from jtsm_tpu.wsl.stats import CSCStatistic
+
+    st = CSCStatistic(max_iter=10, tau=0.5, num_classes=3, log_period=1)
+    labels = np.asarray([[1, 0, 1]], np.float32)
+    preds = np.asarray([[0.9, 0.9, 0.1]], np.float32)
+    csc_out = {
+        "pos_weight": np.asarray([[[1.0, 0.0], [0.0, 0.0], [0.0, 0.0]]]),
+        "neg_weight": np.asarray([[[0.0, 0.5], [0.0, 0.0], [0.0, 1.0]]]),
+        "valid": np.asarray([[True, True]]),
+    }
+    st.update(labels, preds, csc_out)
+    np.testing.assert_allclose(st.label, [1, 0, 1])
+    np.testing.assert_allclose(st.pred, [1, 0, 0])  # masked by label
+    np.testing.assert_allclose(st.num_roi, [2, 0, 2])
+    np.testing.assert_allclose(st.roi_pos, [1, 0, 0])
+    np.testing.assert_allclose(st.roi_neg, [1, 0, 1])
+    np.testing.assert_allclose(st.roi_zero, [0, 0, 1])
+    st.write()  # smoke: logs without error
