@@ -32,7 +32,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 BASELINE_IMGS_PER_SEC = 1.0 / 0.043  # reference V100 inference
 
 
-def main():
+def build_fwd():
+    """Build (fwd, variables, batch_size). Shared with dev/profile_bench.py
+    so both scripts produce byte-identical HLO (same source locations) and
+    share one persistent-cache entry."""
     from jtsm_tpu.config import get_cfg
     from jtsm_tpu.modeling import build_model
 
@@ -72,7 +75,11 @@ def main():
             + out["classes"].sum()
         )
 
-    fwd = jax.jit(step)
+    return jax.jit(step), variables, b
+
+
+def main():
+    fwd, variables, b = build_fwd()
     t0 = time.time()
     float(fwd(variables, 0))
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)

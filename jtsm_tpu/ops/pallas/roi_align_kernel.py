@@ -199,11 +199,21 @@ def _make_resident_kernel(
     selects the per-ROI contraction strategy (see _roi_contract)."""
 
     def _roi_contract(win, wy, wx, out_dtype, p):
-        win = win.astype(jnp.float32)
-        kw = dict(
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if "bf16" in mode:
+            # bf16 operands, f32 accumulate: one MXU pass per tile instead
+            # of the 3/6-pass f32 emulation. Weight quantization adds
+            # ~4e-3 relative — comparable to the bf16 feature rounding
+            # already present on the compute path.
+            win = win.astype(jnp.bfloat16)
+            wy = wy.astype(jnp.bfloat16)
+            wx = wx.astype(jnp.bfloat16)
+            kw = dict(preferred_element_type=jnp.float32)
+        else:
+            win = win.astype(jnp.float32)
+            kw = dict(
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         if mode == "xfirst":
             tmp = jax.lax.dot_general(
                 wx, win, dimension_numbers=(((1,), (1,)), ((), ())), **kw
@@ -212,12 +222,28 @@ def _make_resident_kernel(
                 wy, tmp, dimension_numbers=(((1,), (1,)), ((), ())), **kw
             )
             return out.astype(out_dtype)
+        if mode.startswith("kron"):
+            # ONE matmul per ROI: the (P*P, WIN*WIN) Kronecker weight
+            # wy (x) wx against the window flattened to (WIN*WIN, C) — the
+            # caller passes ``win`` already flat via a ref-level reshape
+            # ((i, j, c) -> (i*j, c) is physically free: the (8,128) tiling
+            # of (j, c) equals that of (ij, c) blockwise), so K=WIN*WIN
+            # rides the MXU as one long contraction instead of ~P+1 tiny
+            # launches.
+            w2 = (wy[:, None, :, None] * wx[None, :, None, :]).reshape(
+                p * p, WIN * WIN
+            )
+            out = jax.lax.dot_general(
+                w2, win, dimension_numbers=(((1,), (0,)), ((), ())), **kw
+            )
+            return out.reshape(p, p, -1).astype(out_dtype)
         # "yfirst": contract the window's leading (row) dim first — a clean
         # (P, WIN) @ (WIN, WIN*C) matmul in the buffer's natural layout —
         # then P small (P, WIN) @ (WIN, C) matmuls for the x axis
         s1 = jax.lax.dot_general(
             wy, win, dimension_numbers=(((1,), (0,)), ((), ())), **kw
         )  # (P, WIN, C)
+        s1 = s1.astype(win.dtype)  # keep operand dtypes uniform for stage 2
         rows = [
             jax.lax.dot_general(
                 wx, s1[q], dimension_numbers=(((1,), (0,)), ((), ())), **kw
@@ -241,13 +267,13 @@ def _make_resident_kernel(
         def _load_levels():
             for l in range(num_levels):
                 pltpu.make_async_copy(
-                    level_refs[l].at[pl.ds(b * h_sizes[l], h_sizes[l] + win_rows)],
+                    level_refs[l].at[pl.ds(b * h_sizes[l], h_sizes[l])],
                     bufs[l],
                     sems.at[l],
                 ).start()
             for l in range(num_levels):
                 pltpu.make_async_copy(
-                    level_refs[l].at[pl.ds(0, h_sizes[l] + win_rows)],
+                    level_refs[l].at[pl.ds(0, h_sizes[l])],
                     bufs[l],
                     sems.at[l],
                 ).wait()
@@ -265,8 +291,14 @@ def _make_resident_kernel(
                         wbuf[...] = bufs[l][
                             pl.ds(oy, win_rows), pl.ds(oxi, WIN), :
                         ]
+                c_out = out_ref.shape[-1]
+                win_val = (
+                    wbuf.reshape(WIN * WIN, c_out)[...]
+                    if mode.startswith("kron")
+                    else wbuf[...]
+                )
                 out_ref[g] = _roi_contract(
-                    wbuf[...], wy_ref[g], wx_ref[g], out_ref.dtype, p
+                    win_val, wy_ref[g], wx_ref[g], out_ref.dtype, p
                 )
             else:
                 for l in range(num_levels):
@@ -326,7 +358,7 @@ def _pallas_call_resident(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((h_sizes[l] + WIN, levels3d[l].shape[1], c), levels3d[l].dtype)
+            pltpu.VMEM((h_sizes[l], levels3d[l].shape[1], c), levels3d[l].dtype)
             for l in range(num_levels)
         ]
         + [pltpu.SemaphoreType.DMA((num_levels,))]
@@ -438,7 +470,11 @@ def roi_align_multilevel_pallas(
     s = max(sampling_ratio, 1)
     p = output_size
 
-    # pad W to a multiple of ALIGN and both dims to >= WIN + slack
+    # pad W to a multiple of ALIGN and both dims to >= WIN. No bottom slack:
+    # window y-origins are clamped to H - WIN below, so reads never overrun
+    # an image's rows — this keeps the (B,H,W,C)->(BH,W,C) reshape copy-free
+    # for the big levels (a +WIN bottom jnp.pad forced XLA to copy the
+    # whole 2.2 GB P2 tensor at batch 64; profiled at ~13 ms/step).
     padded = []
     for f in features:
         b, h, w, _ = f.shape
@@ -446,12 +482,7 @@ def roi_align_multilevel_pallas(
         hp = max(h, WIN)
         f2 = jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         padded.append(f2)
-    # extra WIN rows of slack at the bottom of each level so windows of the
-    # last image never overrun the buffer
-    levels3d = [
-        jnp.pad(f.reshape(-1, f.shape[2], c), ((0, WIN), (0, 0), (0, 0)))
-        for f in padded
-    ]
+    levels3d = [f.reshape(-1, f.shape[2], c) for f in padded]
 
     hs = jnp.asarray([f.shape[1] for f in padded], jnp.int32)
     ws_pad = jnp.asarray([f.shape[2] for f in padded], jnp.int32)
@@ -485,10 +516,11 @@ def roi_align_multilevel_pallas(
     ox = jnp.clip(jnp.floor(x0).astype(jnp.int32) - 1, 0, None)
     ox = (ox // ALIGN) * ALIGN
     ox = jnp.minimum(ox, ((ws_pad[lvl] - WIN) // ALIGN) * ALIGN)
+    # clamp the y origin like the x origin so [oy, oy+WIN) stays inside the
+    # image's rows (weights are built against the clamped origin, so the
+    # samples are identical; see the span-fits-window bump above)
     oy = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, None)
-    # oy may not exceed the level's row extent (windows then read the +WIN
-    # slack rows / next image's rows, which carry zero axis weight)
-    oy = jnp.minimum(oy, hs[lvl])
+    oy = jnp.minimum(oy, hs[lvl] - WIN)
     row0 = batch_indices.astype(jnp.int32) * h_p + oy
 
     # smallest window bucket covering [origin, floor(min(hi, extent-1))] +
@@ -516,16 +548,17 @@ def roi_align_multilevel_pallas(
     b = features[0].shape[0]
     h_sizes = tuple(int(f.shape[1]) for f in padded)
     pyramid_bytes = sum(
-        (h_sizes[l] + WIN) * levels3d[l].shape[1] * c * levels3d[l].dtype.itemsize
+        h_sizes[l] * levels3d[l].shape[1] * c * levels3d[l].dtype.itemsize
         for l in range(num_levels)
     )
     import os
 
-    # level-resident kernel: opt-in while being validated at bench scale
-    # (JTSM_RESIDENT_MODE=yfirst_copy is the measured best variant)
-    mode = os.environ.get("JTSM_RESIDENT_MODE")
+    # level-resident kernel (default): yfirst_copy won the on-chip mode
+    # sweep and the bench (607->594 ms/batch-64 on top of the windowed
+    # kernel). JTSM_RESIDENT_MODE=off falls back to the windowed kernel.
+    mode = os.environ.get("JTSM_RESIDENT_MODE", "yfirst_copy")
     if (
-        mode
+        mode not in ("", "off")
         and rois_per_image is not None
         and r == b * rois_per_image
         and pyramid_bytes <= RESIDENT_VMEM_BUDGET

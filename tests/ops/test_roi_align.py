@@ -123,3 +123,47 @@ def test_roi_align_differentiable():
     g = jax.grad(f)(feat)
     assert g.shape == feat.shape
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_resident_pallas_kernel_interpret(monkeypatch):
+    """Level-resident Pallas ROIAlign == XLA formulation at matched (bumped)
+    levels, via TPU interpret mode on CPU (kernel file:
+    jtsm_tpu/ops/pallas/roi_align_kernel.py _make_resident_kernel)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jtsm_tpu.modeling.poolers import assign_boxes_to_levels
+    from jtsm_tpu.ops.pallas.roi_align_kernel import (
+        _bumped_levels,
+        roi_align_multilevel_pallas,
+    )
+    from jtsm_tpu.ops.roi_align import roi_align_multilevel
+
+    monkeypatch.setenv("JTSM_RESIDENT_MODE", "yfirst_copy")
+    rng = np.random.RandomState(0)
+    b, k, c = 1, 4, 256
+    feats = [
+        jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+        for h, w in ((48, 48), (24, 24))
+    ]
+    scales = (0.25, 0.125)
+    x0 = rng.uniform(0, 150, (b * k,))
+    y0 = rng.uniform(0, 150, (b * k,))
+    boxes = jnp.asarray(
+        np.stack(
+            [x0, y0, x0 + rng.uniform(4, 40, (b * k,)), y0 + rng.uniform(4, 40, (b * k,))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    levels = assign_boxes_to_levels(boxes, 2, 3)
+    with pltpu.force_tpu_interpret_mode():
+        out = roi_align_multilevel_pallas(
+            feats, scales, boxes, bidx, levels, 7, 2, k
+        )
+    blvl = _bumped_levels(feats, scales, boxes, levels)
+    ref = roi_align_multilevel(
+        tuple(feats), scales, boxes, bidx, blvl, (7, 7), 2, True
+    )
+    assert float(jnp.abs(out - ref).max()) < 1e-4
