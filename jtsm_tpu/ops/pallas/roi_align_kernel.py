@@ -553,10 +553,12 @@ def roi_align_multilevel_pallas(
     )
     import os
 
-    # level-resident kernel (default): yfirst_copy won the on-chip mode
-    # sweep and the bench (607->594 ms/batch-64 on top of the windowed
-    # kernel). JTSM_RESIDENT_MODE=off falls back to the windowed kernel.
-    mode = os.environ.get("JTSM_RESIDENT_MODE", "yfirst_copy")
+    # level-resident kernel (default): yfirst_bf16_copy won the on-chip
+    # mode sweep (1.9 us/ROI vs 3.6 windowed / 3.3 yfirst_copy at 4k ROIs;
+    # bf16 operands halve MXU passes, accuracy within 2x the bf16 feature
+    # rounding). JTSM_RESIDENT_MODE=yfirst_copy restores f32 contraction;
+    # =off falls back to the windowed per-ROI-DMA kernel.
+    mode = os.environ.get("JTSM_RESIDENT_MODE", "yfirst_bf16_copy")
     if (
         mode not in ("", "off")
         and rois_per_image is not None
