@@ -10,3 +10,5 @@ from .dataset_mapper import DatasetMapper
 from . import detection_utils
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]
+
+from . import datasets  # noqa: E402,F401  (registers builtin datasets)

@@ -17,3 +17,7 @@ __all__ = [
     "load_cityscapes_semantic",
     "register_cityscapes",
 ]
+
+# eager builtin-dataset registration on import, matching the reference
+# (detectron2/data/datasets/__init__.py imports builtin for its side effect)
+from . import builtin as _builtin  # noqa: E402,F401

@@ -15,8 +15,22 @@ _PREDEFINED_SPLITS_COCO = {
     "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
     "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
     "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+    "coco_2017_test": ("coco/test2017", "coco/annotations/image_info_test2017.json"),
+    "coco_2017_test-dev": (
+        "coco/test2017",
+        "coco/annotations/image_info_test-dev2017.json",
+    ),
     "coco_2014_train": ("coco/train2014", "coco/annotations/instances_train2014.json"),
     "coco_2014_val": ("coco/val2014", "coco/annotations/instances_val2014.json"),
+    "coco_2014_minival": ("coco/val2014", "coco/annotations/instances_minival2014.json"),
+    "coco_2014_minival_100": (
+        "coco/val2014",
+        "coco/annotations/instances_minival2014_100.json",
+    ),
+    "coco_2014_valminusminival": (
+        "coco/val2014",
+        "coco/annotations/instances_valminusminival2014.json",
+    ),
 }
 
 _PREDEFINED_SPLITS_COCO_PERSON = {
@@ -27,6 +41,10 @@ _PREDEFINED_SPLITS_COCO_PERSON = {
     "keypoints_coco_2017_val": (
         "coco/val2017",
         "coco/annotations/person_keypoints_val2017.json",
+    ),
+    "keypoints_coco_2017_val_100": (
+        "coco/val2017",
+        "coco/annotations/person_keypoints_val2017_100.json",
     ),
 }
 
@@ -40,6 +58,11 @@ _PREDEFINED_SPLITS_COCO_PANOPTIC = {
         "coco/panoptic_val2017",
         "coco/annotations/panoptic_val2017.json",
         "coco/panoptic_stuff_val2017",
+    ),
+    "coco_2017_val_100_panoptic": (
+        "coco/panoptic_val2017_100",
+        "coco/annotations/panoptic_val2017_100.json",
+        "coco/panoptic_stuff_val2017_100",
     ),
 }
 
@@ -100,6 +123,21 @@ def register_coco_panoptic_separated(
         evaluator_type="coco_panoptic_seg",
         **metadata,
     )
+
+    # semantic-only variant (reference register_all_coco_panoptic:
+    # "<name>_stuffonly" — just the stuff PNGs, for SemanticSegmentor)
+    stuff_name = name + "_stuffonly"
+    DatasetCatalog.register(
+        stuff_name, lambda: load_sem_seg(sem_seg_root, image_root)
+    )
+    stuff_meta = dict(metadata)
+    stuff_meta.setdefault("ignore_label", 255)
+    stuff_meta.update(
+        sem_seg_root=sem_seg_root,
+        image_root=image_root,
+        evaluator_type="sem_seg",
+    )
+    MetadataCatalog.get(stuff_name).set(**stuff_meta)
 
 
 def register_all_coco_panoptic(root: str) -> None:

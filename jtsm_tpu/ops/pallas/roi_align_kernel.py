@@ -244,6 +244,14 @@ def _make_resident_kernel(
             wy, win, dimension_numbers=(((1,), (0,)), ((), ())), **kw
         )  # (P, WIN, C)
         s1 = s1.astype(win.dtype)  # keep operand dtypes uniform for stage 2
+        if "ybatch" in mode:
+            # stage 2 as ONE batched matmul over the P rows instead of P
+            # separate launches
+            wxb = jnp.broadcast_to(wx[None], (p,) + wx.shape)
+            out = jax.lax.dot_general(
+                wxb, s1, dimension_numbers=(((2,), (1,)), ((0,), (0,))), **kw
+            )  # (P, P, C)
+            return out.astype(out_dtype)
         rows = [
             jax.lax.dot_general(
                 wx, s1[q], dimension_numbers=(((1,), (0,)), ((), ())), **kw
