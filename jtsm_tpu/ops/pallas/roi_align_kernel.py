@@ -196,7 +196,8 @@ GROUP = 8
 
 
 def _make_resident_kernel(
-    num_levels: int, group: int, rb: int, h_sizes, win_rows: int, mode: str
+    num_levels: int, group: int, rb: int, h_sizes, win_rows: int, mode: str,
+    img0: int = 0,
 ):
     """Grid (B, rb): step (b, 0) copies image b's level slabs into VMEM;
     every step computes ``group`` ROIs by slicing windows from the resident
@@ -280,7 +281,9 @@ def _make_resident_kernel(
         def _load_levels():
             for l in range(num_levels):
                 pltpu.make_async_copy(
-                    level_refs[l].at[pl.ds(b * h_sizes[l], h_sizes[l])],
+                    level_refs[l].at[
+                        pl.ds((img0 + b) * h_sizes[l], h_sizes[l])
+                    ],
                     bufs[l],
                     sems.at[l],
                 ).start()
@@ -338,11 +341,13 @@ def _resident_group(rois_per_image: int) -> int:
 
 
 @partial(
-    jax.jit, static_argnames=("output_size", "rois_per_image", "h_sizes", "mode")
+    jax.jit,
+    static_argnames=("output_size", "rois_per_image", "h_sizes", "mode", "img0"),
 )
 def _pallas_call_resident(
     levels3d, lvl_idx, oy, ox_div, wy, wx, output_size: int,
     rois_per_image: int, h_sizes: Tuple[int, ...], mode: str = "xfirst",
+    img0: int = 0,
 ):
     r = lvl_idx.shape[0]
     c = levels3d[0].shape[-1]
@@ -382,7 +387,7 @@ def _pallas_call_resident(
         ),
     )
     return pl.pallas_call(
-        _make_resident_kernel(num_levels, group, rb, h_sizes, WIN, mode),
+        _make_resident_kernel(num_levels, group, rb, h_sizes, WIN, mode, img0),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, p, p, c), levels3d[0].dtype),
         compiler_params=pltpu.CompilerParams(
@@ -578,18 +583,35 @@ def roi_align_multilevel_pallas(
         and r == b * rois_per_image
         and pyramid_bytes <= RESIDENT_VMEM_BUDGET
     ):
-        return _pallas_call_resident(
-            tuple(levels3d),
-            lvl,
-            oy.astype(jnp.int32),
-            (ox // ALIGN).astype(jnp.int32),
-            wy,
-            wx,
-            p,
-            rois_per_image,
-            h_sizes,
-            mode,
+        # the scalar-prefetch arrays live in SMEM (1 MB): chunk the image
+        # axis so lvl/oy/ox stay under ~850 KB per kernel call (batch 128
+        # at 1000 ROIs/img otherwise overflows SMEM)
+        max_rois_per_call = int(
+            os.environ.get("JTSM_RESIDENT_MAX_SMEM_ROIS", (850 * 1024) // 12)
         )
+        imgs_per_chunk = max(1, max_rois_per_call // rois_per_image)
+        oyi = oy.astype(jnp.int32)
+        oxi = (ox // ALIGN).astype(jnp.int32)
+        outs = []
+        for i0 in range(0, b, imgs_per_chunk):
+            i1 = min(i0 + imgs_per_chunk, b)
+            sl = slice(i0 * rois_per_image, i1 * rois_per_image)
+            outs.append(
+                _pallas_call_resident(
+                    tuple(levels3d),
+                    lvl[sl],
+                    oyi[sl],
+                    oxi[sl],
+                    wy[sl],
+                    wx[sl],
+                    p,
+                    rois_per_image,
+                    h_sizes,
+                    mode,
+                    i0,
+                )
+            )
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     return _pallas_call(
         tuple(levels3d),
