@@ -94,6 +94,15 @@ def main():
         file=sys.stderr,
     )
 
+    if os.environ.get("BENCH_PROFILE"):
+        logdir = "/tmp/jtsm_profile_train"
+        os.makedirs(logdir, exist_ok=True)
+        with jax.profiler.trace(logdir):
+            for i in range(1, 3):
+                state, metrics = train_step(state, make_batch(i))
+            jax.block_until_ready(metrics)
+        print(f"trace dumped to {logdir}", file=sys.stderr)
+
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     t0 = time.time()
     for i in range(1, 1 + iters):
