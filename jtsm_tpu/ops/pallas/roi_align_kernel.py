@@ -397,6 +397,157 @@ def _pallas_call_resident(
     )(lvl_idx, oy, ox_div, wy, wx, *levels3d)
 
 
+
+
+def _make_resident_bwd_kernel(num_levels, group, rb, h_sizes, mode):
+    """Transpose of the resident forward: per ROI, expand the (P, P, C)
+    output cotangent back to its (WIN, WIN, C) window via the transposed
+    separable matmuls and ACCUMULATE into the image's VMEM-resident
+    gradient pyramid; write each level back to HBM once per image. This
+    replaces XLA's scatter-add lowering of the pooler backward, which was
+    35% of the Mask R-CNN train step (8 fusions x 29 ms at batch 16)."""
+
+    def kernel(lvl_ref, oy_ref, ox_ref, dout_ref, wy_ref, wx_ref, *refs):
+        out_refs = refs[:num_levels]
+        bufs = refs[num_levels : 2 * num_levels]
+        sems = refs[2 * num_levels]
+
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        nb = pl.num_programs(0)
+
+        @pl.when(j == 0)
+        def _start_image():
+            @pl.when(b > 0)
+            def _():
+                # previous image's writeback must finish before we reuse
+                # the buffers
+                for l in range(num_levels):
+                    pltpu.make_async_copy(
+                        out_refs[l].at[pl.ds(0, h_sizes[l])],
+                        bufs[l],
+                        sems.at[l],
+                    ).wait()
+            for l in range(num_levels):
+                bufs[l][...] = jnp.zeros_like(bufs[l])
+
+        for g in range(group):
+            i = (b * rb + j) * group + g
+            lv = lvl_ref[i]
+            oy = oy_ref[i]
+            oxi = pl.multiple_of(ox_ref[i] * ALIGN, ALIGN)
+            dout = dout_ref[g]
+            wy = wy_ref[g]
+            wx = wx_ref[g]
+            if "bf16" in mode:
+                dout = dout.astype(jnp.bfloat16)
+                wy = wy.astype(jnp.bfloat16)
+                wx = wx.astype(jnp.bfloat16)
+                kw = dict(preferred_element_type=jnp.float32)
+            else:
+                dout = dout.astype(jnp.float32)
+                wy = wy.astype(jnp.float32)
+                wx = wx.astype(jnp.float32)
+                kw = dict(
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            # v[j, p, c] = sum_q wx[q, j] dout[p, q, c]
+            v = jax.lax.dot_general(
+                wx, dout, dimension_numbers=(((0,), (1,)), ((), ())), **kw
+            ).astype(dout.dtype)
+            # dwin[i, j, c] = sum_p wy[p, i] v[j, p, c]
+            dwin = jax.lax.dot_general(
+                wy, v, dimension_numbers=(((0,), (1,)), ((), ())), **kw
+            )
+            for l in range(num_levels):
+                @pl.when(lv == l)
+                def _(l=l, g=g, oy=oy, oxi=oxi, dwin=dwin):
+                    cur = bufs[l][pl.ds(oy, WIN), pl.ds(oxi, WIN), :]
+                    bufs[l][pl.ds(oy, WIN), pl.ds(oxi, WIN), :] = (
+                        cur + dwin.astype(bufs[l].dtype)
+                    )
+
+        @pl.when(j == rb - 1)
+        def _end_image():
+            for l in range(num_levels):
+                pltpu.make_async_copy(
+                    bufs[l],
+                    out_refs[l].at[pl.ds(b * h_sizes[l], h_sizes[l])],
+                    sems.at[l],
+                ).start()
+
+            @pl.when(b == nb - 1)
+            def _():
+                for l in range(num_levels):
+                    pltpu.make_async_copy(
+                        out_refs[l].at[pl.ds(0, h_sizes[l])],
+                        bufs[l],
+                        sems.at[l],
+                    ).wait()
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "output_size", "rois_per_image", "h_sizes", "w_pads", "mode", "dtype"
+    ),
+)
+def _pallas_call_resident_bwd(
+    dout, lvl_idx, oy, ox_div, wy, wx, output_size: int,
+    rois_per_image: int, h_sizes: Tuple[int, ...], w_pads: Tuple[int, ...],
+    mode: str, dtype,
+):
+    r = lvl_idx.shape[0]
+    c = dout.shape[-1]
+    p = output_size
+    num_levels = len(h_sizes)
+    b = r // rois_per_image
+    group = _resident_group(rois_per_image)
+    rb = rois_per_image // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lvl, oy, ox_div
+        grid=(b, rb),
+        in_specs=[
+            pl.BlockSpec(
+                (group, p, p, c), lambda bi, j, *_: (bi * rb + j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, p, WIN), lambda bi, j, *_: (bi * rb + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, p, WIN), lambda bi, j, *_: (bi * rb + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h_sizes[l], w_pads[l], c), dtype)
+            for l in range(num_levels)
+        ]
+        + [pltpu.SemaphoreType.DMA((num_levels,))],
+    )
+    return pl.pallas_call(
+        _make_resident_bwd_kernel(num_levels, group, rb, h_sizes, mode),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h_sizes[l], w_pads[l], c), dtype)
+            for l in range(num_levels)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(lvl_idx, oy, ox_div, dout, wy, wx)
+
+
 @partial(jax.jit, static_argnames=("output_size",))
 def _pallas_call(levels3d, lvl_idx, row0, ox_div, ybkt, wy, wx, output_size: int):
     r = lvl_idx.shape[0]
@@ -636,15 +787,137 @@ def _fwd(
     return out, (features, boxes, batch_indices, levels)
 
 
+def _resident_geometry(shapes, spatial_scales, boxes, levels, p, s):
+    """Window geometry for the resident kernels, from feature SHAPES only
+    (the backward never touches feature values — ROIAlign is linear).
+    MUST mirror the forward wrapper's math exactly (same bump, clamps and
+    weight construction)."""
+    num_levels = len(shapes)
+    h_sizes = tuple(max(h, WIN) for (_, h, _, _) in shapes)
+    w_pads = tuple(
+        max(((w + ALIGN - 1) // ALIGN) * ALIGN, WIN) for (_, _, w, _) in shapes
+    )
+    hs = jnp.asarray(h_sizes, jnp.int32)
+    ws_pad = jnp.asarray(w_pads, jnp.int32)
+    hs_true = jnp.asarray([h for (_, h, _, _) in shapes], jnp.int32)
+    ws_true = jnp.asarray([w for (_, _, w, _) in shapes], jnp.int32)
+    scales = jnp.asarray(spatial_scales, jnp.float32)
+
+    lvl = levels.astype(jnp.int32)
+    usable = WIN - ALIGN + 1 - 2
+    for _ in range(num_levels - 1):
+        sc = scales[lvl]
+        span = jnp.maximum(
+            (boxes[:, 2] - boxes[:, 0]) * sc, (boxes[:, 3] - boxes[:, 1]) * sc
+        )
+        lvl = jnp.where((span > usable) & (lvl < num_levels - 1), lvl + 1, lvl)
+
+    sc = scales[lvl]
+    h_l = hs_true[lvl]
+    w_l = ws_true[lvl]
+    x0 = boxes[:, 0] * sc - 0.5
+    y0 = boxes[:, 1] * sc - 0.5
+    x1 = boxes[:, 2] * sc - 0.5
+    y1 = boxes[:, 3] * sc - 0.5
+    bin_w = (x1 - x0) / p
+    bin_h = (y1 - y0) / p
+
+    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32) - 1, 0, None)
+    ox = (ox // ALIGN) * ALIGN
+    ox = jnp.minimum(ox, ((ws_pad[lvl] - WIN) // ALIGN) * ALIGN)
+    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, None)
+    oy = jnp.minimum(oy, hs[lvl] - WIN)
+
+    wy = jax.vmap(
+        lambda st, bs, o, sz: _axis_weights(
+            st, bs, o.astype(jnp.float32), sz.astype(jnp.float32), p, s
+        )
+    )(y0, bin_h, oy, h_l)
+    wx = jax.vmap(
+        lambda st, bs, o, sz: _axis_weights(
+            st, bs, o.astype(jnp.float32), sz.astype(jnp.float32), p, s
+        )
+    )(x0, bin_w, ox, w_l)
+    return lvl, oy, (ox // ALIGN).astype(jnp.int32), wy, wx, h_sizes, w_pads
+
+
 def _bwd(spatial_scales, output_size, sampling_ratio, rois_per_image, residuals, g):
-    """Backward without re-running the forward: ROIAlign is LINEAR in the
-    features (boxes fix the sample indices/weights), so the exact cotangent
-    is ``jax.linear_transpose`` of the XLA formulation — XLA emits its fused
-    scatter-add directly, and the expensive gather forward that a plain
-    ``jax.vjp`` would execute just to build residuals never runs."""
+    """Backward without re-running the forward. Resident-eligible calls use
+    the transposed Pallas kernel (per-ROI window-grad accumulation into a
+    VMEM-resident gradient pyramid — replaces XLA scatter-adds that were
+    35% of the train step); otherwise ROIAlign is LINEAR in the features,
+    so the exact cotangent is ``jax.linear_transpose`` of the XLA
+    formulation."""
+    import os
+
     from ..roi_align import roi_align_multilevel
 
     features, boxes, batch_indices, levels = residuals
+    zeros_like = lambda x: jnp.zeros_like(x)
+    nondiff_zeros = (
+        jax.tree_util.tree_map(zeros_like, boxes),
+        jax.tree_util.tree_map(zeros_like, batch_indices),
+        jax.tree_util.tree_map(zeros_like, levels),
+    )
+
+    r = boxes.shape[0]
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    p = output_size
+    s = max(sampling_ratio, 1)
+    shapes = tuple(tuple(f.shape) for f in features)
+    h_sizes = tuple(max(h, WIN) for (_, h, _, _) in shapes)
+    w_pads = tuple(
+        max(((w + ALIGN - 1) // ALIGN) * ALIGN, WIN) for (_, _, w, _) in shapes
+    )
+    pyramid_bytes = sum(
+        h_sizes[l] * w_pads[l] * c * features[l].dtype.itemsize
+        for l in range(len(features))
+    )
+    mode = os.environ.get("JTSM_RESIDENT_MODE", "yfirst_bf16_copy")
+    if (
+        mode not in ("", "off")
+        and rois_per_image is not None
+        and r == b * rois_per_image
+        and pyramid_bytes <= RESIDENT_VMEM_BUDGET
+    ):
+        lvl, oy, ox_div, wy, wx, h_sizes, w_pads = _resident_geometry(
+            shapes, spatial_scales, boxes, levels, p, s
+        )
+        dout = g.astype(features[0].dtype)
+        max_rois_per_call = int(
+            os.environ.get("JTSM_RESIDENT_MAX_SMEM_ROIS", (850 * 1024) // 12)
+        )
+        imgs_per_chunk = max(1, max_rois_per_call // rois_per_image)
+        chunk_outs = []
+        for i0 in range(0, b, imgs_per_chunk):
+            i1 = min(i0 + imgs_per_chunk, b)
+            sl = slice(i0 * rois_per_image, i1 * rois_per_image)
+            chunk_outs.append(
+                _pallas_call_resident_bwd(
+                    dout[sl],
+                    lvl[sl],
+                    oy.astype(jnp.int32)[sl],
+                    ox_div[sl],
+                    wy[sl],
+                    wx[sl],
+                    p,
+                    rois_per_image,
+                    h_sizes,
+                    w_pads,
+                    mode,
+                    features[0].dtype,
+                )
+            )
+        dfeats = []
+        for l, (bs, h, w, _) in enumerate(shapes):
+            parts = [co[l] for co in chunk_outs]
+            flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            df = flat.reshape(bs, h_sizes[l], w_pads[l], c)[:, :h, :w, :]
+            dfeats.append(df)
+        dfeats = tuple(dfeats) if isinstance(features, tuple) else list(dfeats)
+        return (dfeats,) + nondiff_zeros
+
     lvl = _bumped_levels(features, spatial_scales, boxes, levels)
 
     def ref(feats):
@@ -659,18 +932,12 @@ def _bwd(spatial_scales, output_size, sampling_ratio, rois_per_image, residuals,
             True,
         )
 
-    shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in features]
-    transpose = jax.linear_transpose(ref, list(shapes))
+    ref_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in features]
+    transpose = jax.linear_transpose(ref, list(ref_shapes))
     (dfeats,) = transpose(g.astype(features[0].dtype))
     if isinstance(features, tuple):
         dfeats = tuple(dfeats)
-    zeros_like = lambda x: jnp.zeros_like(x)
-    return (
-        dfeats,
-        jax.tree_util.tree_map(zeros_like, boxes),
-        jax.tree_util.tree_map(zeros_like, batch_indices),
-        jax.tree_util.tree_map(zeros_like, levels),
-    )
+    return (dfeats,) + nondiff_zeros
 
 
 roi_align_multilevel_pallas.defvjp(_fwd, _bwd)
