@@ -71,21 +71,35 @@ def rasterize_polygons_within_box(
 def crop_and_resize_masks(masks: Array, boxes: Array, mask_size: int) -> Array:
     """Bilinear crop of full-image (N, H, W) masks to (N, S, S) by the aligned
     ROIAlign convention (half-pixel centers). jit-able; replaces the reference
-    route through the ROIAlign CUDA op (masks.py:169)."""
-    n = masks.shape[0]
+    route through the ROIAlign CUDA op (masks.py:169).
+
+    Implemented as SEPARABLE batched matmuls (one 1-D hat-weight matrix per
+    axis) rather than a 4-corner gather: bilinear-with-zero-padding is the
+    tensor product of two 1-D interpolations, and TPU gathers run at ~1
+    element/cycle (profiled 90 ms/train-step for mask targets at batch 16)
+    while the dense form rides the MXU."""
     s = mask_size
 
-    def one(mask, box):
-        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
-        bin_w = (x1 - x0) / s
-        bin_h = (y1 - y0) / s
+    def axis_w(c0, bin_sz, m):
         # sample one point per output bin at the bin center (sampling_ratio=1)
-        ys = y0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bin_h - 0.5
-        xs = x0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bin_w - 0.5
-        return _bilinear_sample_2d(mask.astype(jnp.float32), ys, xs)
+        coords = c0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bin_sz - 0.5
+        lo = jnp.floor(coords)
+        f = coords - lo
+        loi = lo.astype(jnp.int32)
+        k = jnp.arange(m, dtype=jnp.int32)[None, :]
+        # taps outside [0, m) simply never match k -> zero padding, exactly
+        # the gather formulation's valid-masking
+        return jnp.where(k == loi[:, None], (1.0 - f)[:, None], 0.0) + jnp.where(
+            k == loi[:, None] + 1, f[:, None], 0.0
+        )  # (s, m)
 
-    out = jax.vmap(one)(masks, boxes)
-    return out
+    h, w = masks.shape[-2:]
+    wy = jax.vmap(lambda b: axis_w(b[1], (b[3] - b[1]) / s, h))(boxes)
+    wx = jax.vmap(lambda b: axis_w(b[0], (b[2] - b[0]) / s, w))(boxes)
+    m = masks.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST  # keep exact f32 (TPU default truncates to bf16)
+    tmp = jnp.einsum("nih,nhw->niw", wy, m, precision=hp)
+    return jnp.einsum("njw,niw->nij", wx, tmp, precision=hp)
 
 
 def _bilinear_sample_2d(img: Array, ys: Array, xs: Array) -> Array:

@@ -56,3 +56,38 @@ def test_polygonmasks_basic():
     np.testing.assert_allclose(np.asarray(bb.tensor), [[0, 0, 10, 10]])
     crop = pm.crop_and_resize(np.array([[0, 0, 10, 10]]), 8)
     assert np.asarray(crop).mean() > 0.8
+
+
+def test_crop_and_resize_masks_separable_equals_gather():
+    """crop_and_resize_masks (separable-matmul form) == the 4-corner
+    zero-padded bilinear gather (structures/masks.py _bilinear_sample_2d),
+    including boxes that poke outside the mask."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jtsm_tpu.structures.masks import (
+        _bilinear_sample_2d,
+        crop_and_resize_masks,
+    )
+
+    rng = np.random.RandomState(1)
+    masks = jnp.asarray(rng.rand(5, 33, 41) > 0.5)
+    bx = []
+    for _ in range(5):
+        x0, y0 = rng.uniform(-6, 25, 2)
+        bx.append([x0, y0, x0 + rng.uniform(3, 45), y0 + rng.uniform(3, 45)])
+    boxes = jnp.asarray(bx, jnp.float32)
+
+    def gather_ref(masks, boxes, s):
+        def one(mask, box):
+            x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+            ys = y0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * ((y1 - y0) / s) - 0.5
+            xs = x0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * ((x1 - x0) / s) - 0.5
+            return _bilinear_sample_2d(mask.astype(jnp.float32), ys, xs)
+
+        return jax.vmap(one)(masks, boxes)
+
+    a = gather_ref(masks, boxes, 14)
+    b = crop_and_resize_masks(masks, boxes, 14)
+    assert float(jnp.abs(a - b).max()) < 1e-5
