@@ -62,12 +62,16 @@ def _random_topk_mask_dynamic(
     """Like _random_topk_mask but with a traced cap (bounded by static k_max)."""
     n = eligible.shape[0]
     priority = jnp.where(eligible, jax.random.uniform(rng, (n,)), -1.0)
-    sorted_p = jnp.sort(priority)[::-1]  # desc
-    k_dynamic = jnp.clip(k_dynamic, 0, min(k_max, n))
+    # only the k_max largest priorities can ever be the threshold: a
+    # partial top-k replaces the full descending sort (profiled 7.8 ms per
+    # (16, 268k)-anchor sort in the RPN sampler)
+    kk = min(k_max, n)
+    top_p = jax.lax.top_k(priority, kk)[0]  # desc
+    k_dynamic = jnp.clip(k_dynamic, 0, kk)
     # threshold = k-th largest priority (or -inf when k == 0)
     kth = jnp.where(
         k_dynamic > 0,
-        sorted_p[jnp.clip(k_dynamic - 1, 0, n - 1)],
+        top_p[jnp.clip(k_dynamic - 1, 0, kk - 1)],
         jnp.inf,
     )
     mask = eligible & (priority >= kth) & (priority > 0.0)
