@@ -1,6 +1,9 @@
 #!/bin/bash -e
 # Smoke-train every quick-schedule instant-test config for a few iterations
 # (reference: dev/run_instant_tests.sh).
+# Offline: `python dev/make_synthetic_coco.py` fabricates the
+# coco_2017_val_100 / keypoints / panoptic trees these configs expect;
+# add `MODEL.WEIGHTS ""` when the pretrained URL is unreachable.
 BIN="python tools/train_net.py"
 OUTPUT="instant_test_output"
 CFG_LIST=( "${@:1}" )
