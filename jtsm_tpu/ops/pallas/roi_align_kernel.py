@@ -1,14 +1,28 @@
-"""Pallas fused windowed ROIAlign.
+"""Pallas fused ROIAlign (forward + backward).
 
 Why a kernel: the XLA formulation (ops/roi_align.py) materializes four
 corner-gather buffers in HBM before interpolating — ~3x the bandwidth floor.
-This kernel DMAs each ROI's (rows, WIN, C) feature window into VMEM as ONE
-strided block copy — rows is the smallest ROW_BUCKETS entry covering the
-ROI's y-span — then computes the whole bilinear interpolation + sample
-averaging as two small MXU matmuls with separable weight matrices, writing
-only the (P, P, C) output back. Traffic = window read + output write.
-Windows are double-buffered: ROI r+1's DMA is issued before ROI r's wait,
-hiding the issue latency behind the in-flight transfer.
+
+Two forward designs live here:
+
+* LEVEL-RESIDENT (default, ``_make_resident_kernel``): each image's whole
+  FPN pyramid is copied into VMEM with one contiguous slab DMA per level,
+  then every ROI's (WIN, WIN, C) window is sliced straight out of VMEM and
+  reduced by two separable bf16 MXU matmuls. Requires image-major ROI
+  order with a fixed per-image count (``rois_per_image``); scalar-prefetch
+  SMEM limits chunk the image axis automatically.
+* WINDOWED (fallback, ``_make_kernel``): DMAs each ROI's (rows, WIN, C)
+  window from HBM as one strided block copy — rows is the smallest
+  ROW_BUCKETS entry covering the ROI's y-span — double-buffered so ROI
+  r+1's DMA hides under ROI r's compute. Row-descriptor-bound (~160 ns per
+  strided row) at large ROI counts, which is what motivated the resident
+  variant.
+
+The BACKWARD (``_make_resident_bwd_kernel``) is the exact transpose of the
+resident forward: per ROI the (P, P, C) cotangent expands back to its
+window via the transposed separable matmuls and accumulates into a
+VMEM-resident gradient pyramid, written to HBM once per image — replacing
+XLA's scatter-add lowering (which was 35% of the Mask R-CNN train step).
 
 Layout constraints honored (Mosaic (8,128)/(16,128) tiling): each level is a
 (B*H, Wpad, C) ref whose W is padded to a multiple of 8 and >= WIN; window x
