@@ -311,22 +311,22 @@ class JTSMROIHeads(nn.Module):
             pgt = get_pgt_top_k(bx, sc, v, lbl, top_k=1)
             ridx = pgt["idx"][:, 0]  # (Cj,)
             present = pgt["valid"][:, 0]  # (Cj,)
-            # vectorized painting: member[c, y, x] = superpixel-union of the
-            # class's top-1 proposal (one gather instead of Cj unrolled maps)
+            # the painted label is constant WITHIN a superpixel, so resolve
+            # the class-painting order in superpixel space (Cj x S table)
+            # and gather per pixel ONCE. The previous per-(class, pixel)
+            # gather was 72% of the JTSM train step (432 ms at batch 4).
             ohc = oh[ridx]  # (Cj, S)
-            member = jnp.take_along_axis(
-                ohc, jnp.broadcast_to(sp.reshape(1, -1), (cj, hs * ws)), axis=1
-            ).reshape(cj, hs, ws)
-            vals = member & present[:, None, None]
+            vals_sp = ohc & present[:, None]  # (Cj, S)
             # reference paints class-by-class in order => LAST class wins
-            last = (cj - 1) - jnp.argmax(vals[::-1], axis=0)
-            any_paint = vals.any(axis=0)
+            last_sp = (cj - 1) - jnp.argmax(vals_sp[::-1], axis=0)  # (S,)
+            any_sp = vals_sp.any(axis=0)  # (S,)
             paint_vals = jnp.where(
                 jnp.arange(cj) < ct, 0, jnp.arange(cj) - ct + 1
             ).astype(jnp.int32)
-            return jnp.where(
-                any_paint, paint_vals[last], jnp.int32(self.sem_seg_ignore)
-            )
+            out_sp = jnp.where(
+                any_sp, paint_vals[last_sp], jnp.int32(self.sem_seg_ignore)
+            )  # (S,)
+            return out_sp[sp]  # (hs, ws): one per-pixel gather
 
         return jax.vmap(one)(proposals, valid, scores, img_labels, superpixels, oh_labels)
 
