@@ -64,7 +64,10 @@ class MaskRCNNConvUpsampleHead(nn.Module):
             kernel_init=nn.initializers.normal(0.001),
             name="predictor",
         )(x)
-        return x.astype(jnp.float32)
+        # stay in compute dtype: upcasting the full (N, S, S, K) logits
+        # materializes 2x the bytes for zero precision (values are already
+        # compute-dtype-rounded); loss/inference cast AFTER class-select
+        return x
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: ShapeSpec):
@@ -127,6 +130,7 @@ def mask_rcnn_loss(
         logits = jnp.take_along_axis(
             mask_logits, idx[:, None, None, None], axis=-1
         )[..., 0]
+    logits = logits.astype(jnp.float32)
     per_px = binary_cross_entropy_with_logits(logits, (mask_targets >= 0.5).astype(jnp.float32))
     per_roi = per_px.mean(axis=(1, 2))
     fg_f = fg_valid.astype(jnp.float32)
@@ -141,4 +145,4 @@ def mask_rcnn_inference(mask_logits: Array, pred_classes: Array) -> Array:
         k = mask_logits.shape[-1]
         idx = jnp.clip(pred_classes, 0, k - 1)
         sel = jnp.take_along_axis(mask_logits, idx[:, None, None, None], axis=-1)[..., 0]
-    return jax.nn.sigmoid(sel)
+    return jax.nn.sigmoid(sel.astype(jnp.float32))
