@@ -21,6 +21,8 @@ from jtsm_tpu.data.datasets.builtin_meta import COCO_CATEGORIES
 
 _THING = [c for c in COCO_CATEGORIES if c["isthing"]]
 COCO_80 = [c["id"] for c in _THING]  # the real 80 thing ids (1..90, gaps)
+_STUFF = [c for c in COCO_CATEGORIES if not c["isthing"]]
+STUFF_0 = _STUFF[0]["id"]  # dataset id of stuff contiguous id 1
 
 
 def make_images(img_dir, n, rng):
@@ -133,7 +135,7 @@ def main():
         # one stuff background + up to 2 things
         ids[:, :] = seg_id
         segments.append(
-            {"id": seg_id, "category_id": 1, "iscrowd": 0, "area": int(h * w)}
+            {"id": seg_id, "category_id": STUFF_0, "iscrowd": 0, "area": int(h * w)}
         )
         seg_id += 1
         for _ in range(int(rng.integers(1, 3))):
@@ -154,9 +156,9 @@ def main():
         ).astype(np.uint8)
         png = info["file_name"].replace(".jpg", ".png")
         Image.fromarray(rgb).save(os.path.join(pan_dir, png))
-        # stuff sem-seg: background class 53-ish band, things = 0 per the
-        # separated-format convention (thing pixels get a reserved id)
-        sem = np.full((h, w), 1, np.uint8)
+        # stuff sem-seg (separated-format convention): thing pixels = 0,
+        # the stuff background = its contiguous id (1)
+        sem = np.where(ids == 1, 1, 0).astype(np.uint8)
         Image.fromarray(sem).save(os.path.join(stuff_dir, png))
         pan_anns.append(
             {

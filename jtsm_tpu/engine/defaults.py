@@ -236,8 +236,15 @@ class DefaultTrainer(TrainerBase):
         evaluators = []
         if evaluator_type in ("coco", "coco_panoptic_seg"):
             evaluators.append(COCOEvaluator(dataset_name, output_dir=output_folder))
-        if evaluator_type == "sem_seg":
+        if evaluator_type in ("sem_seg", "coco_panoptic_seg"):
             evaluators.append(SemSegEvaluator(dataset_name, output_dir=output_folder))
+        if evaluator_type == "coco_panoptic_seg":
+            # reference tools/train_net.py:54-86 — PQ on the fused output
+            from ..evaluation import COCOPanopticEvaluator
+
+            evaluators.append(
+                COCOPanopticEvaluator(dataset_name, output_dir=output_folder)
+            )
         if evaluator_type == "pascal_voc":
             evaluators.append(PascalVOCDetectionEvaluator(dataset_name))
         if evaluator_type == "lvis":
@@ -385,13 +392,36 @@ class DefaultTrainer(TrainerBase):
                     results[dataset_name] = {}
                     continue
 
+            combine_on = (
+                cfg.MODEL.PANOPTIC_FPN.COMBINE.ENABLED
+                and MetadataCatalog.get(dataset_name).get("evaluator_type")
+                == "coco_panoptic_seg"
+            )
+
             def predict(batch):
                 device_batch = {
                     k: jnp.asarray(v)
                     for k, v in batch.items()
                     if k not in ("image_ids",)
                 }
-                return jitted(variables, device_batch)
+                out = jitted(variables, device_batch)
+                if combine_on and "sem_seg_logits" in out and "boxes" in out:
+                    # host-side panoptic fusion (reference PanopticFPN
+                    # .inference :109-130 / MCNN._postprocess_ps)
+                    from ..modeling.meta_arch.panoptic_fpn import (
+                        panoptic_fusion_postprocess,
+                    )
+
+                    np_out = {k: np.asarray(v) for k, v in out.items()}
+                    return panoptic_fusion_postprocess(
+                        np_out,
+                        np.asarray(batch["image_sizes"]),
+                        np.asarray(batch.get("orig_sizes", batch["image_sizes"])),
+                        cfg.MODEL.PANOPTIC_FPN.COMBINE.OVERLAP_THRESH,
+                        cfg.MODEL.PANOPTIC_FPN.COMBINE.STUFF_AREA_LIMIT,
+                        cfg.MODEL.PANOPTIC_FPN.COMBINE.INSTANCES_CONFIDENCE_THRESH,
+                    )
+                return out
 
             results_i = inference_on_dataset(predict, data_loader, evaluator)
             results[dataset_name] = results_i

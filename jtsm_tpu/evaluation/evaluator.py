@@ -77,7 +77,12 @@ def inference_on_dataset(
 
         start_compute_time = time.perf_counter()
         outputs = predict_fn(inputs)
-        outputs = {k: np.asarray(v) for k, v in outputs.items()}
+        # host-side postprocess products (panoptic_seg tuples, per-image
+        # variable-size sem_seg maps) stay as lists; arrays go through asarray
+        outputs = {
+            k: (v if isinstance(v, (list, tuple)) else np.asarray(v))
+            for k, v in outputs.items()
+        }
         total_compute_time += time.perf_counter() - start_compute_time
 
         evaluator.process(inputs, outputs)

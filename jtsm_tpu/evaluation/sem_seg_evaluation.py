@@ -54,15 +54,17 @@ class SemSegEvaluator(DatasetEvaluator):
     def process(self, inputs, outputs):
         """outputs['sem_seg']: (B, H, W) predicted class ids at original res,
         or (B, H, W, C) logits."""
-        preds = np.asarray(outputs["sem_seg"])
-        b = preds.shape[0]
+        preds = outputs["sem_seg"]
+        if not isinstance(preds, (list, tuple)):
+            preds = np.asarray(preds)
+        b = len(preds)
         for i in range(b):
             img_id = int(inputs["image_ids"][i]) if "image_ids" in inputs else None
             gt_file = self._gt_by_id.get(img_id)
             if gt_file is None:
                 continue
             gt = np.asarray(Image.open(gt_file), dtype=np.int64)
-            pred = preds[i]
+            pred = np.asarray(preds[i])
             if pred.ndim == 3:
                 pred = pred.argmax(-1)
             h, w = gt.shape

@@ -175,3 +175,110 @@ def combine_semantic_and_instance_outputs(
             }
         )
     return panoptic_seg, segments_info
+
+
+def _bilinear_resize_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W, C) float -> (out_h, out_w, C), half-pixel centers (matches
+    jax.image.resize / F.interpolate align_corners=False)."""
+    h, w = x.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    out = (
+        x[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + x[np.ix_(y0, x1)] * (1 - fy) * fx
+        + x[np.ix_(y1, x0)] * fy * (1 - fx)
+        + x[np.ix_(y1, x1)] * fy * fx
+    )
+    return out
+
+
+def panoptic_fusion_postprocess(
+    outputs: Dict[str, np.ndarray],  # batched model outputs (boxes at orig scale)
+    image_sizes: np.ndarray,  # (B, 2) true network-input sizes (pre-pad)
+    orig_sizes: np.ndarray,  # (B, 2) original image sizes
+    overlap_threshold: float = 0.5,
+    stuff_area_limit: int = 4096,
+    instances_confidence_threshold: float = 0.5,
+    mask_threshold: float = 0.5,
+) -> Dict[str, Any]:
+    """Host-side eval-time fusion (the reference runs this in
+    ``PanopticFPN.inference`` :109-130 and ``GeneralizedMCNNWSL
+    ._postprocess_ps``, mcnn.py:336,351-358): per image, resize the sem-seg
+    logits to the original resolution, paste the instance mask crops, and
+    paint a panoptic id map.
+
+    Adds to ``outputs``:
+    * ``panoptic_seg``: list of (id_map (H0, W0) int32, segments_info)
+    * ``sem_seg``: list of per-image (H0, W0) argmax maps at original res
+    """
+    from ...evaluation.coco_evaluation import _paste_mask_np
+
+    b = int(np.asarray(outputs["scores"]).shape[0])
+    sem_logits = np.asarray(outputs["sem_seg_logits"], np.float32)
+    boxes = np.asarray(outputs["boxes"], np.float32)
+    scores = np.asarray(outputs["scores"], np.float32)
+    classes = np.asarray(outputs["classes"], np.int32)
+    valid = np.asarray(outputs.get("valid", np.ones(scores.shape, bool)), bool)
+    masks = outputs.get("masks")
+    no_paste = outputs.get("no_paste")  # (B, D) full-image masks flag (WSL)
+
+    panoptic, sem_maps = [], []
+    for i in range(b):
+        h, w = int(image_sizes[i][0]), int(image_sizes[i][1])
+        h0, w0 = int(orig_sizes[i][0]), int(orig_sizes[i][1])
+        # logits are at (padded) input resolution: crop to the true size
+        logit_i = sem_logits[i][:h, :w]
+        sem_up = _bilinear_resize_np(logit_i, h0, w0)
+        semantic = np.argmax(sem_up, axis=-1).astype(np.int32)
+        sem_maps.append(semantic)
+
+        d = scores.shape[1]
+        inst_masks = np.zeros((d, h0, w0), bool)
+        inst_valid = valid[i].copy()
+        if masks is not None:
+            for j in range(d):
+                # combine() never reads masks below the confidence threshold
+                if not inst_valid[j] or scores[i, j] < instances_confidence_threshold:
+                    continue
+                m = np.asarray(masks[i, j], np.float32)
+                if no_paste is not None and bool(no_paste[i, j]):
+                    # mask already full-image at network-input res: crop+resize
+                    full = _bilinear_resize_np(m[:h, :w, None], h0, w0)[..., 0]
+                    inst_masks[j] = full >= mask_threshold
+                else:
+                    inst_masks[j] = _paste_mask_np(
+                        m, boxes[i, j], h0, w0, mask_threshold
+                    )
+        else:
+            # box-only models: use the box as the mask
+            for j in range(d):
+                if not inst_valid[j]:
+                    continue
+                x0, y0, x1, y1 = boxes[i, j]
+                x0, y0 = max(int(x0), 0), max(int(y0), 0)
+                x1, y1 = min(int(np.ceil(x1)), w0), min(int(np.ceil(y1)), h0)
+                if x1 > x0 and y1 > y0:
+                    inst_masks[j, y0:y1, x0:x1] = True
+
+        id_map, segments = combine_semantic_and_instance_outputs(
+            inst_masks,
+            scores[i],
+            classes[i],
+            inst_valid,
+            semantic,
+            overlap_threshold,
+            stuff_area_limit,
+            instances_confidence_threshold,
+        )
+        panoptic.append((id_map, segments))
+
+    out = dict(outputs)
+    out["panoptic_seg"] = panoptic
+    out["sem_seg"] = sem_maps
+    return out

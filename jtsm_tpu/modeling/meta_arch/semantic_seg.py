@@ -62,6 +62,7 @@ class SemSegFPNHead(nn.Module):
         features: Dict[str, Array],
         targets: Optional[Array] = None,
         train: bool = False,
+        weights: Optional[Array] = None,  # (B, H, W) per-pixel loss weights
     ):
         """Returns (logits at common_stride, losses dict)."""
         import math
@@ -108,6 +109,11 @@ class SemSegFPNHead(nn.Module):
             t = t[:, :th, :tw]
             valid = (t != self.ignore_value) & (t >= 0)
             ce = softmax_cross_entropy(logits, jnp.clip(t, 0, self.num_classes - 1))
+            if weights is not None:
+                w = weights[:, :: self.common_stride, :: self.common_stride][
+                    :, :th, :tw
+                ]
+                ce = ce * w
             loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
             losses["loss_sem_seg"] = loss * self.loss_weight
         return logits, losses
