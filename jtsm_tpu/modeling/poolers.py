@@ -88,7 +88,13 @@ class ROIPooler:
         features: List[Array],  # per level (B, Hi, Wi, C)
         boxes: Array,  # (R, 4)
         batch_indices: Array,  # (R,) int32
+        rois_per_image: int | None = None,
     ) -> Array:
+        """``rois_per_image`` is an explicit caller contract: pass it (R // B)
+        ONLY when boxes are image-major, i.e. ``batch_indices ==
+        repeat(arange(B), rois_per_image)``. The level-resident Pallas path is
+        taken only under this contract; without it the gather-based kernel
+        (which honors arbitrary batch_indices) is used."""
         if len(features) == 1:
             from ..ops.roi_align import roi_align_batched
 
@@ -108,15 +114,13 @@ class ROIPooler:
             self.canonical_box_size,
             self.canonical_level,
         )
-        if self._use_pallas(features):
+        if self._use_pallas(features) and rois_per_image is not None:
             from ..ops.pallas.roi_align_kernel import roi_align_multilevel_pallas
 
-            # every modeling caller flattens (B, k, 4) boxes with
-            # batch_idx = repeat(arange(B), k): image-major, k per image —
-            # which enables the level-resident kernel
-            b = features[0].shape[0]
-            r = boxes.shape[0]
-            rois_per_image = r // b if r % b == 0 else None
+            assert boxes.shape[0] == features[0].shape[0] * rois_per_image, (
+                f"rois_per_image={rois_per_image} inconsistent with "
+                f"R={boxes.shape[0]}, B={features[0].shape[0]}"
+            )
             return roi_align_multilevel_pallas(
                 list(features),
                 self.scales,

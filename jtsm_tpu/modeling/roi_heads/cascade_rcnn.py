@@ -123,7 +123,7 @@ class CascadeROIHeads(StandardROIHeads):
                 sN = self.batch_size_per_image
                 flat_boxes = sampled["boxes"].reshape(b * sN, 4)
                 batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sN)
-                x = self.box_pooler(feats, flat_boxes, batch_idx)
+                x = self.box_pooler(feats, flat_boxes, batch_idx, rois_per_image=sN)
                 x = heads[s][0](x)
                 logits, deltas = heads[s][1](x)
                 stage_losses = fast_rcnn_losses(
@@ -160,7 +160,7 @@ class CascadeROIHeads(StandardROIHeads):
         for s in range(self.num_stages):
             flat_boxes = boxes.reshape(b * k, 4)
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
-            x = self.box_pooler(feats, flat_boxes, batch_idx)
+            x = self.box_pooler(feats, flat_boxes, batch_idx, rois_per_image=k)
             x = heads[s][0](x)
             logits, deltas = heads[s][1](x)
             stage_probs.append(jax.nn.softmax(logits.reshape(b, k, -1), axis=-1))
@@ -198,7 +198,7 @@ class CascadeROIHeads(StandardROIHeads):
             det_boxes = detections["boxes"].reshape(b * d, 4)
             det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
             mfeats = [features[f] for f in self.mask_in_features]
-            mask_feats = self.mask_pooler(mfeats, det_boxes, det_batch)
+            mask_feats = self.mask_pooler(mfeats, det_boxes, det_batch, rois_per_image=d)
             mask_logits = self.mask_head(mask_feats)
             probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
             detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])

@@ -192,7 +192,7 @@ class Res5ROIHeads(nn.Module):
             flat_boxes = sampled["boxes"].reshape(b * s, 4)
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), s)
 
-            pooled = self.pooler(feats, flat_boxes, batch_idx)
+            pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=s)
             res5_feat = self._run_res5(pooled)  # (B*S, 7, 7, 2048)
             box_feat = res5_feat.mean(axis=(1, 2))
             scores, deltas = self.box_predictor(box_feat)
@@ -253,7 +253,7 @@ class Res5ROIHeads(nn.Module):
         k = proposals.shape[1]
         flat_boxes = proposals.reshape(b * k, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
-        pooled = self.pooler(feats, flat_boxes, batch_idx)
+        pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=k)
         res5_feat = self._run_res5(pooled)
         box_feat = res5_feat.mean(axis=(1, 2))
         scores, deltas = self.box_predictor(box_feat)
@@ -280,7 +280,7 @@ class Res5ROIHeads(nn.Module):
             d = detections["boxes"].shape[1]
             det_boxes = detections["boxes"].reshape(b * d, 4)
             det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
-            pooled_m = self.pooler(feats, det_boxes, det_batch)
+            pooled_m = self.pooler(feats, det_boxes, det_batch, rois_per_image=d)
             res5_m = self._run_res5(pooled_m)
             mask_logits = self.mask_head(res5_m)
             probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))

@@ -213,7 +213,7 @@ class StandardROIHeads(nn.Module):
             flat_boxes = sampled["boxes"].reshape(b * s, 4)
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), s)
 
-            box_feats = self.box_pooler(feats, flat_boxes, batch_idx)
+            box_feats = self.box_pooler(feats, flat_boxes, batch_idx, rois_per_image=s)
             box_feats = self.box_head(box_feats)
             scores, deltas = self.box_predictor(box_feats)
 
@@ -254,7 +254,7 @@ class StandardROIHeads(nn.Module):
             k = proposals.shape[1]
             flat_boxes = proposals.reshape(b * k, 4)
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
-            box_feats = self.box_pooler(feats, flat_boxes, batch_idx)
+            box_feats = self.box_pooler(feats, flat_boxes, batch_idx, rois_per_image=k)
             box_feats = self.box_head(box_feats)
             scores, deltas = self.box_predictor(box_feats)
 
@@ -286,7 +286,7 @@ class StandardROIHeads(nn.Module):
                 det_boxes = detections["boxes"].reshape(b * d, 4)
                 det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
                 kfeats = [features[f] for f in self.box_in_features]
-                kp_feats = self.keypoint_pooler(kfeats, det_boxes, det_batch)
+                kp_feats = self.keypoint_pooler(kfeats, det_boxes, det_batch, rois_per_image=d)
                 kp_logits = self.keypoint_head(kp_feats)
                 kps = keypoint_rcnn_inference(kp_logits, det_boxes)
                 detections["keypoints"] = kps.reshape(b, d, -1, 4)
@@ -335,7 +335,7 @@ class StandardROIHeads(nn.Module):
 
         flat_boxes = mask_boxes.reshape(b * sm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
-        mask_feats = self.mask_pooler(feats, flat_boxes, batch_idx)
+        mask_feats = self.mask_pooler(feats, flat_boxes, batch_idx, rois_per_image=sm)
         mask_logits = self.mask_head(mask_feats)
 
         loss = mask_rcnn_loss(
@@ -351,7 +351,7 @@ class StandardROIHeads(nn.Module):
         det_boxes = detections["boxes"].reshape(b * d, 4)
         det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         mfeats = [features[f] for f in self.mask_in_features]
-        mask_feats = self.mask_pooler(mfeats, det_boxes, det_batch)
+        mask_feats = self.mask_pooler(mfeats, det_boxes, det_batch, rois_per_image=d)
         mask_logits = self.mask_head(mask_feats)
         probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
         detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
@@ -383,7 +383,7 @@ class StandardROIHeads(nn.Module):
         flat_boxes = kp_boxes.reshape(b * sm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
         kfeats = [features[f] for f in self.box_in_features]
-        kp_feats = self.keypoint_pooler(kfeats, flat_boxes, batch_idx)
+        kp_feats = self.keypoint_pooler(kfeats, flat_boxes, batch_idx, rois_per_image=sm)
         kp_logits = self.keypoint_head(kp_feats)
         loss = keypoint_rcnn_loss(
             kp_logits,

@@ -641,7 +641,11 @@ def roi_align_multilevel_pallas(
     features: per level (B, H, W, C); boxes (R, 4); levels (R,) assignments.
     Differentiable w.r.t. features: the backward runs the VJP of the XLA
     formulation at the SAME (bumped) level assignment — identical math, so
-    gradients are exact for the kernel's forward.
+    gradients are exact for the f32 modes and the windowed/XLA fallback.
+    The default ``yfirst_bf16_copy`` resident mode quantizes interpolation
+    weights/cotangents to bf16 in BOTH forward and backward, so gradients
+    there carry ~1e-3-level quantization error (and the backward is not the
+    bit-exact transpose of the rounded forward).
 
     ``rois_per_image``: when set, the caller PROMISES image-major ROI order
     with exactly this many ROIs per image (batch_idx = repeat(arange(B),

@@ -185,7 +185,7 @@ class WSDDNROIHeads(nn.Module):
         b, r = proposals.shape[:2]
         flat_boxes = proposals.reshape(b * r, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        pooled = self.pooler(feats, flat_boxes, batch_idx)
+        pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
             pooled, train=train
         )
@@ -274,7 +274,7 @@ class OICRROIHeads(nn.Module):
         b, r = proposals.shape[:2]
         flat_boxes = proposals.reshape(b * r, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        pooled = self.pooler(feats, flat_boxes, batch_idx)
+        pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
             pooled, train=train
         )

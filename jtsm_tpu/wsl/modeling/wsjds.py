@@ -136,7 +136,7 @@ class WSJDSROIHeads(WSDDNROIHeads):
         b, r = proposals.shape[:2]
         flat_boxes = proposals.reshape(b * r, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        pooled = self.pooler(feats, flat_boxes, batch_idx)
+        pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
         # objectness + 1 feature scaling (reference wsjds_heads.py:386)
         obj = jnp.where(jnp.isfinite(proposal_scores), proposal_scores, 0.0)
         scale = (obj + 1.0).reshape(b * r, 1, 1, 1)

@@ -75,9 +75,9 @@ class ContextLocNetROIHeads(WSDDNROIHeads):
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
         inner, outer = frame_and_context_boxes(flat)
 
-        pooled_roi = self.pooler(feats, flat, bidx)
-        pooled_frame = self.pooler(feats, inner, bidx)
-        pooled_ctx = self.pooler(feats, outer, bidx)
+        pooled_roi = self.pooler(feats, flat, bidx, rois_per_image=r)
+        pooled_frame = self.pooler(feats, inner, bidx, rois_per_image=r)
+        pooled_ctx = self.pooler(feats, outer, bidx, rois_per_image=r)
 
         dan = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")
         x_roi = dan(pooled_roi, train=train)
@@ -186,7 +186,7 @@ class PCLROIHeads(WSDDNROIHeads):
         b, r = proposals.shape[:2]
         flat = proposals.reshape(b * r, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        pooled = self.pooler(feats, flat, bidx)
+        pooled = self.pooler(feats, flat, bidx, rois_per_image=r)
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
             pooled, train=train
         )
@@ -292,7 +292,7 @@ class CMILROIHeads(WSDDNROIHeads):
         b, r = proposals.shape[:2]
         flat = proposals.reshape(b * r, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        pooled = self.pooler(feats, flat, bidx)
+        pooled = self.pooler(feats, flat, bidx, rois_per_image=r)
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
             pooled, train=train
         )
@@ -421,7 +421,7 @@ class UWSODROIHeads(WSDDNROIHeads):
         b, r = proposals.shape[:2]
         flat = proposals.reshape(b * r, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        pooled = self.pooler(feats, flat, bidx)
+        pooled = self.pooler(feats, flat, bidx, rois_per_image=r)
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
             pooled, train=train
         )

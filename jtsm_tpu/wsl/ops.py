@@ -236,7 +236,7 @@ def csc_constraint(x: Array, w: Array, polar: bool = True) -> Array:
     custom Function returns ``dX = dY * W_`` and no grad for ``W``), which
     in JAX is simply a ``stop_gradient`` on the clamped weight."""
     if polar:
-        w_ = jnp.clip(w, a_min=0.0)
+        w_ = jnp.maximum(w, 0.0)
     else:
-        w_ = -jnp.clip(w, a_max=0.0)
+        w_ = -jnp.minimum(w, 0.0)
     return x * jax.lax.stop_gradient(w_)

@@ -49,6 +49,7 @@ class CSCStatistic(EventWriter):
         self.prefix = prefix
         self.log_period = log_period
         self.cur_iter = 0
+        self.num_images = 0
 
         z = lambda: np.zeros(num_classes, dtype=np.float64)
         self.label = z()  # images carrying class c
@@ -70,6 +71,7 @@ class CSCStatistic(EventWriter):
         img_labels = np.asarray(img_labels, dtype=np.float64)
         img_preds = np.asarray(img_preds, dtype=np.float64)
         self.cur_iter += 1
+        self.num_images += img_labels.shape[0]
         self.label += img_labels.sum(0)
         self.pred += ((img_preds >= self.tau) * img_labels).sum(0)
         if csc_out is not None:
@@ -96,7 +98,7 @@ class CSCStatistic(EventWriter):
             self.prefix,
             self.cur_iter,
             self.max_iter,
-            float(self.label.sum() / max(self.cur_iter, 1)),
+            float(self.label.sum() / max(self.num_images, 1)),
             float((self.pred / n).mean()),
             float((self.csc_pred_pos / n).mean()),
             float((self.roi_pos / r).mean()),

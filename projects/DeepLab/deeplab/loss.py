@@ -16,10 +16,13 @@ def DeepLabCE(
     targets: Array,  # (B, H, W)
     ignore_value: int = 255,
     top_k_percent_pixels: float = 0.2,
+    weights: Array | None = None,  # (B, H, W) per-pixel loss weights
 ) -> Array:
     valid = (targets != ignore_value) & (targets >= 0)
     ce = softmax_cross_entropy(logits, jnp.clip(targets, 0, logits.shape[-1] - 1))
     ce = jnp.where(valid, ce, 0.0)
+    if weights is not None:
+        ce = ce * weights
     if top_k_percent_pixels >= 1.0:
         return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
     b = ce.shape[0]

@@ -51,7 +51,7 @@ class DeepLabV3Head(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, features, targets=None, train: bool = False):
+    def __call__(self, features, targets=None, train: bool = False, weights=None):
         x = features[self.in_features[-1]]
         x = ASPP(
             in_channels=x.shape[-1],
@@ -74,13 +74,20 @@ class DeepLabV3Head(nn.Module):
         if train and targets is not None:
             stride = self.common_stride
             t = targets[:, ::stride, ::stride][:, : logits.shape[1], : logits.shape[2]]
+            w = (
+                weights[:, ::stride, ::stride][:, : logits.shape[1], : logits.shape[2]]
+                if weights is not None
+                else None
+            )
             if self.loss_type == "hard_pixel_mining":
-                loss = DeepLabCE(logits, t, self.ignore_value)
+                loss = DeepLabCE(logits, t, self.ignore_value, weights=w)
             else:
                 from jtsm_tpu.ops.losses import softmax_cross_entropy
 
                 valid = (t != self.ignore_value) & (t >= 0)
                 ce = softmax_cross_entropy(logits, jnp.clip(t, 0, self.num_classes - 1))
+                if w is not None:
+                    ce = ce * w
                 loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
             losses["loss_sem_seg"] = loss * self.loss_weight
         return logits, losses
@@ -125,7 +132,7 @@ class DeepLabV3PlusHead(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, features, targets=None, train: bool = False):
+    def __call__(self, features, targets=None, train: bool = False, weights=None):
         deep = features[self.in_features[-1]]
         x = ASPP(
             in_channels=deep.shape[-1],
@@ -173,13 +180,20 @@ class DeepLabV3PlusHead(nn.Module):
         if train and targets is not None:
             stride = self.common_stride
             t = targets[:, ::stride, ::stride][:, : logits.shape[1], : logits.shape[2]]
+            w = (
+                weights[:, ::stride, ::stride][:, : logits.shape[1], : logits.shape[2]]
+                if weights is not None
+                else None
+            )
             if self.loss_type == "hard_pixel_mining":
-                loss = DeepLabCE(logits, t, self.ignore_value, self.loss_top_k)
+                loss = DeepLabCE(logits, t, self.ignore_value, self.loss_top_k, weights=w)
             else:
                 from jtsm_tpu.ops.losses import softmax_cross_entropy
 
                 valid = (t != self.ignore_value) & (t >= 0)
                 ce = softmax_cross_entropy(logits, jnp.clip(t, 0, self.num_classes - 1))
+                if w is not None:
+                    ce = ce * w
                 loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
             losses["loss_sem_seg"] = loss * self.loss_weight
         return logits, losses

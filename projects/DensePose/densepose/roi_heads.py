@@ -182,7 +182,7 @@ class DensePoseROIHeads(StandardROIHeads):
         flat_boxes = roi_boxes.reshape(b * sm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
         feats = [features[f] for f in self.box_in_features]
-        pooled = self.densepose_pooler(feats, flat_boxes, batch_idx)
+        pooled = self.densepose_pooler(feats, flat_boxes, batch_idx, rois_per_image=sm)
         head_feats = self.densepose_head(pooled, train=True)
         outputs = self.densepose_predictor(head_feats)
         loss_targets = {
@@ -221,7 +221,7 @@ class DensePoseROIHeads(StandardROIHeads):
         det_boxes = detections["boxes"].reshape(b * d, 4)
         det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         feats = [features[f] for f in self.box_in_features]
-        pooled = self.densepose_pooler(feats, det_boxes, det_batch)
+        pooled = self.densepose_pooler(feats, det_boxes, det_batch, rois_per_image=d)
         head_feats = self.densepose_head(pooled, train=False)
         out = self.densepose_predictor(head_feats)
         if "fine_segm" not in out:

@@ -37,12 +37,20 @@ class PanopticDeeplabDatasetMapper:
         ignore_label: int,
         thing_ids: List[int],
         sigma: float = 8.0,
+        ignore_stuff_in_offset: bool = True,
+        small_instance_area: int = 0,
+        small_instance_weight: float = 1.0,
+        ignore_crowd_in_semantic: bool = False,
     ):
         self.augmentations = T.AugmentationList(augmentations)
         self.image_format = image_format
         self.ignore_label = ignore_label
         self.thing_ids = set(thing_ids)
         self.sigma = sigma
+        self.ignore_stuff_in_offset = ignore_stuff_in_offset
+        self.small_instance_area = small_instance_area
+        self.small_instance_weight = small_instance_weight
+        self.ignore_crowd_in_semantic = ignore_crowd_in_semantic
         logger.info(
             "[PanopticDeeplabDatasetMapper] augmentations: %s", augmentations
         )
@@ -66,6 +74,11 @@ class PanopticDeeplabDatasetMapper:
             "image_format": cfg.INPUT.FORMAT,
             "ignore_label": cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
             "thing_ids": sorted(thing_map.values()),
+            "sigma": cfg.INPUT.GAUSSIAN_SIGMA,
+            "ignore_stuff_in_offset": cfg.INPUT.IGNORE_STUFF_IN_OFFSET,
+            "small_instance_area": cfg.INPUT.SMALL_INSTANCE_AREA,
+            "small_instance_weight": cfg.INPUT.SMALL_INSTANCE_WEIGHT,
+            "ignore_crowd_in_semantic": cfg.INPUT.IGNORE_CROWD_IN_SEMANTIC,
         }
 
     def __call__(self, dataset_dict: dict) -> dict:
@@ -97,8 +110,10 @@ class PanopticDeeplabDatasetMapper:
         inst_masks = []
         for seg in segments:
             mask = pan_seg == seg["id"]
-            sem_seg[mask] = seg["category_id"]
-            if seg["category_id"] in self.thing_ids and not seg.get("iscrowd", 0):
+            crowd = seg.get("iscrowd", 0)
+            if not (crowd and self.ignore_crowd_in_semantic):
+                sem_seg[mask] = seg["category_id"]
+            if seg["category_id"] in self.thing_ids and not crowd:
                 inst_masks.append(mask)
 
         if inst_masks:
@@ -106,7 +121,14 @@ class PanopticDeeplabDatasetMapper:
         else:
             masks = np.zeros((0, h, w), bool)
         targets = panoptic_deeplab_targets(
-            masks, np.ones(len(inst_masks), bool), sigma=self.sigma
+            masks,
+            np.ones(len(inst_masks), bool),
+            sigma=self.sigma,
+            sem_seg=sem_seg,
+            ignore_label=self.ignore_label,
+            ignore_stuff_in_offset=self.ignore_stuff_in_offset,
+            small_instance_area=self.small_instance_area,
+            small_instance_weight=self.small_instance_weight,
         )
 
         dataset_dict["image"] = np.ascontiguousarray(image.astype(np.float32))

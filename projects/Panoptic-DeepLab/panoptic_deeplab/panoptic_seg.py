@@ -201,7 +201,10 @@ class PanopticDeepLab(nn.Module):
         images = (batch["image"] - mean) / std
         features = self.backbone(images)
         sem_logits, sem_losses = self.sem_seg_head(
-            features, batch.get("gt_sem_seg"), train=train
+            features,
+            batch.get("gt_sem_seg"),
+            train=train,
+            weights=batch.get("gt_sem_weight"),
         )
         center, offset = self.ins_embed_head(features, train=train)
 

@@ -146,7 +146,7 @@ class PointRendROIHeads(StandardROIHeads):
 
         flat_boxes = mask_boxes.reshape(b * sm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
-        pooled = self.mask_pooler(feats_list, flat_boxes, batch_idx)
+        pooled = self.mask_pooler(feats_list, flat_boxes, batch_idx, rois_per_image=sm)
         coarse = self.mask_head(pooled)  # (N, 7, 7, K)
 
         # coarse loss vs downsampled targets
@@ -210,7 +210,7 @@ class PointRendROIHeads(StandardROIHeads):
         det_boxes = detections["boxes"].reshape(b * d, 4)
         det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         mfeats = [features[f] for f in self.mask_in_features]
-        pooled = self.mask_pooler(mfeats, det_boxes, det_batch)
+        pooled = self.mask_pooler(mfeats, det_boxes, det_batch, rois_per_image=d)
         coarse = self.mask_head(pooled)  # (N, 7, 7, K)
         classes = detections["classes"].reshape(-1)
         n = coarse.shape[0]
