@@ -27,7 +27,18 @@ def add_wsl_config(cfg: CN) -> None:
     # JTSM panoptic switches
     _C.WSL.PS_ON = False
     _C.WSL.SP_ON = False
-    _C.WSL.MASK_MINED_TOP_K = 3
+    # IoU-nearest-neighbor targets mined per class for the mask branch
+    # (reference defaults.py:66 WSL.MASK_MINED_TOP_K = 10)
+    _C.WSL.MASK_MINED_TOP_K = 10
+    # self-training mask refinery heads (reference roi_heads_jtsm.py:449
+    # builds range(1) refinery heads)
+    _C.WSL.MASK_REFINE_NUM = 1
+    # object evidence source for mask PGT: "superpixel" (union of member
+    # superpixels, reference object_evidence :1924 sp branch) or "grabcut"
+    # (host-side cv2.grabCut via pure_callback, reference :1820)
+    _C.WSL.OBJECT_EVIDENCE = "superpixel"
+    # training mask-roi capacity per image (static shape)
+    _C.WSL.MASK_CAPACITY = 64
     # pseudo-gt mining
     _C.WSL.PGT_SCORE_THRESH = 0.0
     # sampling namespace

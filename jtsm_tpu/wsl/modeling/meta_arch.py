@@ -128,6 +128,7 @@ class GeneralizedMCNNWSL(nn.Module):
             train=train,
             superpixels=superpixels,
             oh_labels=oh_labels,
+            images=batch["image"],  # raw pixels for GrabCut object evidence
         )
 
         if train:

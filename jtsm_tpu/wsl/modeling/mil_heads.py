@@ -134,28 +134,31 @@ def get_pgt_mist(
     iou_thresh: float = 0.2,
     max_k: int = 32,
 ) -> Dict[str, Array]:
-    """MIST mining (reference :1038): top 15% of proposals per class, then
-    NMS to diversify. Static: cap at max_k per class."""
+    """MIST mining (reference roi_heads_jtsm.py:1038): top 15% of proposals
+    per present class, then ONE class-agnostic NMS at 0.2 across ALL mined
+    candidates (the reference passes zeroed class idxs to batched_nms, so
+    suppression crosses class boundaries). Static: cap at max_k per class."""
     r = boxes.shape[0]
     k = min(max_k, r)
+    c = scores.shape[1]
     masked = jnp.where(valid[:, None], scores, -jnp.inf)
     topv, topi = jax.lax.top_k(masked.T, k)  # (C, k)
     num_take = jnp.maximum((jnp.sum(valid) * top_pct).astype(jnp.int32), 1)
     in_pct = jnp.arange(k)[None, :] < num_take
 
-    def per_class(ti, tv, ok):
-        b = boxes[ti]
-        s = jnp.where(ok & jnp.isfinite(tv), tv, -jnp.inf)
-        keep = nms_mask(b, s, iou_thresh)
-        return keep
+    cand_valid = (
+        (image_labels[:, None] > 0) & in_pct & jnp.isfinite(topv)
+    )  # (C, k)
+    flat_boxes = boxes[topi].reshape(c * k, 4)
+    flat_scores = jnp.where(cand_valid, topv, -jnp.inf).reshape(c * k)
+    keep = nms_mask(flat_boxes, flat_scores, iou_thresh).reshape(c, k)
 
-    keep = jax.vmap(per_class)(topi, topv, in_pct)
-    pgt_valid = (image_labels[:, None] > 0) & keep & in_pct & jnp.isfinite(topv)
+    pgt_valid = cand_valid & keep
     return {
         "boxes": boxes[topi],
         "weight": jnp.where(pgt_valid, topv, 0.0),
         "valid": pgt_valid,
-        "classes": jnp.broadcast_to(jnp.arange(scores.shape[1])[:, None], topv.shape),
+        "classes": jnp.broadcast_to(jnp.arange(c)[:, None], topv.shape),
         "idx": topi,
     }
 

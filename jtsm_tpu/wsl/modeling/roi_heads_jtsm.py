@@ -4,9 +4,15 @@ projects/WSL/wsl/modeling/roi_heads/roi_heads_jtsm.py:198).
 Key machinery mapped to static shapes:
 * MOIPool superpixel-masked pooling + mask-area rescale (:608-630)
 * joint thing+stuff MIL via TSM scoring (fast_rcnn_tsm.py:490-586)
-* K OICR refinement branches on mined top-k PGT (:678, :1168)
-* mask PGT mining with superpixel-union object evidence (:754-852, the
-  GrabCut path (:1820) is a host-side alternative, see wsl/evidence.py)
+* K OICR refinement branches on mined top-k or MIST PGT (:678-686, :1038,
+  :1168); ``WSL.REFINE_MIST`` selects MIST with a 3x weight on branch 0
+* mask PGT mining: top-1 per present class + ``WSL.MASK_MINED_TOP_K``
+  IoU-nearest foreground neighbors, each with object evidence (:843-916);
+  evidence is the superpixel union (:1924) or host-side GrabCut (:1820,
+  ``WSL.OBJECT_EVIDENCE = "grabcut"`` via ``jax.pure_callback``)
+* self-training mask refinery (:449 builds the heads, :936-946 trains
+  them on the previous head's thresholded predictions via ``get_pgt_mask``
+  :1997); inference averages the refinery logits (:952-965)
 * pseudo sem-seg painting for the stuff branch (:2024 ``get_pgt_sem_seg``)
 """
 
@@ -26,9 +32,11 @@ from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from ...ops.box_regression import Box2BoxTransform
 from ...ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
 from ..ops import moi_pool
+from ...structures.boxes import pairwise_iou
 from .mil_heads import (
     MILOutputLayers,
     OICROutputLayers,
+    get_pgt_mist,
     get_pgt_top_k,
     label_proposals_by_pgt,
     mil_image_loss,
@@ -78,17 +86,20 @@ class JTSMROIHeads(nn.Module):
     pooler: ROIPooler
     refine_num: int = 4
     refine_reg: Sequence[bool] = (True, True, True, True)
+    refine_mist: bool = False  # MIST mining for the refine branches (:682)
     dan_dims: Sequence[int] = (4096, 4096)
     box2box_transform: Optional[Box2BoxTransform] = None
     sp_on: bool = True
     ps_on: bool = True
     use_obn: bool = True
     mask_on: bool = True
-    mask_head: Optional[nn.Module] = None
+    mask_head: Optional[nn.Module] = None  # class-agnostic base head (:440)
+    mask_refinery: Sequence[nn.Module] = ()  # class-specific refinery (:449)
     mask_pooler: Optional[ROIPooler] = None
-    mask_mined_top_k: int = 3
+    mask_mined_top_k: int = 10  # IoU-nearest neighbors per mined pgt (:843)
     mask_size: int = 28
     mask_capacity: int = 64  # mined mask rois per image (static)
+    object_evidence_mode: str = "superpixel"  # or "grabcut" (:1820)
     score_thresh_test: float = 1e-4
     nms_thresh_test: float = 0.4
     detections_per_image: int = 100
@@ -116,6 +127,7 @@ class JTSMROIHeads(nn.Module):
             pooler=pooler,
             refine_num=cfg.WSL.REFINE_NUM,
             refine_reg=tuple(cfg.WSL.REFINE_REG[: cfg.WSL.REFINE_NUM]),
+            refine_mist=cfg.WSL.REFINE_MIST,
             dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
             box2box_transform=Box2BoxTransform(
                 weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
@@ -125,6 +137,8 @@ class JTSMROIHeads(nn.Module):
             use_obn=cfg.WSL.USE_OBN,
             mask_on=cfg.MODEL.MASK_ON,
             mask_mined_top_k=cfg.WSL.MASK_MINED_TOP_K,
+            mask_capacity=cfg.WSL.MASK_CAPACITY,
+            object_evidence_mode=cfg.WSL.OBJECT_EVIDENCE,
             score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
             nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
@@ -133,13 +147,19 @@ class JTSMROIHeads(nn.Module):
         )
         if cfg.MODEL.MASK_ON:
             mask_res = cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION
-            ret["mask_head"] = build_mask_head(
-                cfg,
-                ShapeSpec(
-                    channels=input_shape[in_features[0]].channels,
-                    height=mask_res,
-                    width=mask_res,
-                ),
+            shape = ShapeSpec(
+                channels=input_shape[in_features[0]].channels,
+                height=mask_res,
+                width=mask_res,
+            )
+            # reference :440-460: the BASE head is forced class-agnostic;
+            # the refinery heads keep the config's class-specific setting
+            cfg_base = cfg.clone()
+            cfg_base.defrost()
+            cfg_base.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = True
+            ret["mask_head"] = build_mask_head(cfg_base, shape)
+            ret["mask_refinery"] = tuple(
+                build_mask_head(cfg, shape) for _ in range(cfg.WSL.MASK_REFINE_NUM)
             )
             ret["mask_pooler"] = ROIPooler(
                 output_size=mask_res,
@@ -161,6 +181,7 @@ class JTSMROIHeads(nn.Module):
         train: bool = False,
         superpixels: Optional[Array] = None,  # (B, Hs, Ws)
         oh_labels: Optional[Array] = None,  # (B, R, S)
+        images: Optional[Array] = None,  # (B, H, W, 3) raw, for GrabCut
     ):
         feat = features[self.in_features[0]]  # (B, Hf, Wf, C) single level
         b, r = proposals.shape[:2]
@@ -182,7 +203,7 @@ class JTSMROIHeads(nn.Module):
         else:
             flat_boxes = proposals.reshape(b * r, 4)
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-            pooled = self.pooler([feat], flat_boxes, batch_idx)
+            pooled = self.pooler([feat], flat_boxes, batch_idx, rois_per_image=r)
             area_ratio = jnp.ones((b, r))
 
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
@@ -220,7 +241,7 @@ class JTSMROIHeads(nn.Module):
 
         if train:
             return self._losses(
-                proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feat
+                proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feat, images
             )
         return self._inference(
             proposals, valid, mil, branches, image_sizes, feat, b, r
@@ -242,7 +263,9 @@ class JTSMROIHeads(nn.Module):
             stuff = jnp.zeros((b, self.num_classes_stuff - 1))
         return jnp.concatenate([thing, stuff], axis=1)
 
-    def _losses(self, proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feat):
+    def _losses(
+        self, proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feat, images=None
+    ):
         img_labels = self._joint_labels(targets, b)
         losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
 
@@ -252,7 +275,11 @@ class JTSMROIHeads(nn.Module):
             deltas_in = deltas if has_reg else jnp.zeros((b, r, 4))
 
             def mine_and_loss(bx, src, v, lbl, lg, dl, has_reg=has_reg):
-                pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
+                if self.refine_mist:
+                    # MIST (:682): top-15% + cross-class NMS diversification
+                    pgt = get_pgt_mist(bx, src, v, lbl)
+                else:
+                    pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
                 sup = label_proposals_by_pgt(bx, v, pgt, self.joint_classes)
                 loss_cls = oicr_branch_loss(lg, sup["labels"], sup["weights"])
                 if has_reg:
@@ -273,9 +300,11 @@ class JTSMROIHeads(nn.Module):
                 branches[k][0],
                 deltas_in,
             )
-            losses[f"loss_refine_cls{k}"] = loss_cls.mean()
+            # reference :681-686: under MIST, branch 0 is up-weighted 3x
+            term_weight = 3.0 if (self.refine_mist and k == 0) else 1.0
+            losses[f"loss_refine_cls{k}"] = loss_cls.mean() * term_weight
             if has_reg:
-                losses[f"loss_refine_reg{k}"] = loss_reg.mean()
+                losses[f"loss_refine_reg{k}"] = loss_reg.mean() * term_weight
 
         aux = {}
         if self.ps_on and superpixels is not None:
@@ -294,6 +323,7 @@ class JTSMROIHeads(nn.Module):
                     feat,
                     b,
                     r,
+                    images,
                 )
             )
         return aux, losses
@@ -330,43 +360,117 @@ class JTSMROIHeads(nn.Module):
 
         return jax.vmap(one)(proposals, valid, scores, img_labels, superpixels, oh_labels)
 
-    def _mask_losses(self, proposals, valid, scores, img_labels, superpixels, oh_labels, feat, b, r):
-        """Mine mask PGT (top-1 per present thing class + top-k neighbors) and
-        train the mask head with superpixel-union targets (reference
-        _forward_mask :754)."""
-        from ...modeling.roi_heads.mask_head import mask_rcnn_loss
+    def _mask_losses(
+        self, proposals, valid, scores, img_labels, superpixels, oh_labels, feat, b, r, images=None
+    ):
+        """Mask PGT mining + base head + self-training refinery (reference
+        _forward_mask :754-946).
 
-        cm = min(self.mask_capacity, self.num_classes)
+        1. Mine top-1 pgt per present thing class, then its
+           ``mask_mined_top_k`` IoU-nearest valid proposals (:843-852); each
+           neighbor is a mask-training roi carrying the pgt class.
+        2. Object evidence per roi (:1820/:1924): superpixel union of the
+           roi's member superpixels, or host-side GrabCut on its box.
+        3. Class-agnostic base head trains on the evidence; each refinery
+           head k trains on the PREVIOUS head's thresholded predictions
+           (``get_pgt_mask`` :1997 — pasting then re-cropping at the same
+           box is identity in crop space, so we stay at ``mask_size``).
 
-        def mine(bx, v, sc, lbl, sp, oh):
-            thing_scores = sc[:, : self.num_classes]
-            pgt = get_pgt_top_k(bx, thing_scores, v, lbl[: self.num_classes], top_k=1)
-            # take up to cm mined rois (one per class, ranked by weight)
-            w = pgt["weight"][:, 0]
-            topw, topc = jax.lax.top_k(w, cm)
-            ridx = pgt["idx"][topc, 0]
-            boxes = bx[ridx]
-            cls = topc
-            ok = pgt["valid"][topc, 0] & (topw > 0)
-            targets = jax.vmap(
-                lambda rid, bb: superpixel_union_mask_crop(sp, oh[rid], bb, self.mask_size)
-            )(ridx, boxes)
-            return boxes, cls, ok, targets, topw
+        Static shapes: candidates are (Ct * K) per image, ranked by pgt
+        weight and capped at ``mask_capacity`` (the cap drops lowest-weight
+        neighbors when Ct * K exceeds it).
+        """
+        from ...modeling.roi_heads.mask_head import mask_rcnn_inference, mask_rcnn_loss
 
-        boxes, cls, ok, mask_targets, weights = jax.vmap(mine)(
-            proposals, valid, scores, img_labels, superpixels, oh_labels
+        ct = self.num_classes
+        k_nn = max(1, min(self.mask_mined_top_k, r))
+        cm = min(self.mask_capacity, ct * k_nn)
+
+        def mine(bx, v, sc, lbl):
+            thing_scores = sc[:, :ct]
+            pgt = get_pgt_top_k(bx, thing_scores, v, lbl[:ct], top_k=1)
+            pboxes = pgt["boxes"][:, 0]  # (Ct, 4)
+            pvalid = pgt["valid"][:, 0] & (pgt["weight"][:, 0] > 0)
+            pw = pgt["weight"][:, 0]
+            # IoU-nearest neighbors among valid proposals (:843-852); the
+            # pgt proposal itself is neighbor 0 (IoU 1), covering the
+            # reference's separate top-1 targets pass
+            iou = pairwise_iou(pboxes, bx)  # (Ct, R)
+            iou = jnp.where(v[None, :], iou, -1.0)
+            nbr_iou, nbr_idx = jax.lax.top_k(iou, k_nn)  # (Ct, K)
+            # fg gate mirrors label_and_sample_proposals (matcher IoU >= .5)
+            cand_ok = pvalid[:, None] & (nbr_iou >= 0.5)
+            cand_w = jnp.where(cand_ok, pw[:, None], 0.0).reshape(ct * k_nn)
+            topw, sel = jax.lax.top_k(cand_w, cm)  # capacity cap
+            ridx = nbr_idx.reshape(ct * k_nn)[sel]
+            cls = (
+                jnp.broadcast_to(jnp.arange(ct)[:, None], (ct, k_nn))
+                .reshape(ct * k_nn)[sel]
+            )
+            ok = cand_ok.reshape(ct * k_nn)[sel] & (topw > 0)
+            return bx[ridx], cls, ok, ridx, topw
+
+        boxes, cls, ok, ridx, weights = jax.vmap(mine)(
+            proposals, valid, scores, img_labels
         )
+
+        if self.object_evidence_mode == "grabcut" and images is not None:
+            # host-side GrabCut per mined box (reference get_grabcut :1820),
+            # seeded with the box; runs between steps via pure_callback
+            from ..evidence import grabcut_evidence_batch
+
+            def _host(img, bx, okk):
+                import numpy as np
+
+                return grabcut_evidence_batch(
+                    np.asarray(img)[..., ::-1],  # RGB -> BGR for cv2
+                    np.asarray(bx),
+                    np.asarray(okk),
+                    self.mask_size,
+                )
+
+            mask_targets = jax.pure_callback(
+                _host,
+                jax.ShapeDtypeStruct((b, cm, self.mask_size, self.mask_size), jnp.bool_),
+                images,
+                boxes,
+                ok,
+            )
+        else:
+            mask_targets = jax.vmap(
+                lambda sp, oh, rid, bb: jax.vmap(
+                    lambda rid_j, bb_j: superpixel_union_mask_crop(
+                        sp, oh[rid_j], bb_j, self.mask_size
+                    )
+                )(rid, bb)
+            )(superpixels, oh_labels, ridx, boxes)
+
         flat_boxes = boxes.reshape(b * cm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), cm)
-        mask_feats = self.mask_pooler([feat], flat_boxes, batch_idx)
+        mask_feats = self.mask_pooler([feat], flat_boxes, batch_idx, rois_per_image=cm)
+        flat_cls = cls.reshape(-1)
+        flat_ok = ok.reshape(-1)
+        flat_targets = mask_targets.reshape(
+            b * cm, self.mask_size, self.mask_size
+        ).astype(jnp.float32)
+
         mask_logits = self.mask_head(mask_feats)
-        loss = mask_rcnn_loss(
-            mask_logits,
-            cls.reshape(-1),
-            mask_targets.reshape(b * cm, self.mask_size, self.mask_size).astype(jnp.float32),
-            ok.reshape(-1),
-        )
-        return {"loss_mask": loss}
+        losses = {
+            "loss_mask": mask_rcnn_loss(mask_logits, flat_cls, flat_targets, flat_ok)
+        }
+        prev_logits = mask_logits
+        for kk, head in enumerate(self.mask_refinery):
+            # self-target: previous head's prediction at the roi's class,
+            # thresholded at 0.5 (get_pgt_mask :1997)
+            self_t = mask_rcnn_inference(
+                jax.lax.stop_gradient(prev_logits), flat_cls
+            )
+            logits_k = head(mask_feats)
+            losses[f"loss_mask_r{kk}"] = mask_rcnn_loss(
+                logits_k, flat_cls, (self_t >= 0.5).astype(jnp.float32), flat_ok
+            )
+            prev_logits = logits_k
+        return losses
 
     def _inference(self, proposals, valid, mil, branches, image_sizes, feat, b, r):
         avg = jnp.zeros((b, r, self.joint_classes))
@@ -401,8 +505,16 @@ class JTSMROIHeads(nn.Module):
             d = detections["boxes"].shape[1]
             det_boxes = detections["boxes"].reshape(b * d, 4)
             det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
-            mask_feats = self.mask_pooler([feat], det_boxes, det_batch)
-            mask_logits = self.mask_head(mask_feats)
+            mask_feats = self.mask_pooler([feat], det_boxes, det_batch, rois_per_image=d)
+            if self.mask_refinery:
+                # reference :952-960: inference averages the REFINERY heads'
+                # logits (the class-agnostic base head only seeds training)
+                mask_logits = self.mask_refinery[0](mask_feats)
+                for head in self.mask_refinery[1:]:
+                    mask_logits = mask_logits + head(mask_feats)
+                mask_logits = mask_logits / len(self.mask_refinery)
+            else:
+                mask_logits = self.mask_head(mask_feats)
             probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
             detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
         return detections, {}

@@ -170,7 +170,44 @@ def test_jtsm_mcnn():
     assert "loss_mil" in losses
     assert "loss_sem_seg" in losses  # stuff branch trained on mined PGT
     assert "loss_mask" in losses
+    assert "loss_mask_r0" in losses  # self-training mask refinery branch
     assert "sem_seg" in out and "masks" in out and "boxes" in out
+
+
+def test_jtsm_mcnn_mist_mining():
+    """WSL.REFINE_MIST routes the refine branches through get_pgt_mist
+    (reference roi_heads_jtsm.py:682) with 3x weight on branch 0."""
+    cfg = _wsl_cfg("JTSMROIHeads")
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedMCNNWSL"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.WSL.SP_ON = True
+    cfg.WSL.PS_ON = True
+    cfg.WSL.REFINE_MIST = True
+    cfg.WSL.MASK_MINED_TOP_K = 3
+    cfg.WSL.MASK_CAPACITY = 8
+    losses, out = _run_wsl(cfg, _wsl_batch(with_sp=True))
+    assert "loss_refine_cls0" in losses and "loss_refine_cls1" in losses
+    assert "masks" in out
+
+
+def test_jtsm_mcnn_grabcut_evidence():
+    """WSL.OBJECT_EVIDENCE=grabcut: mask targets come from host-side
+    cv2.grabCut via pure_callback (reference get_grabcut :1820)."""
+    pytest.importorskip("cv2")
+    cfg = _wsl_cfg("JTSMROIHeads")
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedMCNNWSL"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.WSL.SP_ON = True
+    cfg.WSL.PS_ON = True
+    cfg.WSL.OBJECT_EVIDENCE = "grabcut"
+    cfg.WSL.MASK_MINED_TOP_K = 2
+    cfg.WSL.MASK_CAPACITY = 4
+    losses, _ = _run_wsl(cfg, _wsl_batch(with_sp=True))
+    assert "loss_mask" in losses and "loss_mask_r0" in losses
 
 
 def test_contextlocnet_pcl_cmil_uwsod_heads():
