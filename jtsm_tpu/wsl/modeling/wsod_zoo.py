@@ -152,11 +152,26 @@ def build_proposal_clusters(
     cls_of_cluster = jnp.repeat(jnp.arange(c), centers.shape[1])
     labels = jnp.where(best >= 0.5, cls_of_cluster[assign], c)
     w = jnp.where(valid, weights.reshape(-1)[assign], 0.0)
+    # reference third_party/pcl.py _get_proposal_clusters layout: bg-first
+    # labels (0 = background), iou < 0.1 -> weight 0 (ignored), fg membership
+    # + per-cluster aggregates for the true PCL cluster loss
+    fg = best >= 0.5
+    w_ref = jnp.where(best < 0.1, 0.0, w)
+    labels_ref = jnp.where(fg, cls_of_cluster[assign] + 1, 0)
+    assign_ref = jnp.where(fg & valid, assign, -1)
+    g = centers.size
+    member = (assign_ref[:, None] == jnp.arange(g)[None, :]).astype(jnp.float32)
     return {
         "labels": labels,
         "weights": w,
         "assignment": assign,
         "center_ok": ok.reshape(-1),
+        "labels_ref": labels_ref,
+        "weights_ref": w_ref,
+        "assignment_ref": assign_ref,
+        "pc_labels": cls_of_cluster + 1,
+        "pc_count": member.sum(axis=0),
+        "img_cls_loss_weights": (member * w_ref[:, None]).sum(axis=0),
     }
 
 
@@ -213,10 +228,23 @@ class PCLROIHeads(WSDDNROIHeads):
             source = mil
             for k, logits in enumerate(branches):
                 def one(bx, src, v, lbl, lg):
+                    from ..ops import pcl_losses
+
                     clusters = build_proposal_clusters(bx, src, v, lbl)
-                    return oicr_branch_loss(lg, clusters["labels"], clusters["weights"]), jax.nn.softmax(
-                        lg, -1
-                    )[:, : self.num_classes]
+                    # true PCL cluster loss (csrc/pcl_loss): probs bg-FIRST
+                    p = jax.nn.softmax(lg, -1)  # (R, C+1), bg last in repo
+                    p_bgfirst = jnp.concatenate([p[:, -1:], p[:, :-1]], axis=1)
+                    loss = pcl_losses(
+                        p_bgfirst,
+                        clusters["labels_ref"],
+                        clusters["weights_ref"],
+                        clusters["assignment_ref"],
+                        clusters["pc_labels"],
+                        clusters["pc_count"],
+                        clusters["img_cls_loss_weights"],
+                        jnp.concatenate([jnp.ones(1), lbl]),
+                    )
+                    return loss, p[:, : self.num_classes]
 
                 loss_k, source = jax.vmap(one)(
                     proposals, jax.lax.stop_gradient(source), valid, img_labels, logits
@@ -240,29 +268,86 @@ class PCLROIHeads(WSDDNROIHeads):
 # ---------------------------------------------------------------------------
 
 
+def roi_merge_lambda(cur_iter: Array, max_epoch: float, size_epoch: float) -> Array:
+    """The continuation schedule (reference ROIMerge_cpu.cpp ``getlambda``):
+    0 at iter 0 -> 1 at max_epoch epochs, logarithmic ramp."""
+    low = 0.01
+    x = cur_iter / size_epoch
+    return (jnp.log(x + low) - jnp.log(low)) / (jnp.log(max_epoch + low) - jnp.log(low))
+
+
 def roi_merge(
-    boxes: Array,  # (R, 4)
+    objectness: Array,  # (R,) sort scores S
+    iou: Array,  # (R, R) proposal IoU matrix J
     cls_scores: Array,  # (R, C)
     det_scores: Array,  # (R, C)
-    valid: Array,
-    continuation: Array,  # scalar in [0, 1]: fraction of training done
-    iou_thresh: float = 0.5,
-) -> Tuple[Array, Array]:
-    """Continuation MIL merging (reference csrc/ROIMerge): proposals whose
-    IoU and score-similarity exceed a continuation-controlled threshold are
-    merged (scores averaged within the cluster). Early training merges
-    aggressively (smoother objective); late training keeps instances apart.
+    lam: Array,  # scalar clique threshold (see roi_merge_lambda)
+    top_cap: int = 200,
+    window: int = 40,
+) -> Dict[str, Array]:
+    """Continuation MIL merging, exactly the reference
+    csrc/ROIMerge/ROIMerge_cpu.cpp forward: proposals are visited in
+    descending objectness order; each unassigned pivot opens a clique, and
+    the next ``window`` unassigned candidates (by score order, within the
+    ``top_cap`` prefix) join if their IoU to EVERY current member is >= the
+    continuation threshold lambda. Unvisited proposals become singletons.
+    Cluster scores are the member means.
+
+    Static-shape redesign: instead of the reference's dynamic (num_id, C)
+    output, returns dense per-cluster rows (R, C) (rows >= num_id are zero),
+    the per-roi cluster ``ids`` and member ``counts``. Gradients flow
+    through the member-mean like the reference backward (d/dC = G[id]/count).
     """
-    iou = pairwise_iou(boxes, boxes)
-    sim = -jnp.abs(det_scores.max(1)[:, None] - det_scores.max(1)[None, :])
-    sim = jnp.exp(sim)
-    thresh = iou_thresh + (1.0 - iou_thresh) * continuation
-    linked = (iou >= thresh) & (sim > 0.5) & valid[:, None] & valid[None, :]
-    deg = linked.astype(jnp.float32)
-    denom = jnp.maximum(deg.sum(1, keepdims=True), 1.0)
-    merged_cls = (deg @ cls_scores) / denom
-    merged_det = (deg @ det_scores) / denom
-    return merged_cls, merged_det
+    r = objectness.shape[0]
+    order = jnp.argsort(-objectness)
+    top_k = min(top_cap, r)
+    w = min(window, top_k)
+
+    def pivot_body(t, carry):
+        ids, cur_id = carry
+        n = order[t]
+        is_new = ids[n] == -1
+        ids = ids.at[n].set(jnp.where(is_new, cur_id, ids[n]))
+        win_tts = t + jnp.arange(w)
+        win_idx = order[jnp.minimum(win_tts, r - 1)]
+        win_in = win_tts < top_k
+
+        def cand_body(j, ids):
+            i = win_idx[j]
+            unassigned = ids[i] == -1
+            members = (ids[win_idx] == cur_id) & win_in
+            ok_clique = jnp.all(jnp.where(members, iou[i, win_idx] >= lam, True))
+            take = is_new & win_in[j] & unassigned & ok_clique
+            return ids.at[i].set(jnp.where(take, cur_id, ids[i]))
+
+        ids = jax.lax.fori_loop(0, w, cand_body, ids)
+        return ids, cur_id + jnp.where(is_new, 1, 0)
+
+    ids, cur_id = jax.lax.fori_loop(
+        0,
+        top_k,
+        pivot_body,
+        (jnp.full((r,), -1, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
+    # remaining unassigned rois become singleton clusters, in index order
+    unassigned = ids == -1
+    rank = jnp.cumsum(unassigned) - 1
+    ids = jnp.where(unassigned, cur_id + rank, ids)
+    num_id = cur_id + unassigned.sum()
+
+    onehot = (ids[:, None] == jnp.arange(r)[None, :]).astype(cls_scores.dtype)
+    counts = onehot.sum(axis=0)  # (R,) members per cluster row
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    merged_cls = (onehot.T @ cls_scores) / denom
+    merged_det = (onehot.T @ det_scores) / denom
+    return {
+        "merged_cls": merged_cls,
+        "merged_det": merged_det,
+        "ids": ids,
+        "counts": counts,
+        "num_id": num_id,
+        "row_valid": jnp.arange(r) < num_id,
+    }
 
 
 @ROI_HEADS_REGISTRY.register()
@@ -303,29 +388,47 @@ class CMILROIHeads(WSDDNROIHeads):
         det_logit = det_logit.reshape(b, r, -1)
         valid = jnp.isfinite(proposal_scores)
 
-        continuation = (
-            jnp.clip(cur_iter / self.max_iter, 0.0, 1.0)
+        size_epoch = 5000.0
+        lam = (
+            roi_merge_lambda(
+                cur_iter, max(self.max_iter / size_epoch, 1.0), size_epoch
+            )
             if cur_iter is not None
-            else jnp.asarray(1.0)
+            else jnp.asarray(1.0)  # test time: lambda=1 -> merging is identity
         )
 
         def score_one(cl, dl, bx, v):
-            mcl, mdl = roi_merge(bx, cl, dl, v, continuation)
-            return wsddn_scores(mcl, mdl, v)
+            # reference fast_rcnn.py:604-634: objectness = per-roi sum of the
+            # UNMERGED wsddn scores; merge the raw logits; the final wsddn
+            # softmax runs over the merged CLUSTER rows
+            obn = wsddn_scores(cl, dl, v).sum(axis=1)
+            obn = jnp.where(v, obn, -jnp.inf)  # padding sorts last
+            m = roi_merge(obn, pairwise_iou(bx, bx), cl, dl, lam)
+            cluster_valid = (
+                jnp.zeros(v.shape, bool).at[m["ids"]].max(v) & m["row_valid"]
+            )
+            cluster_scores = wsddn_scores(
+                m["merged_cls"], m["merged_det"], cluster_valid
+            )
+            return cluster_scores, cluster_scores[m["ids"]]
 
-        scores = jax.vmap(score_one)(cls_logit, det_logit, proposals, valid)
+        cluster_scores, prop_scores = jax.vmap(score_one)(
+            cls_logit, det_logit, proposals, valid
+        )
 
         if train:
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            return {}, {"loss_mil": jax.vmap(mil_image_loss)(scores, img_labels).mean()}
+            return {}, {
+                "loss_mil": jax.vmap(mil_image_loss)(cluster_scores, img_labels).mean()
+            }
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
                 bx, sc, v, sz, self.score_thresh_test, self.nms_thresh_test, self.detections_per_image
             )
-        )(proposals, scores, valid, image_sizes)
+        )(proposals, prop_scores, valid, image_sizes)
         return detections, {}
 
 

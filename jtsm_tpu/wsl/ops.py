@@ -139,48 +139,123 @@ def roi_loop_pool(
 
 
 def roi_label(
-    scores: Array,  # (R,) mined source scores per proposal (e.g. branch k-1)
-    ious: Array,  # (R, G) IoU of proposals against mined pgt boxes
-    pgt_valid: Array,  # (G,)
+    scores: Array,  # (R, C) proposal class scores S
+    ious: Array,  # (R, R) proposal-vs-proposal IoU matrix U
+    image_labels: Array,  # (C,) multi-hot L
+    class_weights: Array,  # (C,) per-class weights CW
     fg_threshold: float = 0.5,
-    bg_threshold: float = 0.1,
+    bg_threshold_hi: float = 0.5,
+    bg_threshold_lo: float = -1.0,
+    top_k: int = 1,
 ) -> Dict[str, Array]:
-    """Reference ROILabel: produce per-proposal fg/bg labels + weights from
-    IoU with mined pseudo boxes. Returns dict with matched pgt index, label
-    in {-1 ignore, 0 bg, 1 fg} and weight (score of matched pgt)."""
-    ious = jnp.where(pgt_valid[None, :], ious, -1.0)
-    best = jnp.max(ious, axis=1)
-    arg = jnp.argmax(ious, axis=1)
-    label = jnp.where(best >= fg_threshold, 1, jnp.where(best < bg_threshold, 0, -1))
-    weight = jnp.where(label != 0, scores[arg] if scores.ndim else best, 1.0)
-    return {"matched_idx": arg, "label": label, "weight": weight, "max_iou": best}
+    """Reference ROILabel (csrc/ROILabel/ROILabel_cpu.cpp): mine ``top_k``
+    highest-scoring proposals per present class with GLOBAL exclusion (a
+    proposal mined for an earlier class cannot be re-mined), then label every
+    proposal by its best-IoU mined proposal: the mined class if IoU >=
+    fg_threshold, background (= C) if bg_threshold_lo <= IoU <
+    bg_threshold_hi, otherwise keep the class with weight 0 (ignore). The
+    weight is ``class_weights[mined class]``.
+
+    The reference's random fg/bg subsampling caps (num_pos_/num_neg_) are
+    ignored (treated as unbounded), which makes the op deterministic; the
+    parity fixtures are recorded with unbounded caps.
+    """
+    r, c = scores.shape
+    present = image_labels > 0
+
+    # sequential per-(class, k) mining with global exclusion
+    def mine_class(ci, carry):
+        mined_idx, mined_cls, mined_ok, taken = carry
+
+        def mine_k(k, inner):
+            mined_idx, mined_cls, mined_ok, taken = inner
+            col = jnp.where(taken, -jnp.inf, scores[:, ci])
+            idx = jnp.argmax(col)
+            ok = present[ci] & jnp.isfinite(col[idx])
+            slot = ci * top_k + k
+            mined_idx = mined_idx.at[slot].set(jnp.where(ok, idx, -1))
+            mined_cls = mined_cls.at[slot].set(ci)
+            mined_ok = mined_ok.at[slot].set(ok)
+            taken = taken.at[idx].set(taken[idx] | ok)
+            return mined_idx, mined_cls, mined_ok, taken
+
+        return jax.lax.fori_loop(0, top_k, mine_k, (mined_idx, mined_cls, mined_ok, taken))
+
+    g = c * top_k
+    mined_idx, mined_cls, mined_ok, _ = jax.lax.fori_loop(
+        0,
+        c,
+        mine_class,
+        (
+            jnp.full((g,), -1, jnp.int32),
+            jnp.zeros((g,), jnp.int32),
+            jnp.zeros((g,), bool),
+            jnp.zeros((r,), bool),
+        ),
+    )
+
+    iou_to_mined = ious[:, jnp.clip(mined_idx, 0)]  # (R, G)
+    iou_to_mined = jnp.where(mined_ok[None, :], iou_to_mined, -jnp.inf)
+    best = jnp.max(iou_to_mined, axis=1)
+    arg = jnp.argmax(iou_to_mined, axis=1)
+    assign_c = mined_cls[arg]
+    fg = best >= fg_threshold
+    bg = (~fg) & (best >= bg_threshold_lo) & (best < bg_threshold_hi)
+    label = jnp.where(fg, assign_c, jnp.where(bg, c, assign_c))
+    weight = jnp.where(fg | bg, class_weights[assign_c], 0.0)
+    return {
+        "label": label,
+        "weight": weight,
+        "matched_idx": mined_idx[arg],
+        "max_iou": best,
+        "mined_idx": mined_idx,
+        "mined_ok": mined_ok,
+    }
 
 
 def pcl_losses(
-    pcl_probs: Array,  # (R, K+1) proposal probs (bg last or first per conv.)
-    labels: Array,  # (R,) cluster class labels; K = bg
-    cls_loss_weights: Array,  # (R,)
-    gt_assignment: Array,  # (R,) cluster id per proposal
-    pc_probs: Array,  # (Cmax,) mean prob of each cluster for its class
-    pc_labels: Array,  # (Cmax,)
-    pc_count: Array,  # (Cmax,)
-    img_cls_loss_weights: Array,  # (Cmax,)
-    im_labels: Array,  # (K+1,)
-    num_classes: int,
+    pcl_probs: Array,  # (R, 1+C) proposal probs, BACKGROUND FIRST (channel 0)
+    labels: Array,  # (R,) cluster class labels in [0, C]; 0 = background
+    cls_loss_weights: Array,  # (R,) score of the assigned cluster (0 = ignore)
+    gt_assignment: Array,  # (R,) cluster id per proposal (-1 for bg)
+    pc_labels: Array,  # (G,) cluster class (1-indexed)
+    pc_count: Array,  # (G,) member count per cluster
+    img_cls_loss_weights: Array,  # (G,) sum of member weights per cluster
+    im_labels: Array,  # (1+C,) with im_labels[0] = 1 (bg always present)
 ) -> Array:
-    """Proposal-cluster-learning loss (reference csrc/pcl_loss): background
-    proposals use per-proposal CE; fg proposals use their CLUSTER's averaged
-    probability."""
+    """Proposal-cluster-learning loss, exactly the reference
+    csrc/pcl_loss/pcl_loss_cpu.cpp forward (normalized by R as in
+    wsl/layers/pcl_loss.py:51): background proposals use per-proposal CE on
+    channel 0; each CLUSTER contributes -img_w * log(mean member prob at its
+    class). Differentiable in JAX — autodiff reproduces the reference's
+    hand-written backward (parity-tested against it).
+    """
     r = pcl_probs.shape[0]
-    bg = labels == num_classes
-    p_bg = jnp.take_along_axis(pcl_probs, labels[:, None], axis=1)[:, 0]
-    loss_bg = -cls_loss_weights * jnp.log(jnp.clip(p_bg, 1e-8)) * bg
+    eps = 1e-6
+    bg = (labels == 0) & (im_labels[0] != 0)
+    p_bg = jnp.clip(pcl_probs[:, 0], eps)
+    loss_bg = jnp.sum(-cls_loss_weights * jnp.log(p_bg) * bg)
 
-    cluster_p = pc_probs[gt_assignment]
-    loss_fg_per_cluster = -img_cls_loss_weights * jnp.log(jnp.clip(pc_probs, 1e-8))
-    valid_cluster = pc_count > 0
-    loss_fg = jnp.sum(loss_fg_per_cluster * valid_cluster)
-    return (jnp.sum(loss_bg) + loss_fg) / jnp.maximum(r, 1)
+    # mean member prob per cluster at the cluster's class, via segment sums
+    g = pc_labels.shape[0]
+    member = gt_assignment >= 0
+    seg = jnp.where(member, gt_assignment, g)  # overflow row for bg
+    cols = jnp.clip(pc_labels, 0, pcl_probs.shape[1] - 1)
+    p_at_cls = pcl_probs[:, cols]  # (R, G): every roi's prob at each cluster's class
+    onehot = (seg[:, None] == jnp.arange(g)[None, :]).astype(pcl_probs.dtype)
+    pc_probs = jnp.sum(p_at_cls * onehot, axis=0) / jnp.maximum(pc_count, 1)
+
+    cluster_present = (pc_count > 0) & (im_labels[jnp.clip(pc_labels, 0)] != 0) & (
+        pc_labels > 0
+    )
+    loss_fg = jnp.sum(
+        jnp.where(
+            cluster_present,
+            -img_cls_loss_weights * jnp.log(jnp.clip(pc_probs, eps)),
+            0.0,
+        )
+    )
+    return (loss_bg + loss_fg) / jnp.maximum(r, 1)
 
 
 def crf_mean_field(

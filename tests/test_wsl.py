@@ -248,8 +248,11 @@ def test_csc_weights_and_cpg():
     assert g.shape == (1, 8, 8)
     np.testing.assert_allclose(np.asarray(g), 2.0)
 
-    # roi_merge: full continuation keeps scores identical for disjoint boxes
+    # roi_merge: at lambda=1 disjoint boxes stay singleton clusters
+    from jtsm_tpu.structures.boxes import pairwise_iou as piou
+
     b2 = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 60.0, 60.0]])
     cl = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
-    mcl, mdl = roi_merge(b2, cl, cl, jnp.ones(2, bool), jnp.asarray(1.0))
-    np.testing.assert_allclose(np.asarray(mcl), np.asarray(cl), atol=1e-5)
+    m = roi_merge(jnp.asarray([0.9, 0.5]), piou(b2, b2), cl, cl, jnp.asarray(1.0))
+    assert int(m["num_id"]) == 2
+    np.testing.assert_allclose(np.asarray(m["merged_cls"][m["ids"]]), np.asarray(cl), atol=1e-5)
