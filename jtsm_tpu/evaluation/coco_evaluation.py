@@ -63,6 +63,7 @@ def batched_outputs_to_coco_json(
     orig_sizes: np.ndarray,
     reverse_id_mapping: Optional[Dict[int, int]] = None,
     with_masks: bool = False,
+    image_sizes: Optional[np.ndarray] = None,  # (B, 2) network-input sizes
 ) -> List[dict]:
     """Static (B, D, ...) detections -> COCO result dicts
     (reference coco_evaluation.py:357 ``instances_to_coco_json``)."""
@@ -85,7 +86,29 @@ def batched_outputs_to_coco_json(
                 "bbox": [x0, y0, x1 - x0, y1 - y0],
                 "score": float(outputs["scores"][i, j]),
             }
-            if with_masks and "masks" in outputs:
+            if (
+                with_masks
+                and "masks_full" in outputs
+                and outputs.get("no_paste") is not None
+                and bool(outputs["no_paste"][i, j])
+            ):
+                # WSL no_paste path (reference postprocessing.py:63-70): the
+                # mask is already full-image at network-input resolution —
+                # crop the valid region and resize to the original size
+                m = np.asarray(outputs["masks_full"][i, j], np.float32)
+                if image_sizes is not None:
+                    ih, iw = int(image_sizes[i][0]), int(image_sizes[i][1])
+                    m = m[:ih, :iw]
+                ys = np.clip(
+                    (np.arange(h) + 0.5) * m.shape[0] / h - 0.5, 0, m.shape[0] - 1
+                ).round().astype(int)
+                xs = np.clip(
+                    (np.arange(w) + 0.5) * m.shape[1] / w - 0.5, 0, m.shape[1] - 1
+                ).round().astype(int)
+                res["segmentation"] = rle_string_encode(
+                    m[ys[:, None], xs[None, :]] >= 0.5
+                )
+            elif with_masks and "masks" in outputs:
                 full = _paste_mask_np(
                     outputs["masks"][i, j].astype(np.float32),
                     outputs["boxes"][i, j],
@@ -142,7 +165,7 @@ class COCOEvaluator(DatasetEvaluator):
                 v: k
                 for k, v in self._metadata.thing_dataset_id_to_contiguous_id.items()
             }
-        with_masks = "masks" in outputs
+        with_masks = "masks" in outputs or "masks_full" in outputs
         self._do_masks = self._do_masks or with_masks
         self._predictions.extend(
             batched_outputs_to_coco_json(
@@ -151,6 +174,7 @@ class COCOEvaluator(DatasetEvaluator):
                 inputs["orig_sizes"],
                 reverse_id_mapping,
                 with_masks=with_masks,
+                image_sizes=inputs.get("image_sizes"),
             )
         )
 

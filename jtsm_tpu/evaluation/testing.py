@@ -51,8 +51,10 @@ def verify_results(cfg, results: Mapping) -> bool:
         logger.error("Result verification failed!")
         logger.error("Expected Results: " + str(expected_results))
         logger.error("Actual Results: " + pprint.pformat(results))
-    else:
-        logger.info("Results verification passed.")
+        # reference testing.py:58: a failed gate terminates the process so
+        # dev/run_inference_tests.sh (bash -e) reports the failure
+        sys.exit(1)
+    logger.info("Results verification passed.")
     return ok
 
 

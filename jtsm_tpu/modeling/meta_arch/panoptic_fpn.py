@@ -226,6 +226,8 @@ def panoptic_fusion_postprocess(
     classes = np.asarray(outputs["classes"], np.int32)
     valid = np.asarray(outputs.get("valid", np.ones(scores.shape, bool)), bool)
     masks = outputs.get("masks")
+    if masks is None and "masks_full" in outputs:
+        masks = outputs["masks_full"]
     no_paste = outputs.get("no_paste")  # (B, D) full-image masks flag (WSL)
 
     panoptic, sem_maps = [], []
@@ -246,12 +248,15 @@ def panoptic_fusion_postprocess(
                 # combine() never reads masks below the confidence threshold
                 if not inst_valid[j] or scores[i, j] < instances_confidence_threshold:
                     continue
-                m = np.asarray(masks[i, j], np.float32)
                 if no_paste is not None and bool(no_paste[i, j]):
-                    # mask already full-image at network-input res: crop+resize
+                    # mask already full-image at network-input res (WSL
+                    # superpixel path emits ``masks_full``): crop + resize
+                    src = outputs.get("masks_full", masks)
+                    m = np.asarray(src[i, j], np.float32)
                     full = _bilinear_resize_np(m[:h, :w, None], h0, w0)[..., 0]
                     inst_masks[j] = full >= mask_threshold
                 else:
+                    m = np.asarray(masks[i, j], np.float32)
                     inst_masks[j] = _paste_mask_np(
                         m, boxes[i, j], h0, w0, mask_threshold
                     )

@@ -39,6 +39,10 @@ def add_wsl_config(cfg: CN) -> None:
     _C.WSL.OBJECT_EVIDENCE = "superpixel"
     # training mask-roi capacity per image (static shape)
     _C.WSL.MASK_CAPACITY = 64
+    # at test time, emit full-image superpixel-union instance masks with
+    # no_paste flags instead of box-pasted crop masks (reference
+    # roi_heads_jtsm.py:969-997 + postprocessing.py:63-70)
+    _C.WSL.TEST_NO_PASTE = False
     # pseudo-gt mining
     _C.WSL.PGT_SCORE_THRESH = 0.0
     # sampling namespace

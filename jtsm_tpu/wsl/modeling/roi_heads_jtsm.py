@@ -100,6 +100,7 @@ class JTSMROIHeads(nn.Module):
     mask_size: int = 28
     mask_capacity: int = 64  # mined mask rois per image (static)
     object_evidence_mode: str = "superpixel"  # or "grabcut" (:1820)
+    test_no_paste: bool = False  # emit full-image superpixel masks (:969)
     score_thresh_test: float = 1e-4
     nms_thresh_test: float = 0.4
     detections_per_image: int = 100
@@ -139,6 +140,7 @@ class JTSMROIHeads(nn.Module):
             mask_mined_top_k=cfg.WSL.MASK_MINED_TOP_K,
             mask_capacity=cfg.WSL.MASK_CAPACITY,
             object_evidence_mode=cfg.WSL.OBJECT_EVIDENCE,
+            test_no_paste=cfg.WSL.TEST_NO_PASTE,
             score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
             nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
@@ -183,7 +185,11 @@ class JTSMROIHeads(nn.Module):
         oh_labels: Optional[Array] = None,  # (B, R, S)
         images: Optional[Array] = None,  # (B, H, W, 3) raw, for GrabCut
     ):
-        feat = features[self.in_features[0]]  # (B, Hf, Wf, C) single level
+        # multi-level FPN features route through the standard ROIPooler; the
+        # superpixel MOIPool path operates on the finest configured level
+        # (the flagship DC5 configs are single-level, matching the reference)
+        feats = [features[f] for f in self.in_features]
+        feat = feats[0]  # (B, Hf, Wf, C)
         b, r = proposals.shape[:2]
         spatial_scale = self.pooler.scales[0]
         p = self.pooler.output_size[0]
@@ -203,7 +209,7 @@ class JTSMROIHeads(nn.Module):
         else:
             flat_boxes = proposals.reshape(b * r, 4)
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-            pooled = self.pooler([feat], flat_boxes, batch_idx, rois_per_image=r)
+            pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
             area_ratio = jnp.ones((b, r))
 
         x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
@@ -241,10 +247,10 @@ class JTSMROIHeads(nn.Module):
 
         if train:
             return self._losses(
-                proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feat, images
+                proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feats, images
             )
         return self._inference(
-            proposals, valid, mil, branches, image_sizes, feat, b, r
+            proposals, valid, mil, branches, image_sizes, feats, b, r, superpixels, oh_labels
         )
 
     # ------------------------------------------------------------------
@@ -264,7 +270,7 @@ class JTSMROIHeads(nn.Module):
         return jnp.concatenate([thing, stuff], axis=1)
 
     def _losses(
-        self, proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feat, images=None
+        self, proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feats, images=None
     ):
         img_labels = self._joint_labels(targets, b)
         losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
@@ -320,7 +326,7 @@ class JTSMROIHeads(nn.Module):
                     img_labels,
                     superpixels,
                     oh_labels,
-                    feat,
+                    feats,
                     b,
                     r,
                     images,
@@ -361,7 +367,7 @@ class JTSMROIHeads(nn.Module):
         return jax.vmap(one)(proposals, valid, scores, img_labels, superpixels, oh_labels)
 
     def _mask_losses(
-        self, proposals, valid, scores, img_labels, superpixels, oh_labels, feat, b, r, images=None
+        self, proposals, valid, scores, img_labels, superpixels, oh_labels, feats, b, r, images=None
     ):
         """Mask PGT mining + base head + self-training refinery (reference
         _forward_mask :754-946).
@@ -447,7 +453,7 @@ class JTSMROIHeads(nn.Module):
 
         flat_boxes = boxes.reshape(b * cm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), cm)
-        mask_feats = self.mask_pooler([feat], flat_boxes, batch_idx, rois_per_image=cm)
+        mask_feats = self.mask_pooler(feats, flat_boxes, batch_idx, rois_per_image=cm)
         flat_cls = cls.reshape(-1)
         flat_ok = ok.reshape(-1)
         flat_targets = mask_targets.reshape(
@@ -472,7 +478,10 @@ class JTSMROIHeads(nn.Module):
             prev_logits = logits_k
         return losses
 
-    def _inference(self, proposals, valid, mil, branches, image_sizes, feat, b, r):
+    def _inference(
+        self, proposals, valid, mil, branches, image_sizes, feats, b, r,
+        superpixels=None, oh_labels=None,
+    ):
         avg = jnp.zeros((b, r, self.joint_classes))
         for logits, _ in branches:
             avg = avg + jax.nn.softmax(logits, axis=-1)[..., : self.joint_classes]
@@ -501,11 +510,30 @@ class JTSMROIHeads(nn.Module):
         # test_time_augmentation_avg.py:383-386)
         detections["proposal_class_scores"] = thing_scores
 
+        if (
+            self.test_no_paste
+            and self.sp_on
+            and superpixels is not None
+            and oh_labels is not None
+        ):
+            # full-image superpixel-union instance masks + no_paste flags
+            # (reference roi_heads_jtsm.py:969-997 / postprocessing.py:63-70):
+            # each detection's mask is the union of its SOURCE proposal's
+            # member superpixels at image resolution
+            def paint(sp, oh, pidx):
+                return oh[pidx][:, sp]  # (D, Hs, Ws) via per-det gather
+
+            detections["masks_full"] = jax.vmap(paint)(
+                superpixels, oh_labels, detections["prop_idx"]
+            )
+            detections["no_paste"] = detections["valid"]
+            return detections, {}
+
         if self.mask_on and self.mask_head is not None:
             d = detections["boxes"].shape[1]
             det_boxes = detections["boxes"].reshape(b * d, 4)
             det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
-            mask_feats = self.mask_pooler([feat], det_boxes, det_batch, rois_per_image=d)
+            mask_feats = self.mask_pooler(feats, det_boxes, det_batch, rois_per_image=d)
             if self.mask_refinery:
                 # reference :952-960: inference averages the REFINERY heads'
                 # logits (the class-agnostic base head only seeds training)

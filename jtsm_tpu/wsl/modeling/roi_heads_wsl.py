@@ -125,6 +125,8 @@ def wsl_inference_single(
         "scores": jnp.where(out_valid, top_scores, 0.0),
         "classes": cand_classes[top_i],
         "valid": out_valid,
+        # source proposal of each detection (for superpixel/no_paste masks)
+        "prop_idx": (cand_idx[top_i] // c).astype(jnp.int32),
     }
     if topk_per_image > k:
         pad = topk_per_image - k
@@ -133,6 +135,7 @@ def wsl_inference_single(
             "scores": jnp.concatenate([out["scores"], jnp.zeros((pad,))]),
             "classes": jnp.concatenate([out["classes"], jnp.zeros((pad,), jnp.int32)]),
             "valid": jnp.concatenate([out["valid"], jnp.zeros((pad,), bool)]),
+            "prop_idx": jnp.concatenate([out["prop_idx"], jnp.zeros((pad,), jnp.int32)]),
         }
     return out
 
