@@ -65,6 +65,23 @@ class GeneralizedRCNN(nn.Module):
         image_sizes = batch["image_sizes"]
         features = self.backbone(images)
 
+        if not train and "detected_boxes" in batch:
+            # inference on externally provided boxes (reference rcnn.py
+            # ``inference(detected_instances=...)`` used by TTA): skip the
+            # proposal generator and box head, run only the per-box branches
+            b, d = batch["detected_boxes"].shape[:2]
+            detections = {
+                "boxes": batch["detected_boxes"],
+                "classes": batch["detected_classes"],
+                "scores": batch.get("detected_scores", jnp.ones((b, d))),
+                "valid": batch.get("detected_valid", jnp.ones((b, d), bool)),
+            }
+            detections = self.roi_heads.forward_with_given_boxes(
+                features, detections
+            )
+            # boxes stay in network-input coords: the caller owns the mapping
+            return detections
+
         if self.proposal_generator is not None:
             proposals, prop_scores, rpn_losses = self.proposal_generator(
                 image_sizes,

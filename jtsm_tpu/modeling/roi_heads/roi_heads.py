@@ -293,6 +293,26 @@ class StandardROIHeads(nn.Module):
             detections = self._forward_extra_inference(features, detections, b)
             return detections, {}
 
+    def forward_with_given_boxes(self, features, detections):
+        """Run only the per-box branches (mask/keypoint/extras) on provided
+        detections (reference roi_heads.py ``forward_with_given_boxes``,
+        used by the TTA mask re-run on merged boxes)."""
+        b = detections["boxes"].shape[0]
+        if self.mask_on:
+            detections = self._forward_mask_inference(features, detections, b)
+        if self.keypoint_on:
+            from .keypoint_head import keypoint_rcnn_inference
+
+            d = detections["boxes"].shape[1]
+            det_boxes = detections["boxes"].reshape(b * d, 4)
+            det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+            kfeats = [features[f] for f in self.box_in_features]
+            kp_feats = self.keypoint_pooler(kfeats, det_boxes, det_batch, rois_per_image=d)
+            kp_logits = self.keypoint_head(kp_feats)
+            kps = keypoint_rcnn_inference(kp_logits, det_boxes)
+            detections["keypoints"] = kps.reshape(b, d, -1, 4)
+        return self._forward_extra_inference(features, detections, b)
+
     def _forward_extra_train(self, features, sampled, targets, b):
         """Hook for subclass branches (e.g. DensePose) on the sampled rois."""
         return {}

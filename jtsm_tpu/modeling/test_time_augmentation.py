@@ -63,8 +63,18 @@ class TTAWrapperBase:
 
 
 class GeneralizedRCNNWithTTA(TTAWrapperBase):
-    """Union of detections across augs -> NMS -> topk
-    (reference test_time_augmentation.py:85)."""
+    """Union of detections across augs -> NMS -> topk -> re-run the mask
+    head on the merged boxes in EVERY augmented view and average the
+    probabilities (reference test_time_augmentation.py:85
+    ``_inference_one_image`` / ``_reduce_pred_masks``; identical flow in the
+    WSL UNION variant test_time_augmentation_union.py:190-291).
+
+    The mask re-run requires the model to accept ``detected_boxes`` /
+    ``detected_classes`` inputs (GeneralizedRCNN's given-boxes inference
+    branch); models without it keep each detection's mask from its source
+    augmentation."""
+
+    rerun_masks: bool = True
 
     def _convert_flipped_outputs(self, outputs):
         """Hook for subclasses that must un-flip extra per-detection maps
@@ -124,7 +134,62 @@ class GeneralizedRCNNWithTTA(TTAWrapperBase):
         }
         for k, vals in all_extras.items():
             result[k] = np.concatenate(vals)[keep_idx]
+        if self.rerun_masks and "masks" in result and len(result["boxes"]):
+            rerun = self._rerun_masks_on_merged(image, (h0, w0), result, topk)
+            if rerun is not None:
+                result["masks"] = rerun
         return result
+
+    def _rerun_masks_on_merged(self, image, orig_size, result, topk):
+        """Reference ``_rescale_detected_boxes`` + ``_reduce_pred_masks``:
+        project the merged boxes into every augmented view, run the mask head
+        there (given-boxes inference), un-flip, and average probabilities."""
+        h0, w0 = orig_size
+        n = len(result["boxes"])
+        d = topk  # static capacity: one compiled shape across images
+        boxes = np.zeros((d, 4), np.float32)
+        boxes[:n] = result["boxes"]
+        classes = np.zeros((d,), np.int32)
+        classes[:n] = result["classes"]
+        valid = np.zeros((d,), bool)
+        valid[:n] = True
+
+        acc = None
+        count = 0
+        for batch, flipped in self._augmented_batches(image, (h0, w0)):
+            hh, ww = (int(v) for v in batch["image_sizes"][0])
+            sx, sy = ww / w0, hh / h0
+            bx = boxes * np.asarray([sx, sy, sx, sy], np.float32)
+            if flipped:
+                x0 = ww - bx[:, 2]
+                x1 = ww - bx[:, 0]
+                bx = np.stack([x0, bx[:, 1], x1, bx[:, 3]], axis=1)
+            aug_batch = dict(
+                batch,
+                detected_boxes=bx[None],
+                detected_classes=classes[None],
+                detected_valid=valid[None],
+            )
+            try:
+                out = self.predict_fn(aug_batch)
+            except (KeyError, TypeError) as e:
+                # model has no given-boxes branch: keep source-aug masks
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "TTA mask re-run unavailable (%s); keeping per-view masks", e
+                )
+                return None
+            if "masks" not in out:
+                return None
+            m = np.asarray(out["masks"])[0]  # (D, S, S) probabilities
+            if flipped:
+                m = m[:, :, ::-1]
+            acc = m if acc is None else acc + m
+            count += 1
+        if acc is None:
+            return None
+        return (acc / count)[:n]
 
 
 class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
@@ -210,4 +275,6 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
         return result
 
 
-GeneralizedRCNNWithTTAUNION = GeneralizedRCNNWithTTA  # union semantics match
+# the WSL UNION TTA (test_time_augmentation_union.py) is flow-identical to
+# the base detectron2 TTA: union boxes -> NMS -> mask re-run on merged boxes
+GeneralizedRCNNWithTTAUNION = GeneralizedRCNNWithTTA

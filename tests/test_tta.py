@@ -100,3 +100,96 @@ def test_tta_avg_scores_and_detections():
     best = np.argmax(area0[:-2])
     assert int(det["classes"][0]) == c - 1
     assert np.allclose(det["boxes"][0], proposals[best], atol=1e-3)
+
+
+def test_tta_mask_rerun_on_merged_boxes():
+    """The TTA mask path re-runs the mask head on merged boxes in every
+    augmented view and AVERAGES probabilities (reference
+    test_time_augmentation_union.py:207-291), un-flipping flipped views."""
+    calls = []
+
+    def predict(batch):
+        if "detected_boxes" in batch:
+            hh, ww = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
+            flipped = len(calls) % 2 == 1  # views alternate (img, flipped)
+            calls.append((hh, ww))
+            d = batch["detected_boxes"].shape[1]
+            # constant-prob masks distinguish views; a left-right gradient
+            # checks un-flipping
+            grad = np.tile(np.linspace(0, 1, 8, dtype=np.float32), (8, 1))
+            m = grad[::-1, ::-1] if flipped else grad
+            return {"masks": np.tile(m[None, None], (1, d, 1, 1)), "boxes": batch["detected_boxes"]}
+        im = batch["image"][0]
+        hh, ww = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
+        oh, ow = int(batch["orig_sizes"][0][0]), int(batch["orig_sizes"][0][1])
+        mask = im[..., 0] > 128
+        ys, xs = np.nonzero(mask)
+        sx, sy = ow / ww, oh / hh
+        box = np.asarray(
+            [[xs.min() * sx, ys.min() * sy, (xs.max() + 1) * sx, (ys.max() + 1) * sy]],
+            np.float32,
+        )
+        return {
+            "boxes": box[None],
+            "scores": np.asarray([[0.9]], np.float32),
+            "classes": np.asarray([[2]], np.int64),
+            "valid": np.asarray([[True]]),
+            "masks": np.zeros((1, 1, 8, 8), np.float32),  # source-aug masks
+        }
+
+    tta = GeneralizedRCNNWithTTA(
+        predict, min_sizes=(64,), max_size=200, flip=True, buckets=((256, 256),)
+    )
+    out = tta(_make_image(), topk=4, nms_thresh=0.5)
+    assert len(calls) == 2  # given-boxes re-run in both views
+    grad = np.tile(np.linspace(0, 1, 8, dtype=np.float32), (8, 1))
+    # unflipped view contributes grad; flipped view contributes
+    # (grad flipped ud+lr) then un-flipped lr by the wrapper
+    expect = (grad + grad[::-1, ::-1][:, ::-1]) / 2
+    np.testing.assert_allclose(out["masks"][0], expect, atol=1e-6)
+
+
+def test_tta_given_boxes_e2e_tiny_model():
+    """End-to-end: a real tiny Mask R-CNN supports the given-boxes inference
+    branch (detected_boxes -> forward_with_given_boxes -> masks), so the TTA
+    mask re-run path runs on an actual model."""
+    import jax
+    import jax.numpy as jnp
+
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.modeling import build_model
+    from tests.modeling.test_meta_archs import _fpn_tiny
+
+    cfg = get_cfg()
+    _fpn_tiny(cfg)
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    model = build_model(cfg)
+
+    h = w = 64
+    rng = np.random.RandomState(0)
+    base = {
+        "image": np.asarray(rng.rand(1, h, w, 3), np.float32) * 255,
+        "image_sizes": np.asarray([[h, w]], np.int32),
+        "orig_sizes": np.asarray([[h, w]], np.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        {k: jnp.asarray(v) for k, v in base.items()},
+        train=False,
+    )
+    given_calls = []
+
+    def predict(batch):
+        if "detected_boxes" in batch:
+            given_calls.append(1)
+        return model.apply(variables, {k: jnp.asarray(v) for k, v in batch.items()}, train=False)
+
+    tta = GeneralizedRCNNWithTTA(
+        predict, min_sizes=(48,), max_size=96, flip=True, buckets=((64, 64),)
+    )
+    out = tta(base["image"][0], topk=8, nms_thresh=0.5)
+    if len(out["boxes"]):
+        assert len(given_calls) == 2  # rerun in both views
+        assert out["masks"].shape[0] == len(out["boxes"])
+        assert np.all((out["masks"] >= 0) & (out["masks"] <= 1))
