@@ -51,6 +51,78 @@ def flop_count(fn, *args) -> float:
         return -1.0
 
 
+def flop_count_analytic(fn, *args) -> Dict[str, float]:
+    """Analytic FLOP count (reference detectron2/utils/analysis.py /
+    fvcore ``FlopCountAnalysis``): walk the traced jaxpr and count
+    multiply-accumulates of matmuls (``dot_general``) and convolutions
+    (``conv_general_dilated``) as 2 FLOPs each. Complements ``flop_count``
+    (XLA's own cost model) with a backend-independent per-primitive
+    breakdown.
+
+    Returns {"total_gflops": t, "dot_gflops": d, "conv_gflops": c}.
+    Handles nested jaxprs (pjit/remat/custom_*), multiplies ``scan`` bodies
+    by their trip count, and takes the max branch of ``cond``.
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    jaxpr = jax.make_jaxpr(fn)(*args)
+
+    def prod(xs):
+        out = 1
+        for x in xs:
+            out *= int(x)
+        return out
+
+    def eqn_flops(eqn) -> Dict[str, float]:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            ((lc, _), (_, _)) = eqn.params["dimension_numbers"]
+            k = prod(eqn.invars[0].aval.shape[i] for i in lc)
+            return {"dot": 2.0 * prod(eqn.outvars[0].aval.shape) * k}
+        if name == "conv_general_dilated":
+            dn = eqn.params["dimension_numbers"]
+            rhs_shape = eqn.invars[1].aval.shape
+            # per output element: in_ch/groups * prod(kernel spatial) MACs
+            per_out = prod(rhs_shape[i] for i in dn.rhs_spec[1:])
+            return {"conv": 2.0 * prod(eqn.outvars[0].aval.shape) * per_out}
+        total: Dict[str, float] = {}
+
+        def add(d, mult=1.0):
+            for k, v in d.items():
+                total[k] = total.get(k, 0.0) + v * mult
+
+        if name == "scan":
+            add(jaxpr_flops(eqn.params["jaxpr"].jaxpr), float(eqn.params["length"]))
+        elif name == "while":
+            add(jaxpr_flops(eqn.params["body_jaxpr"].jaxpr))  # >= 1 trip
+        elif name == "cond":
+            branches = [jaxpr_flops(b.jaxpr) for b in eqn.params["branches"]]
+            if branches:
+                worst = max(branches, key=lambda d: sum(d.values()))
+                add(worst)
+        else:
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    add(jaxpr_flops(v.jaxpr))
+                elif isinstance(v, (list, tuple)):
+                    for vv in v:
+                        if hasattr(vv, "jaxpr"):
+                            add(jaxpr_flops(vv.jaxpr))
+        return total
+
+    def jaxpr_flops(jxp) -> Dict[str, float]:
+        total: Dict[str, float] = {}
+        for eqn in jxp.eqns:
+            for k, v in eqn_flops(eqn).items():
+                total[k] = total.get(k, 0.0) + v
+        return total
+
+    counts = jaxpr_flops(jaxpr.jaxpr)
+    dot = counts.get("dot", 0.0) / 1e9
+    conv = counts.get("conv", 0.0) / 1e9
+    return {"total_gflops": dot + conv, "dot_gflops": dot, "conv_gflops": conv}
+
+
 def activation_count(fn, *args) -> float:
     """Bytes accessed (proxy for activations), from XLA cost analysis."""
     lowered = jax.jit(fn).lower(*args)

@@ -55,6 +55,9 @@ class VideoVisualizer:
         vis = Visualizer(frame_rgb, self.metadata)
         scores = np.asarray(predictions["scores"])[valid]
         classes = np.asarray(predictions["classes"])[valid]
+        masks = predictions.get("masks")
+        masks_v = np.asarray(masks)[valid] if masks is not None else None
+        h, w = np.asarray(frame_rgb).shape[:2]
         for i, box in enumerate(boxes_v):
             color = tuple(int(c) for c in _COLORS[colors[i]])
             vis.draw_box(box, color=color)
@@ -63,4 +66,11 @@ class VideoVisualizer:
                 (box[0], box[1]),
                 color=color,
             )
+            if masks_v is not None:
+                m = np.asarray(masks_v[i])
+                if m.shape != (h, w):
+                    from ..evaluation.coco_evaluation import _paste_mask_np
+
+                    m = _paste_mask_np(m.astype(np.float32), box, h, w)
+                vis.draw_binary_mask(m > 0.5, color=color)
         return vis.get_output()

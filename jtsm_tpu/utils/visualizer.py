@@ -1,10 +1,12 @@
 """Drawing utilities (reference: detectron2/utils/visualizer.py ``Visualizer``
-— boxes/masks/keypoints/panoptic overlays). PIL-based re-implementation of
-the drawing surface (the reference uses matplotlib)."""
+— boxes/rotated boxes/masks/polygons/keypoints/panoptic overlays,
+``_jitter`` instance colors, ``overlay_instances``). PIL-based
+re-implementation of the drawing surface (the reference uses matplotlib)."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+import colorsys
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
@@ -13,6 +15,35 @@ from ..data.catalog import MetadataCatalog
 from .colormap import colormap
 
 _COLORS = colormap(rgb=True).astype(np.uint8)
+
+_KEYPOINT_EDGES = [  # COCO person skeleton (reference visualizer draws lines)
+    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
+    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
+    (1, 3), (2, 4), (3, 5), (4, 6),
+]
+
+
+def _jitter(color, seed: int) -> tuple:
+    """Randomly shift a color in HSV so same-class instances stay
+    distinguishable (reference visualizer.py ``_jitter``); deterministic in
+    ``seed`` for reproducible output."""
+    rng = np.random.RandomState(seed)
+    h, s, v = colorsys.rgb_to_hsv(*(np.asarray(color, np.float32) / 255.0))
+    h = (h + rng.uniform(-0.06, 0.06)) % 1.0
+    s = float(np.clip(s + rng.uniform(-0.25, 0.25), 0.3, 1.0))
+    v = float(np.clip(v + rng.uniform(-0.2, 0.2), 0.4, 1.0))
+    return tuple(int(c * 255) for c in colorsys.hsv_to_rgb(h, s, v))
+
+
+def mask_to_polygons(mask: np.ndarray) -> List[np.ndarray]:
+    """Boundary polygons of a bool mask via cv2 contours; [] without cv2."""
+    try:
+        import cv2
+    except ImportError:
+        return []
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    return [c.reshape(-1, 2).astype(np.float64) for c in contours if len(c) >= 3]
 
 
 class VisImage:
@@ -41,9 +72,42 @@ class Visualizer:
             return names[cls_id]
         return str(cls_id)
 
+    # ------------------------------------------------------------- primitives
     def draw_box(self, box, color=(0, 255, 0), width: int = 2):
         x0, y0, x1, y1 = [float(v) for v in box]
         self.output.draw.rectangle([x0, y0, x1, y1], outline=tuple(color), width=width)
+        return self.output
+
+    def draw_rotated_box_with_label(
+        self, rotated_box, color=(0, 255, 0), label: Optional[str] = None, width: int = 2
+    ):
+        """(cx, cy, w, h, angle_degrees) box; angle is CCW like the reference
+        ``draw_rotated_box_with_label``."""
+        cx, cy, w, h, a = [float(v) for v in rotated_box]
+        theta = -a * np.pi / 180.0  # image y axis points down
+        c, s = np.cos(theta), np.sin(theta)
+        rect = np.asarray(
+            [[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]]
+        )
+        rot = rect @ np.asarray([[c, -s], [s, c]]).T + np.asarray([cx, cy])
+        pts = [tuple(p) for p in rot]
+        self.output.draw.polygon(pts, outline=tuple(color), width=width)
+        if label:
+            self.draw_text(label, rot[np.argmin(rot[:, 1])], color=color)
+        return self.output
+
+    def draw_polygon(self, segment, color=(0, 255, 0), edge_color=None, alpha: float = 0.45):
+        """Filled polygon with outline (reference ``draw_polygon``); segment
+        is (N, 2) xy or a flat [x0, y0, x1, y1, ...] list."""
+        seg = np.asarray(segment, np.float64)
+        if seg.ndim == 1:
+            seg = seg.reshape(-1, 2)
+        pts = [tuple(p) for p in seg]
+        if len(pts) < 3:
+            return self.output
+        fill = (*tuple(color), int(alpha * 255))
+        edge = tuple(edge_color) if edge_color is not None else tuple(color)
+        self.output.draw.polygon(pts, fill=fill, outline=edge)
         return self.output
 
     def draw_text(self, text: str, position, color=(255, 255, 255)):
@@ -51,20 +115,84 @@ class Visualizer:
         self.output.draw.text((x, max(y - 10, 0)), text, fill=tuple(color))
         return self.output
 
-    def draw_binary_mask(self, mask: np.ndarray, color=(0, 255, 0), alpha: float = 0.45):
+    def draw_binary_mask(
+        self,
+        mask: np.ndarray,
+        color=(0, 255, 0),
+        alpha: float = 0.45,
+        edge: bool = True,
+        text: Optional[str] = None,
+    ):
+        mask = np.asarray(mask, bool)
         overlay = np.zeros((*mask.shape, 4), np.uint8)
         overlay[mask] = (*color, int(alpha * 255))
-        self.output.pil.paste(
-            Image.fromarray(overlay, "RGBA"), (0, 0), Image.fromarray(overlay, "RGBA")
-        )
+        im = Image.fromarray(overlay, "RGBA")
+        self.output.pil.paste(im, (0, 0), im)
         self.output.draw = ImageDraw.Draw(self.output.pil, "RGBA")
+        if edge:
+            for poly in mask_to_polygons(mask):
+                self.output.draw.polygon(
+                    [tuple(p) for p in poly], outline=tuple(color)
+                )
+        if text:
+            ys, xs = np.nonzero(mask)
+            if len(ys):
+                self.draw_text(text, (xs.mean(), ys.mean()))
         return self.output
 
     def draw_keypoints(self, keypoints: np.ndarray, color=(255, 0, 0), radius: int = 2):
-        for x, y, *rest in np.asarray(keypoints):
+        kps = np.asarray(keypoints)
+        for x, y, *rest in kps:
             self.output.draw.ellipse(
                 [x - radius, y - radius, x + radius, y + radius], fill=tuple(color)
             )
+        if len(kps) == 17:  # COCO person: draw the skeleton
+            for a, b in _KEYPOINT_EDGES:
+                xa, ya = float(kps[a][0]), float(kps[a][1])
+                xb, yb = float(kps[b][0]), float(kps[b][1])
+                self.output.draw.line([xa, ya, xb, yb], fill=tuple(color), width=1)
+        return self.output
+
+    # ---------------------------------------------------------- generic API
+    def overlay_instances(
+        self,
+        boxes: Optional[np.ndarray] = None,
+        labels: Optional[Sequence[str]] = None,
+        masks: Optional[Sequence[np.ndarray]] = None,
+        keypoints: Optional[np.ndarray] = None,
+        assigned_colors: Optional[Sequence] = None,
+        alpha: float = 0.45,
+    ):
+        """Reference ``overlay_instances``: draw any subset of
+        boxes/labels/full-res masks/keypoints with per-instance colors."""
+        n = 0
+        for cand in (boxes, masks, keypoints, labels):
+            if cand is not None:
+                n = len(cand)
+                break
+        for i in range(n):
+            if assigned_colors is not None:
+                color = tuple(int(c) for c in assigned_colors[i])
+            else:
+                color = _jitter(_COLORS[i % len(_COLORS)], seed=i)
+            if boxes is not None:
+                box = np.asarray(boxes[i], np.float64)
+                if box.shape[-1] == 5:
+                    self.draw_rotated_box_with_label(
+                        box, color=color, label=labels[i] if labels else None
+                    )
+                else:
+                    self.draw_box(box, color=color)
+                    if labels:
+                        self.draw_text(labels[i], (box[0], box[1]), color=color)
+            if masks is not None:
+                self.draw_binary_mask(np.asarray(masks[i]) > 0.5, color=color, alpha=alpha)
+                if labels and boxes is None:
+                    ys, xs = np.nonzero(np.asarray(masks[i]) > 0.5)
+                    if len(ys):
+                        self.draw_text(labels[i], (xs.mean(), ys.mean()), color=color)
+            if keypoints is not None:
+                self.draw_keypoints(keypoints[i], color=color)
         return self.output
 
     def draw_instance_predictions(self, predictions: Dict[str, np.ndarray]):
@@ -80,7 +208,15 @@ class Visualizer:
         for i in range(len(boxes)):
             if not valid[i]:
                 continue
-            color = tuple(int(c) for c in _COLORS[classes[i] % len(_COLORS)])
+            base = _COLORS[classes[i] % len(_COLORS)]
+            color = _jitter(base, seed=i)  # per-instance jitter (reference)
+            if boxes.shape[-1] == 5:
+                self.draw_rotated_box_with_label(
+                    boxes[i],
+                    color=color,
+                    label=f"{self._class_name(int(classes[i]))} {scores[i]:.0%}",
+                )
+                continue
             self.draw_box(boxes[i], color=color)
             label = f"{self._class_name(int(classes[i]))} {scores[i]:.0%}"
             self.draw_text(label, (boxes[i][0], boxes[i][1]), color=color)
@@ -93,39 +229,92 @@ class Visualizer:
 
                     full = _paste_mask_np(m.astype(np.float32), boxes[i], h, w)
                     self.draw_binary_mask(full, color=color)
+            if "keypoints" in predictions:
+                self.draw_keypoints(np.asarray(predictions["keypoints"][i]), color=color)
         return self.output
 
     def draw_sem_seg(self, sem_seg: np.ndarray, alpha: float = 0.5):
         sem_seg = np.asarray(sem_seg)
         labels = np.unique(sem_seg)
+        stuff_colors = self.metadata.get("stuff_colors")
         for label in labels:
-            color = tuple(int(c) for c in _COLORS[int(label) % len(_COLORS)])
-            self.draw_binary_mask(sem_seg == label, color=color, alpha=alpha)
+            if stuff_colors and int(label) < len(stuff_colors):
+                color = tuple(int(c) for c in stuff_colors[int(label)])
+            else:
+                color = tuple(int(c) for c in _COLORS[int(label) % len(_COLORS)])
+            self.draw_binary_mask(
+                sem_seg == label,
+                color=color,
+                alpha=alpha,
+                edge=False,
+                text=self._class_name(int(label), "stuff"),
+            )
         return self.output
 
     def draw_panoptic_seg(self, panoptic_seg: np.ndarray, segments_info: List[dict]):
         panoptic_seg = np.asarray(panoptic_seg)
-        for seg in segments_info:
-            color = tuple(int(c) for c in _COLORS[seg["category_id"] % len(_COLORS)])
+        for idx, seg in enumerate(segments_info):
+            base = _COLORS[seg["category_id"] % len(_COLORS)]
+            color = _jitter(base, seed=idx) if seg.get("isthing") else tuple(int(c) for c in base)
             mask = panoptic_seg == seg["id"]
-            self.draw_binary_mask(mask, color=color)
-            ys, xs = np.nonzero(mask)
-            if len(ys):
-                kind = "thing" if seg.get("isthing") else "stuff"
-                self.draw_text(
-                    self._class_name(seg["category_id"], kind), (xs.mean(), ys.mean())
-                )
+            kind = "thing" if seg.get("isthing") else "stuff"
+            self.draw_binary_mask(
+                mask, color=color, text=self._class_name(seg["category_id"], kind)
+            )
         return self.output
 
     def draw_dataset_dict(self, dic: dict):
-        """Visualize a dataset dict's gt annotations."""
-        for ann in dic.get("annotations", []):
-            from ..structures import BoxMode
+        """Visualize a dataset dict's gt annotations: boxes (axis-aligned or
+        rotated), polygon/RLE segmentations, keypoints, and the sem-seg file
+        (reference ``draw_dataset_dict``)."""
+        from ..structures import BoxMode
 
-            box = BoxMode.convert(ann["bbox"], ann["bbox_mode"], BoxMode.XYXY_ABS)
-            color = tuple(int(c) for c in _COLORS[ann["category_id"] % len(_COLORS)])
-            self.draw_box(box, color=color)
-            self.draw_text(self._class_name(ann["category_id"]), (box[0], box[1]), color)
+        for idx, ann in enumerate(dic.get("annotations", [])):
+            base = _COLORS[ann.get("category_id", 0) % len(_COLORS)]
+            color = _jitter(base, seed=idx)
+            mode = ann.get("bbox_mode", BoxMode.XYWH_ABS)
+            if mode == getattr(BoxMode, "XYWHA_ABS", None):
+                self.draw_rotated_box_with_label(
+                    ann["bbox"], color=color,
+                    label=self._class_name(ann.get("category_id", 0)),
+                )
+            elif "bbox" in ann:
+                box = BoxMode.convert(ann["bbox"], mode, BoxMode.XYXY_ABS)
+                self.draw_box(box, color=color)
+                self.draw_text(
+                    self._class_name(ann.get("category_id", 0)), (box[0], box[1]), color
+                )
+            seg = ann.get("segmentation")
+            if isinstance(seg, list):  # polygons
+                for poly in seg:
+                    self.draw_polygon(poly, color=color)
+            elif isinstance(seg, dict) and "counts" in seg:  # RLE
+                from ..data.rle import decode_segmentation
+
+                try:
+                    h, w = seg.get("size", self.img.shape[:2])
+                    self.draw_binary_mask(
+                        decode_segmentation(seg, h, w), color=color
+                    )
+                except Exception:
+                    pass
+            if "keypoints" in ann:
+                kps = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
+                self.draw_keypoints(kps[kps[:, 2] > 0], color=color)
+        sem_file = dic.get("sem_seg_file_name")
+        if sem_file:
+            try:
+                self.draw_sem_seg(np.asarray(Image.open(sem_file)))
+            except Exception:
+                pass
+        if "pan_seg_file_name" in dic and "segments_info" in dic:
+            try:
+                from ..evaluation.panoptic_evaluation import rgb2id
+
+                pan = rgb2id(np.asarray(Image.open(dic["pan_seg_file_name"])))
+                self.draw_panoptic_seg(pan, dic["segments_info"])
+            except Exception:
+                pass
         return self.output
 
     def get_output(self) -> VisImage:

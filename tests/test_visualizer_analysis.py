@@ -1,0 +1,112 @@
+"""Visualizer drawing surface + analytic FLOP counting."""
+
+import numpy as np
+import pytest
+
+from jtsm_tpu.utils.analysis import flop_count_analytic, parameter_count
+from jtsm_tpu.utils.visualizer import Visualizer, _jitter, mask_to_polygons
+from jtsm_tpu.utils.video_visualizer import VideoVisualizer
+
+
+def _img(h=64, w=64):
+    return np.full((h, w, 3), 128, np.uint8)
+
+
+def test_draw_polygon_and_rotated_box():
+    vis = Visualizer(_img())
+    vis.draw_polygon([10, 10, 40, 10, 40, 40], color=(255, 0, 0))
+    vis.draw_rotated_box_with_label((32, 32, 20, 10, 30.0), color=(0, 0, 255), label="r")
+    out = vis.get_output().get_image()
+    assert (out[..., 0] > 200).any()  # red fill landed
+    assert out.shape == (64, 64, 3)
+
+
+def test_jitter_deterministic_distinct():
+    c0 = _jitter((0, 255, 0), seed=0)
+    c1 = _jitter((0, 255, 0), seed=1)
+    assert c0 == _jitter((0, 255, 0), seed=0)
+    assert c0 != c1
+
+
+def test_mask_polygons_and_binary_mask_edges():
+    pytest.importorskip("cv2")
+    mask = np.zeros((64, 64), bool)
+    mask[10:30, 10:30] = True
+    polys = mask_to_polygons(mask)
+    assert polys and polys[0].shape[1] == 2
+    vis = Visualizer(_img())
+    vis.draw_binary_mask(mask, color=(0, 255, 0), text="obj")
+    assert (vis.get_output().get_image()[..., 1] > 150).any()
+
+
+def test_draw_dataset_dict_polygons_keypoints():
+    from jtsm_tpu.structures import BoxMode
+
+    dic = {
+        "annotations": [
+            {
+                "bbox": [5, 5, 20, 20],
+                "bbox_mode": BoxMode.XYWH_ABS,
+                "category_id": 1,
+                "segmentation": [[5, 5, 25, 5, 25, 25]],
+                "keypoints": [10, 10, 2, 15, 15, 2],
+            },
+            {
+                "bbox": [32, 32, 16, 8, 45.0],
+                "bbox_mode": BoxMode.XYWHA_ABS,
+                "category_id": 2,
+            },
+        ]
+    }
+    vis = Visualizer(_img())
+    out = vis.draw_dataset_dict(dic).get_image()
+    assert out.shape == (64, 64, 3)
+    assert not np.all(out == 128)  # something was drawn
+
+
+def test_overlay_instances_masks_only():
+    masks = [np.pad(np.ones((10, 10), bool), ((5, 49), (5, 49)))]
+    vis = Visualizer(_img())
+    vis.overlay_instances(masks=masks, labels=["thing"])
+    assert not np.all(vis.get_output().get_image() == 128)
+
+
+def test_video_visualizer_identity_and_masks():
+    vv = VideoVisualizer()
+    preds1 = {
+        "boxes": np.asarray([[5.0, 5.0, 20.0, 20.0], [40.0, 40.0, 60.0, 60.0]]),
+        "scores": np.asarray([0.9, 0.8]),
+        "classes": np.asarray([0, 1]),
+        "valid": np.asarray([True, True]),
+        "masks": np.ones((2, 28, 28), np.float32),
+    }
+    vv.draw_instance_predictions(_img(), preds1)
+    colors1 = vv._prev_colors.copy()
+    # frame 2: same objects shifted slightly -> colors must persist
+    preds2 = {k: v.copy() for k, v in preds1.items()}
+    preds2["boxes"] = preds2["boxes"] + 1.0
+    vv.draw_instance_predictions(_img(), preds2)
+    np.testing.assert_array_equal(vv._prev_colors, colors1)
+
+
+def test_flop_count_analytic_known_values():
+    import jax.numpy as jnp
+    from flax import linen as nn
+    import jax
+
+    # dense: (8, 32) @ (32, 16) -> 2*8*16*32 FLOPs
+    def f(x, w):
+        return x @ w
+
+    x = jnp.ones((8, 32)); w = jnp.ones((32, 16))
+    res = flop_count_analytic(f, x, w)
+    assert res["dot_gflops"] * 1e9 == pytest.approx(2 * 8 * 16 * 32)
+    assert res["conv_gflops"] == 0.0
+
+    # conv: NHWC (1,16,16,4) * 3x3x4->8 same-pad -> 2*(1*16*16*8)*(3*3*4)
+    conv = nn.Conv(features=8, kernel_size=(3, 3), padding="SAME")
+    xi = jnp.ones((1, 16, 16, 4))
+    vars_ = conv.init(jax.random.key(0), xi)
+    res2 = flop_count_analytic(lambda a: conv.apply(vars_, a), xi)
+    assert res2["conv_gflops"] * 1e9 == pytest.approx(2 * 16 * 16 * 8 * 3 * 3 * 4)
+    assert parameter_count(vars_["params"]) == 3 * 3 * 4 * 8 + 8
