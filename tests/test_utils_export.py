@@ -4,6 +4,8 @@ evaluation/testing.py usage)."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,7 +104,11 @@ def test_verify_results():
     cfg = get_cfg()
     cfg.TEST.EXPECTED_RESULTS = [["bbox", "AP", 50.0, 1.0]]
     assert verify_results(cfg, {"bbox": {"AP": 50.5}})
-    assert not verify_results(cfg, {"bbox": {"AP": 40.0}})
-    assert not verify_results(cfg, {"bbox": {"AP": float("nan")}})
+    # failures terminate the process (reference testing.py:58 sys.exit) so
+    # dev gate scripts report them
+    with pytest.raises(SystemExit):
+        verify_results(cfg, {"bbox": {"AP": 40.0}})
+    with pytest.raises(SystemExit):
+        verify_results(cfg, {"bbox": {"AP": float("nan")}})
     cfg2 = get_cfg()
     assert verify_results(cfg2, {})  # no expectations -> pass
