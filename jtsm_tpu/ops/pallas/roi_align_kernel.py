@@ -647,6 +647,12 @@ def roi_align_multilevel_pallas(
     there carry ~1e-3-level quantization error (and the backward is not the
     bit-exact transpose of the rounded forward).
 
+    Known approximation: an ROI whose span at the LAST pyramid level still
+    exceeds the usable window (31 cells — e.g. a >992 px box on FPN p5)
+    cannot bump further; its outermost samples clamp to the 40-cell window
+    edge. Single-level callers are unaffected (ROIPooler routes them to the
+    XLA gather path).
+
     ``rois_per_image``: when set, the caller PROMISES image-major ROI order
     with exactly this many ROIs per image (batch_idx = repeat(arange(B),
     rois_per_image)); the level-resident kernel is then used when the
