@@ -63,6 +63,7 @@ class SemSegFPNHead(nn.Module):
         targets: Optional[Array] = None,
         train: bool = False,
         weights: Optional[Array] = None,  # (B, H, W) per-pixel loss weights
+        targets_stride: int = 1,  # stride targets were ALREADY sampled at
     ):
         """Returns (logits at common_stride, losses dict)."""
         import math
@@ -103,8 +104,14 @@ class SemSegFPNHead(nn.Module):
 
         losses = {}
         if train and targets is not None:
-            # targets at full input resolution; downsample by common_stride
-            t = targets[:, :: self.common_stride, :: self.common_stride]
+            # targets at full input resolution (or pre-strided by the
+            # caller, e.g. JTSM's pgt painting): downsample the remainder
+            assert self.common_stride % targets_stride == 0, (
+                self.common_stride,
+                targets_stride,
+            )
+            rs = self.common_stride // targets_stride
+            t = targets[:, ::rs, ::rs]
             th, tw = logits.shape[1], logits.shape[2]
             t = t[:, :th, :tw]
             valid = (t != self.ignore_value) & (t >= 0)

@@ -137,7 +137,12 @@ class GeneralizedMCNNWSL(nn.Module):
             # (reference mcnn.py:228)
             pgt = out.get("pgt_sem_seg") if isinstance(out, dict) else None
             if pgt is not None:
-                _, sem_losses = self.sem_seg_head(features, pgt, train=True)
+                _, sem_losses = self.sem_seg_head(
+                    features,
+                    pgt,
+                    train=True,
+                    targets_stride=out.get("pgt_sem_seg_stride", 1),
+                )
                 losses.update(sem_losses)
             return losses
 

@@ -54,7 +54,7 @@ class ASPPHead(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, features, targets=None, train: bool = False):
+    def __call__(self, features, targets=None, train: bool = False, targets_stride: int = 1):
         x = features[self.in_features[-1]]
         x = ASPP(
             in_channels=x.shape[-1],
@@ -73,7 +73,8 @@ class ASPPHead(nn.Module):
 
         losses = {}
         if train and targets is not None:
-            s = self.common_stride
+            assert self.common_stride % targets_stride == 0
+            s = self.common_stride // targets_stride
             t = targets[:, ::s, ::s][:, : logits.shape[1], : logits.shape[2]]
             valid = (t != self.ignore_value) & (t >= 0)
             ce = softmax_cross_entropy(logits, jnp.clip(t, 0, self.num_classes - 1))
@@ -104,7 +105,7 @@ class TwoClassHead(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, features, targets=None, train: bool = False):
+    def __call__(self, features, targets=None, train: bool = False, targets_stride: int = 1):
         f = list(features.values())[0]
         b, h, w = f.shape[0], f.shape[1], f.shape[2]
         logits = jnp.zeros((b, h, w, 2), jnp.float32).at[..., 1].set(1.0)

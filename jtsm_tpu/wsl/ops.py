@@ -54,31 +54,41 @@ def moi_pool(
     hs, ws = superpixels.shape
 
     ys, xs = _sample_grid(boxes, p, p, s, spatial_scale, aligned=True)  # (R, P*S)
-    ylo, yfrac, y_oob = _prep(ys, h)
-    xlo, xfrac, x_oob = _prep(xs, w)
+    _, _, y_oob = _prep(ys, h)
+    _, _, x_oob = _prep(xs, w)
     # nearest-neighbor feature sample (max-pool flavor like RoIPool)
     yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
     xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
-
-    flat = features.reshape(h * w, c)
-    idx = yi[:, :, None] * w + xi[:, None, :]
-    vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p * s, p * s, c)
-
-    # superpixel membership at sample positions (sp map is image-res)
     sy = jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1)
     sx = jnp.clip(jnp.round(xs / spatial_scale).astype(jnp.int32), 0, ws - 1)
-    sp_ids = superpixels[sy[:, :, None], sx[:, None, :]]  # (R, PS, PS)
-    member = jnp.take_along_axis(
-        oh_labels, sp_ids.reshape(r, -1), axis=1
-    ).reshape(r, p * s, p * s)
-    in_bounds = ~(y_oob[:, :, None] | x_oob[:, None, :])
-    valid = member & in_bounds
 
-    neg_inf = jnp.asarray(-1e30, vals.dtype)
-    masked = jnp.where(valid[..., None], vals, neg_inf)
-    masked = masked.reshape(r, p, s, p, s, c)
-    pooled = masked.max(axis=(2, 4))
-    valid_frac = valid.reshape(r, p, s, p, s).mean(axis=(2, 4))
+    flat = features.reshape(h * w, c)
+    neg_inf = jnp.asarray(-1e30, features.dtype)
+
+    # one gather per (jy, jx) sample offset instead of a single
+    # (R, P*S, P*S, C) gather: the monolithic form forced a 3.2 GB layout
+    # reshape + an unfused reduce-max (~30 ms of the JTSM step at batch 4);
+    # the per-offset form keeps each (R, P, P, C) block in its consumer's
+    # layout and lets XLA fuse the masking + running max. Max/mean are
+    # reassociations of the same floats, so the result is bit-identical.
+    pooled = None
+    valid_count = None
+    for jy in range(s):
+        yi_j, sy_j, yo_j = yi[:, jy::s], sy[:, jy::s], y_oob[:, jy::s]
+        for jx in range(s):
+            xi_j, sx_j, xo_j = xi[:, jx::s], sx[:, jx::s], x_oob[:, jx::s]
+            idx = yi_j[:, :, None] * w + xi_j[:, None, :]  # (R, P, P)
+            vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p, p, c)
+            sp_ids = superpixels[sy_j[:, :, None], sx_j[:, None, :]]
+            member = jnp.take_along_axis(
+                oh_labels, sp_ids.reshape(r, -1), axis=1
+            ).reshape(r, p, p)
+            valid = member & ~(yo_j[:, :, None] | xo_j[:, None, :])
+            masked = jnp.where(valid[..., None], vals, neg_inf)
+            pooled = masked if pooled is None else jnp.maximum(pooled, masked)
+            vf = valid.astype(jnp.float32)
+            valid_count = vf if valid_count is None else valid_count + vf
+    valid_frac = valid_count / (s * s)
     pooled = jnp.where(pooled <= neg_inf / 2, 0.0, pooled)
     return pooled, valid_frac
 
