@@ -54,6 +54,11 @@ def add_wsl_config(cfg: CN) -> None:
     _C.WSL.SAMPLING.POSITIVE_FRACTION = 1.0
 
     # static capacities for the WSL plane (TPU)
+    # MOIPool superpixel-membership sampling grid (pixels): samples read the
+    # superpixel id of the stride-g cell containing them. 1 = exact per-pixel
+    # (slow scalar gathers on TPU); 4 keeps the whole membership path on the
+    # MXU with <= g/2 px quantization (MCG superpixels are tens of px across)
+    _C.WSL.SP_GRID_STRIDE = 4
     _C.WSL.MAX_PROPOSALS = 2000  # padded proposal capacity R
     _C.WSL.MAX_SUPERPIXELS = 1024  # padded superpixel capacity S
 

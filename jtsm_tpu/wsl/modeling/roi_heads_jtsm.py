@@ -90,6 +90,7 @@ class JTSMROIHeads(nn.Module):
     dan_dims: Sequence[int] = (4096, 4096)
     box2box_transform: Optional[Box2BoxTransform] = None
     sp_on: bool = True
+    sp_grid_stride: int = 4  # MOIPool membership grid (see wsl/ops.moi_pool)
     ps_on: bool = True
     use_obn: bool = True
     mask_on: bool = True
@@ -135,6 +136,7 @@ class JTSMROIHeads(nn.Module):
                 weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
             ),
             sp_on=cfg.WSL.SP_ON,
+            sp_grid_stride=cfg.WSL.SP_GRID_STRIDE,
             ps_on=cfg.WSL.PS_ON,
             use_obn=cfg.WSL.USE_OBN,
             mask_on=cfg.MODEL.MASK_ON,
@@ -203,7 +205,14 @@ class JTSMROIHeads(nn.Module):
         if self.sp_on and superpixels is not None and oh_labels is not None:
             pooled, valid_frac = jax.vmap(
                 lambda f, bx, sp, oh: moi_pool(
-                    f, bx, sp, oh, spatial_scale, p, self.pooler.sampling_ratio
+                    f,
+                    bx,
+                    sp,
+                    oh,
+                    spatial_scale,
+                    p,
+                    self.pooler.sampling_ratio,
+                    sp_grid_stride=self.sp_grid_stride,
                 )
             )(feat, proposals, superpixels, oh_labels)
             pooled = pooled.reshape(b * r, p, p, -1)

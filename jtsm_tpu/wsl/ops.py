@@ -31,7 +31,9 @@ from ..structures.boxes import pairwise_iou
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+@partial(
+    jax.jit, static_argnames=("output_size", "sampling_ratio", "sp_grid_stride")
+)
 def moi_pool(
     features: Array,  # (H, W, C) single image feature map
     boxes: Array,  # (R, 4)
@@ -40,18 +42,31 @@ def moi_pool(
     spatial_scale: float = 1.0,
     output_size: int = 7,
     sampling_ratio: int = 2,
+    sp_grid_stride: int = 4,
 ) -> Tuple[Array, Array]:
     """Masked-out-of-interest ROI max pool.
 
     Returns (pooled (R, P, P, C), valid_frac (R, P, P)). Sampled formulation:
     the bin max is taken over ``sampling_ratio^2`` samples per bin (the
     reference maxes over every pixel; dense sampling converges to it).
+
+    ``sp_grid_stride`` trades membership-sampling resolution for speed: the
+    superpixel map is sampled on a stride-g pixel grid (nearest cell center,
+    so samples land within g/2 px of their exact position — negligible next
+    to MCG superpixels, which are tens of pixels across). With g > 1 the
+    whole membership path is matmuls: a one-hot segment matrix turns
+    ``oh_labels`` into a per-ROI membership grid in one MXU contraction, and
+    per-sample lookups become separable one-hot batched matmuls. The exact
+    per-pixel formulation (g <= 1) costs ~12 cycles/element in XLA scalar
+    gathers — 38 ms of the flagship JTSM step vs ~3 ms for the matmul form.
     """
     p = output_size
     s = max(sampling_ratio, 1)
     h, w, c = features.shape
     r = boxes.shape[0]
     hs, ws = superpixels.shape
+    ns = oh_labels.shape[1]
+    g = max(int(sp_grid_stride), 1)
 
     ys, xs = _sample_grid(boxes, p, p, s, spatial_scale, aligned=True)  # (R, P*S)
     _, _, y_oob = _prep(ys, h)
@@ -59,36 +74,95 @@ def moi_pool(
     # nearest-neighbor feature sample (max-pool flavor like RoIPool)
     yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
     xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
-    sy = jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1)
-    sx = jnp.clip(jnp.round(xs / spatial_scale).astype(jnp.int32), 0, ws - 1)
+
+    if g > 1:
+        off = g // 2
+        sp_g = superpixels[off::g, off::g]  # (Hg, Wg) cell-center ids
+        hg, wg = sp_g.shape
+        # membership grid mask_g[r, gy, gx] = oh_labels[r, sp_g[gy, gx]] as a
+        # one-hot matmul (bf16 operands, f32 accumulate: each output is a
+        # single 0/1 product, so values are exact)
+        seg_onehot = (
+            sp_g.reshape(1, -1) == jnp.arange(ns, dtype=sp_g.dtype)[:, None]
+        ).astype(jnp.bfloat16)  # (S, Hg*Wg)
+        mask_g = jax.lax.dot(
+            oh_labels.astype(jnp.bfloat16),
+            seg_onehot,
+            preferred_element_type=jnp.float32,
+        ).reshape(r, hg, wg)
+        # per-sample membership: separable one-hot batched matmuls; the
+        # out-of-bounds mask rides along as zeroed one-hot rows
+        # exact sample pixel, then the stride-g cell containing it: on maps
+        # constant over g-aligned blocks this is bit-identical to the exact
+        # per-pixel path; otherwise it reads the id at the cell center
+        sgy = jnp.clip(
+            jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1)
+            // g,
+            0,
+            hg - 1,
+        )
+        sgx = jnp.clip(
+            jnp.clip(jnp.round(xs / spatial_scale).astype(jnp.int32), 0, ws - 1)
+            // g,
+            0,
+            wg - 1,
+        )
+        yb = (
+            (sgy[:, :, None] == jnp.arange(hg)) & ~y_oob[:, :, None]
+        ).astype(jnp.bfloat16)  # (R, K, Hg)
+        xb = (
+            (sgx[:, :, None] == jnp.arange(wg)) & ~x_oob[:, :, None]
+        ).astype(jnp.bfloat16)  # (R, K, Wg)
+        m1 = jnp.einsum(
+            "rky,ryx->rkx",
+            yb,
+            mask_g.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        member_all = jnp.einsum(
+            "rkx,rlx->rkl",
+            m1.astype(jnp.bfloat16),
+            xb,
+            preferred_element_type=jnp.float32,
+        )  # (R, K, K) exact 0/1
+        valid_all = member_all >= 0.5
+    else:
+        # exact per-pixel membership (scalar gathers; slow on TPU)
+        sy = jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1)
+        sx = jnp.clip(jnp.round(xs / spatial_scale).astype(jnp.int32), 0, ws - 1)
+        cols = []
+        for jx in range(s):
+            sx_j = sx[:, jx::s]
+            sp_ids = superpixels[sy[:, :, None], sx_j[:, None, :]]  # (R, K, P)
+            member = jnp.take_along_axis(
+                oh_labels, sp_ids.reshape(r, -1), axis=1
+            ).reshape(r, p * s, p)
+            cols.append(member)
+        member_all = jnp.stack(cols, axis=-1).reshape(r, p * s, p * s)
+        valid_all = member_all & ~(y_oob[:, :, None] | x_oob[:, None, :])
 
     flat = features.reshape(h * w, c)
     neg_inf = jnp.asarray(-1e30, features.dtype)
 
-    # one gather per (jy, jx) sample offset instead of a single
+    # one feature gather per (jy, jx) sample offset instead of a single
     # (R, P*S, P*S, C) gather: the monolithic form forced a 3.2 GB layout
     # reshape + an unfused reduce-max (~30 ms of the JTSM step at batch 4);
     # the per-offset form keeps each (R, P, P, C) block in its consumer's
     # layout and lets XLA fuse the masking + running max. Max/mean are
     # reassociations of the same floats, so the result is bit-identical.
     pooled = None
-    valid_count = None
     for jy in range(s):
-        yi_j, sy_j, yo_j = yi[:, jy::s], sy[:, jy::s], y_oob[:, jy::s]
+        yi_j = yi[:, jy::s]
         for jx in range(s):
-            xi_j, sx_j, xo_j = xi[:, jx::s], sx[:, jx::s], x_oob[:, jx::s]
+            xi_j = xi[:, jx::s]
             idx = yi_j[:, :, None] * w + xi_j[:, None, :]  # (R, P, P)
             vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p, p, c)
-            sp_ids = superpixels[sy_j[:, :, None], sx_j[:, None, :]]
-            member = jnp.take_along_axis(
-                oh_labels, sp_ids.reshape(r, -1), axis=1
-            ).reshape(r, p, p)
-            valid = member & ~(yo_j[:, :, None] | xo_j[:, None, :])
+            valid = valid_all[:, jy::s, jx::s]
             masked = jnp.where(valid[..., None], vals, neg_inf)
             pooled = masked if pooled is None else jnp.maximum(pooled, masked)
-            vf = valid.astype(jnp.float32)
-            valid_count = vf if valid_count is None else valid_count + vf
-    valid_frac = valid_count / (s * s)
+    valid_frac = (
+        valid_all.astype(jnp.float32).reshape(r, p, s, p, s).mean(axis=(2, 4))
+    )
     pooled = jnp.where(pooled <= neg_inf / 2, 0.0, pooled)
     return pooled, valid_frac
 
