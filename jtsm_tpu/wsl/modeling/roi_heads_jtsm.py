@@ -31,6 +31,7 @@ from ...modeling.roi_heads.mask_head import build_mask_head, mask_rcnn_inference
 from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from ...ops.box_regression import Box2BoxTransform
 from ...ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
+from .. import ops as wsl_ops
 from ..ops import moi_pool
 from ...structures.boxes import pairwise_iou
 from .mil_heads import (
@@ -76,6 +77,46 @@ def superpixel_union_mask_crop(
     )
     sp = superpixels[ys[:, None], xs[None, :]]
     return oh_labels_r[sp]
+
+
+def superpixel_union_mask_crops(
+    superpixels: Array,  # (Hs, Ws) int32
+    oh_sel: Array,  # (D, S) membership rows of the mined proposals
+    boxes: Array,  # (D, 4)
+    mask_size: int,
+    grid_stride: int = 4,
+) -> Array:
+    """Batched ``superpixel_union_mask_crop`` with the superpixel map read on
+    a stride-g cell grid: the membership image is a one-hot segment matmul
+    and the per-bin lookups are separable one-hot batched matmuls (see
+    wsl/ops.superpixel_membership_grid) instead of ~12-cycle/element XLA
+    scalar gathers. grid_stride <= 1 falls back to the exact per-pixel crop."""
+    if grid_stride <= 1:
+        return jax.vmap(
+            lambda oh_j, bb_j: superpixel_union_mask_crop(
+                superpixels, oh_j, bb_j, mask_size
+            )
+        )(oh_sel, boxes)
+    hs, ws = superpixels.shape
+    g = int(grid_stride)
+    mask_g = wsl_ops.superpixel_membership_grid(superpixels, oh_sel, g)
+    centers = (jnp.arange(mask_size) + 0.5) / mask_size
+    ys = jnp.clip(
+        (boxes[:, 1:2] + centers[None, :] * (boxes[:, 3:4] - boxes[:, 1:2])).astype(
+            jnp.int32
+        ),
+        0,
+        hs - 1,
+    )
+    xs = jnp.clip(
+        (boxes[:, 0:1] + centers[None, :] * (boxes[:, 2:3] - boxes[:, 0:1])).astype(
+            jnp.int32
+        ),
+        0,
+        ws - 1,
+    )
+    member = wsl_ops.sample_membership_grid(mask_g, ys // g, xs // g)
+    return member >= 0.5
 
 
 @ROI_HEADS_REGISTRY.register()
@@ -466,11 +507,9 @@ class JTSMROIHeads(nn.Module):
             )
         else:
             mask_targets = jax.vmap(
-                lambda sp, oh, rid, bb: jax.vmap(
-                    lambda rid_j, bb_j: superpixel_union_mask_crop(
-                        sp, oh[rid_j], bb_j, self.mask_size
-                    )
-                )(rid, bb)
+                lambda sp, oh, rid, bb: superpixel_union_mask_crops(
+                    sp, oh[rid], bb, self.mask_size, self.sp_grid_stride
+                )
             )(superpixels, oh_labels, ridx, boxes)
 
         flat_boxes = boxes.reshape(b * cm, 4)

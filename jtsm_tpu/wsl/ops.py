@@ -31,6 +31,64 @@ from ..structures.boxes import pairwise_iou
 Array = jax.Array
 
 
+def superpixel_membership_grid(
+    superpixels: Array,  # (Hs, Ws) int32 id map (image res)
+    oh_labels: Array,  # (R, S) bool membership of superpixel s in proposal r
+    grid_stride: int,
+) -> Array:
+    """Per-proposal membership grid mask_g[r, gy, gx] = oh[r, sp_g[gy, gx]]
+    at stride-g cell centers, computed as a one-hot segment matmul (bf16
+    operands, f32 accumulate: each output is a single 0/1 product, so
+    values are exactly 0.0 or 1.0). Keeps the whole membership path on the
+    MXU instead of ~12-cycle/element XLA scalar gathers."""
+    g = int(grid_stride)
+    r, ns = oh_labels.shape
+    off = g // 2
+    sp_g = superpixels[off::g, off::g]  # (Hg, Wg) cell-center ids
+    hg, wg = sp_g.shape
+    seg_onehot = (
+        sp_g.reshape(1, -1) == jnp.arange(ns, dtype=sp_g.dtype)[:, None]
+    ).astype(jnp.bfloat16)  # (S, Hg*Wg)
+    return jax.lax.dot(
+        oh_labels.astype(jnp.bfloat16),
+        seg_onehot,
+        preferred_element_type=jnp.float32,
+    ).reshape(r, hg, wg)
+
+
+def sample_membership_grid(
+    mask_g: Array,  # (R, Hg, Wg) 0/1 grid
+    gy: Array,  # (R, K) grid row per y-sample
+    gx: Array,  # (R, L) grid col per x-sample
+    y_ok: Array = None,  # (R, K) bool in-bounds (rides as zeroed rows)
+    x_ok: Array = None,  # (R, L)
+) -> Array:
+    """Separable per-sample lookup mask_g[r, gy_k, gx_l] -> (R, K, L) f32 as
+    two one-hot batched matmuls (values exactly 0/1)."""
+    hg, wg = mask_g.shape[1:]
+    # pixels past the last cell center belong to the last cell (maps whose
+    # size is not a multiple of g would otherwise index one cell too far
+    # and silently drop those samples as all-zero one-hot rows)
+    yb = jnp.clip(gy, 0, hg - 1)[:, :, None] == jnp.arange(hg)
+    xb = jnp.clip(gx, 0, wg - 1)[:, :, None] == jnp.arange(wg)
+    if y_ok is not None:
+        yb = yb & y_ok[:, :, None]
+    if x_ok is not None:
+        xb = xb & x_ok[:, :, None]
+    m1 = jnp.einsum(
+        "rky,ryx->rkx",
+        yb.astype(jnp.bfloat16),
+        mask_g.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum(
+        "rkx,rlx->rkl",
+        m1.astype(jnp.bfloat16),
+        xb.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
 @partial(
     jax.jit, static_argnames=("output_size", "sampling_ratio", "sp_grid_stride")
 )
@@ -65,7 +123,6 @@ def moi_pool(
     h, w, c = features.shape
     r = boxes.shape[0]
     hs, ws = superpixels.shape
-    ns = oh_labels.shape[1]
     g = max(int(sp_grid_stride), 1)
 
     ys, xs = _sample_grid(boxes, p, p, s, spatial_scale, aligned=True)  # (R, P*S)
@@ -76,56 +133,16 @@ def moi_pool(
     xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
 
     if g > 1:
-        off = g // 2
-        sp_g = superpixels[off::g, off::g]  # (Hg, Wg) cell-center ids
-        hg, wg = sp_g.shape
-        # membership grid mask_g[r, gy, gx] = oh_labels[r, sp_g[gy, gx]] as a
-        # one-hot matmul (bf16 operands, f32 accumulate: each output is a
-        # single 0/1 product, so values are exact)
-        seg_onehot = (
-            sp_g.reshape(1, -1) == jnp.arange(ns, dtype=sp_g.dtype)[:, None]
-        ).astype(jnp.bfloat16)  # (S, Hg*Wg)
-        mask_g = jax.lax.dot(
-            oh_labels.astype(jnp.bfloat16),
-            seg_onehot,
-            preferred_element_type=jnp.float32,
-        ).reshape(r, hg, wg)
-        # per-sample membership: separable one-hot batched matmuls; the
-        # out-of-bounds mask rides along as zeroed one-hot rows
+        mask_g = superpixel_membership_grid(superpixels, oh_labels, g)
         # exact sample pixel, then the stride-g cell containing it: on maps
         # constant over g-aligned blocks this is bit-identical to the exact
         # per-pixel path; otherwise it reads the id at the cell center
-        sgy = jnp.clip(
-            jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1)
-            // g,
-            0,
-            hg - 1,
-        )
-        sgx = jnp.clip(
-            jnp.clip(jnp.round(xs / spatial_scale).astype(jnp.int32), 0, ws - 1)
-            // g,
-            0,
-            wg - 1,
-        )
-        yb = (
-            (sgy[:, :, None] == jnp.arange(hg)) & ~y_oob[:, :, None]
-        ).astype(jnp.bfloat16)  # (R, K, Hg)
-        xb = (
-            (sgx[:, :, None] == jnp.arange(wg)) & ~x_oob[:, :, None]
-        ).astype(jnp.bfloat16)  # (R, K, Wg)
-        m1 = jnp.einsum(
-            "rky,ryx->rkx",
-            yb,
-            mask_g.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        member_all = jnp.einsum(
-            "rkx,rlx->rkl",
-            m1.astype(jnp.bfloat16),
-            xb,
-            preferred_element_type=jnp.float32,
-        )  # (R, K, K) exact 0/1
-        valid_all = member_all >= 0.5
+        sgy = jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1) // g
+        sgx = jnp.clip(jnp.round(xs / spatial_scale).astype(jnp.int32), 0, ws - 1) // g
+        member_all = sample_membership_grid(
+            mask_g, sgy, sgx, ~y_oob, ~x_oob
+        )  # (R, K, K) exact 0/1; consumed arithmetically below (a pred
+        # select here would materialize the (R, P, P, C) bool broadcast)
     else:
         # exact per-pixel membership (scalar gathers; slow on TPU)
         sy = jnp.clip(jnp.round(ys / spatial_scale).astype(jnp.int32), 0, hs - 1)
@@ -138,8 +155,10 @@ def moi_pool(
                 oh_labels, sp_ids.reshape(r, -1), axis=1
             ).reshape(r, p * s, p)
             cols.append(member)
-        member_all = jnp.stack(cols, axis=-1).reshape(r, p * s, p * s)
-        valid_all = member_all & ~(y_oob[:, :, None] | x_oob[:, None, :])
+        valid_bool = jnp.stack(cols, axis=-1).reshape(r, p * s, p * s) & ~(
+            y_oob[:, :, None] | x_oob[:, None, :]
+        )
+        member_all = valid_bool.astype(jnp.float32)
 
     flat = features.reshape(h * w, c)
     neg_inf = jnp.asarray(-1e30, features.dtype)
@@ -157,12 +176,15 @@ def moi_pool(
             xi_j = xi[:, jx::s]
             idx = yi_j[:, :, None] * w + xi_j[:, None, :]  # (R, P, P)
             vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p, p, c)
-            valid = valid_all[:, jy::s, jx::s]
-            masked = jnp.where(valid[..., None], vals, neg_inf)
+            # arithmetic masking: member is exactly 0/1, so invalid samples
+            # get vals - 1e30 (== -1e30 in bf16/f32 for activation-scale
+            # vals) and valid samples are untouched. A pred-dtype
+            # jnp.where here makes XLA materialize the (R, P, P, C) bool
+            # broadcast at the fc layout — ~10 ms/step of pure masking
+            penalty = (member_all[:, jy::s, jx::s] - 1.0).astype(vals.dtype)
+            masked = vals + penalty[..., None] * (-neg_inf)
             pooled = masked if pooled is None else jnp.maximum(pooled, masked)
-    valid_frac = (
-        valid_all.astype(jnp.float32).reshape(r, p, s, p, s).mean(axis=(2, 4))
-    )
+    valid_frac = member_all.reshape(r, p, s, p, s).mean(axis=(2, 4))
     pooled = jnp.where(pooled <= neg_inf / 2, 0.0, pooled)
     return pooled, valid_frac
 
