@@ -59,6 +59,10 @@ def add_wsl_config(cfg: CN) -> None:
     # (slow scalar gathers on TPU); 4 keeps the whole membership path on the
     # MXU with <= g/2 px quantization (MCG superpixels are tens of px across)
     _C.WSL.SP_GRID_STRIDE = 4
+    # MOIPool masked max as a 0/1 multiply (exact when the pooled features
+    # are nonnegative — true for every WSL backbone, which all end in ReLU;
+    # set False for a backbone with signed outputs to use the -1e30 form)
+    _C.WSL.MOI_NONNEG_FEATURES = True
     _C.WSL.MAX_PROPOSALS = 2000  # padded proposal capacity R
     _C.WSL.MAX_SUPERPIXELS = 1024  # padded superpixel capacity S
 

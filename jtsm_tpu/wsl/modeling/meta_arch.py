@@ -137,11 +137,17 @@ class GeneralizedMCNNWSL(nn.Module):
             # (reference mcnn.py:228)
             pgt = out.get("pgt_sem_seg") if isinstance(out, dict) else None
             if pgt is not None:
+                sem_kwargs = (
+                    {"images": batch["image"]}
+                    if getattr(self.sem_seg_head, "use_crf", False)
+                    else {}
+                )
                 _, sem_losses = self.sem_seg_head(
                     features,
                     pgt,
                     train=True,
                     targets_stride=out.get("pgt_sem_seg_stride", 1),
+                    **sem_kwargs,
                 )
                 losses.update(sem_losses)
             return losses
@@ -149,7 +155,12 @@ class GeneralizedMCNNWSL(nn.Module):
         detections = detector_postprocess_batched(
             out, batch["image_sizes"], batch.get("orig_sizes", batch["image_sizes"])
         )
-        sem_logits, _ = self.sem_seg_head(features, None, train=False)
+        sem_kwargs = (
+            {"images": batch["image"]}
+            if getattr(self.sem_seg_head, "use_crf", False)
+            else {}
+        )
+        sem_logits, _ = self.sem_seg_head(features, None, train=False, **sem_kwargs)
         h, w = batch["image"].shape[1], batch["image"].shape[2]
         sem_up = interpolate_bilinear(sem_logits, (h, w))
         detections["sem_seg"] = jnp.argmax(sem_up, axis=-1).astype(jnp.int32)

@@ -132,6 +132,7 @@ class JTSMROIHeads(nn.Module):
     box2box_transform: Optional[Box2BoxTransform] = None
     sp_on: bool = True
     sp_grid_stride: int = 4  # MOIPool membership grid (see wsl/ops.moi_pool)
+    moi_nonneg: bool = True  # pooled features ReLU-nonneg -> multiply mask
     ps_on: bool = True
     use_obn: bool = True
     mask_on: bool = True
@@ -178,6 +179,7 @@ class JTSMROIHeads(nn.Module):
             ),
             sp_on=cfg.WSL.SP_ON,
             sp_grid_stride=cfg.WSL.SP_GRID_STRIDE,
+            moi_nonneg=cfg.WSL.MOI_NONNEG_FEATURES,
             ps_on=cfg.WSL.PS_ON,
             use_obn=cfg.WSL.USE_OBN,
             mask_on=cfg.MODEL.MASK_ON,
@@ -254,6 +256,7 @@ class JTSMROIHeads(nn.Module):
                     p,
                     self.pooler.sampling_ratio,
                     sp_grid_stride=self.sp_grid_stride,
+                    nonneg_features=self.moi_nonneg,
                 )
             )(feat, proposals, superpixels, oh_labels)
             pooled = pooled.reshape(b * r, p, p, -1)

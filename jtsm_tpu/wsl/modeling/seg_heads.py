@@ -16,6 +16,7 @@ from ...config import CfgNode
 from ...layers import ASPP, Conv2d, ShapeSpec, interpolate_bilinear
 from ...modeling.meta_arch.semantic_seg import SEM_SEG_HEADS_REGISTRY
 from ...ops.losses import softmax_cross_entropy
+from ..ops import crf_mean_field
 
 Array = jax.Array
 
@@ -53,8 +54,25 @@ class ASPPHead(nn.Module):
             dtype=dtype,
         )
 
+    def _crf(self, logits: Array, images: Array) -> Array:
+        """Dense-CRF refined probabilities at the logits' resolution
+        (reference seg_heads.py:173 ``crf``: pydensecrf on CPU; here the
+        jittable mean-field in wsl/ops)."""
+        probs = jax.nn.softmax(logits, axis=-1)
+        img_small = interpolate_bilinear(
+            images.astype(jnp.float32), (logits.shape[1], logits.shape[2])
+        )
+        return jax.vmap(crf_mean_field)(probs, img_small)
+
     @nn.compact
-    def __call__(self, features, targets=None, train: bool = False, targets_stride: int = 1):
+    def __call__(
+        self,
+        features,
+        targets=None,
+        train: bool = False,
+        targets_stride: int = 1,
+        images=None,
+    ):
         x = features[self.in_features[-1]]
         x = ASPP(
             in_channels=x.shape[-1],
@@ -81,6 +99,18 @@ class ASPPHead(nn.Module):
             losses["loss_sem_seg"] = (
                 jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0) * self.loss_weight
             )
+            if self.use_crf and images is not None:
+                # constraint loss (reference seg_heads.py:140-147): KL from
+                # the CRF-refined distribution (a fixed target — pydensecrf
+                # runs outside the graph in the reference) to the predicted
+                # one
+                q = jax.lax.stop_gradient(self._crf(logits, images))
+                log_p = jax.nn.log_softmax(logits, axis=-1)
+                kl = jnp.sum(q * (jnp.log(jnp.clip(q, 1e-8)) - log_p), axis=-1)
+                losses["loss_constraint"] = kl.mean() * self.loss_weight
+        elif not train and self.use_crf and images is not None:
+            # eval-time refinement (reference seg_heads.py:150-162)
+            logits = jnp.log(jnp.clip(self._crf(logits, images), 1e-8))
         return logits, losses
 
 

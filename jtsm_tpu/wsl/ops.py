@@ -90,7 +90,13 @@ def sample_membership_grid(
 
 
 @partial(
-    jax.jit, static_argnames=("output_size", "sampling_ratio", "sp_grid_stride")
+    jax.jit,
+    static_argnames=(
+        "output_size",
+        "sampling_ratio",
+        "sp_grid_stride",
+        "nonneg_features",
+    ),
 )
 def moi_pool(
     features: Array,  # (H, W, C) single image feature map
@@ -101,6 +107,7 @@ def moi_pool(
     output_size: int = 7,
     sampling_ratio: int = 2,
     sp_grid_stride: int = 4,
+    nonneg_features: bool = False,
 ) -> Tuple[Array, Array]:
     """Masked-out-of-interest ROI max pool.
 
@@ -176,16 +183,26 @@ def moi_pool(
             xi_j = xi[:, jx::s]
             idx = yi_j[:, :, None] * w + xi_j[:, None, :]  # (R, P, P)
             vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p, p, c)
-            # arithmetic masking: member is exactly 0/1, so invalid samples
-            # get vals - 1e30 (== -1e30 in bf16/f32 for activation-scale
-            # vals) and valid samples are untouched. A pred-dtype
-            # jnp.where here makes XLA materialize the (R, P, P, C) bool
-            # broadcast at the fc layout — ~10 ms/step of pure masking
-            penalty = (member_all[:, jy::s, jx::s] - 1.0).astype(vals.dtype)
-            masked = vals + penalty[..., None] * (-neg_inf)
+            m = member_all[:, jy::s, jx::s].astype(vals.dtype)[..., None]
+            if nonneg_features:
+                # features are known >= 0 (ReLU-terminated backbone), so a
+                # 0/1 multiply is exactly the masked max: invalid samples
+                # become 0 and can never win, and bins with no valid sample
+                # pool to 0 — the same value the additive form's final
+                # cleanup assigns. Pure elementwise epilogue on the gather;
+                # the additive -1e30 form costs ~10 ms/step of materialized
+                # penalty broadcasts + reshapes at the fc layout
+                masked = vals * m
+            else:
+                # exact for arbitrary sign: member is exactly 0/1, so
+                # invalid samples get vals - 1e30 and valid samples are
+                # untouched (a pred-dtype jnp.where here makes XLA
+                # materialize the (R, P, P, C) bool broadcast)
+                masked = vals + (m - 1.0) * (-neg_inf)
             pooled = masked if pooled is None else jnp.maximum(pooled, masked)
     valid_frac = member_all.reshape(r, p, s, p, s).mean(axis=(2, 4))
-    pooled = jnp.where(pooled <= neg_inf / 2, 0.0, pooled)
+    if not nonneg_features:
+        pooled = jnp.where(pooled <= neg_inf / 2, 0.0, pooled)
     return pooled, valid_frac
 
 
@@ -373,37 +390,85 @@ def crf_mean_field(
     bi_w: float = 4.0,
     bi_xy_std: float = 49.0,
     bi_rgb_std: float = 5.0,
+    num_bins: int = 16,
 ) -> Array:
     """Dense-CRF mean-field (reference csrc/crf/crf_cpu.cpp wrapping
-    densecrf). TPU re-design: the Gaussian pairwise term becomes a separable
-    blur; the bilateral term is approximated by edge-weighted blurs — an
-    O(HWK) approximation of the permutohedral filtering, adequate for the
-    mask-refinement role it plays in WSJDS."""
+    densecrf; Potts compatibility). TPU re-design of the permutohedral
+    filtering:
 
-    def gaussian_blur(x, sigma):
+    * the Gaussian (smoothness) kernel is an exact separable blur,
+    * the bilateral kernel is a luminance bilateral grid — probabilities
+      are splatted into ``num_bins`` intensity bins, each bin slice gets
+      the spatial blur, bins are mixed with the range kernel, and pixels
+      slice their own bin. Color distance is thereby approximated by
+      luminance distance (quantized to the bin width).
+
+    Both messages are normalized convolutions with the self term removed
+    (sum_{j != i} k(i,j) Q_j / sum_{j != i} k(i,j)), matching the exact
+    mean-field update; see tests/test_wsl_crf_reference.py for the
+    brute-force dense-CRF comparison."""
+    h, w, k = unary.shape
+
+    def kernel1d(sigma):
         radius = max(int(2 * sigma), 1)
         coords = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-        kernel = jnp.exp(-0.5 * (coords / sigma) ** 2)
-        kernel = kernel / kernel.sum()
-        x = jax.vmap(
-            lambda col: jnp.convolve(col, kernel, mode="same"), in_axes=1, out_axes=1
-        )(x.reshape(x.shape[0], -1)).reshape(x.shape)
-        xt = x.swapaxes(0, 1)
-        xt = jax.vmap(
-            lambda col: jnp.convolve(col, kernel, mode="same"), in_axes=1, out_axes=1
-        )(xt.reshape(xt.shape[0], -1)).reshape(xt.shape)
-        return xt.swapaxes(0, 1)
+        kern = jnp.exp(-0.5 * (coords / sigma) ** 2)
+        return kern / kern.sum()
 
-    # edge affinity from local color variation
-    gx = jnp.diff(image, axis=1, prepend=image[:, :1])
-    gy = jnp.diff(image, axis=0, prepend=image[:1])
-    edge = jnp.exp(-(jnp.sum(gx**2 + gy**2, axis=-1)) / (2 * bi_rgb_std**2))
+    def band(kern, n):
+        # (n, n) banded Toeplitz blur matrix: rows near the border sum to
+        # < 1 (zero padding), matching the border-aware normalizers below
+        radius = kern.shape[0] // 2
+        offs = jnp.arange(n)[None, :] - jnp.arange(n)[:, None] + radius
+        return jnp.where(
+            (offs >= 0) & (offs < kern.shape[0]),
+            kern[jnp.clip(offs, 0, kern.shape[0] - 1)],
+            0.0,
+        )
 
-    q = unary
-    log_unary = jnp.log(jnp.clip(unary, 1e-8))
+    def make_blur(sigma):
+        kern = kernel1d(sigma)
+        by, bx = band(kern, h), band(kern, w)
+        center = kern[kern.shape[0] // 2] ** 2  # 2-D self weight
+
+        def blur(x):  # (H, W, C) -> separable blur as two band matmuls
+            x = jnp.einsum("ij,jwc->iwc", by, x)
+            return jnp.einsum("ij,hjc->hic", bx, x)
+
+        return blur, center
+
+    blur_pos2d, c_pos = make_blur(pos_xy_std)
+    blur_bi2d, c_bi = make_blur(bi_xy_std)
+
+    # smoothness-kernel normalizer (border-aware)
+    den_pos = blur_pos2d(jnp.ones((h, w, 1), jnp.float32)) - c_pos
+
+    # luminance bilateral grid setup
+    lum = image.astype(jnp.float32).mean(-1)
+    lo, hi = lum.min(), lum.max()
+    scale = (num_bins - 1) / jnp.maximum(hi - lo, 1e-6)
+    z = jnp.clip(jnp.round((lum - lo) * scale), 0, num_bins - 1).astype(jnp.int32)
+    onehot = (z[..., None] == jnp.arange(num_bins)).astype(jnp.float32)  # (H,W,B)
+    # range kernel between bins, in intensity units
+    bin_width = jnp.maximum(hi - lo, 1e-6) / (num_bins - 1)
+    d = (jnp.arange(num_bins)[:, None] - jnp.arange(num_bins)[None, :]) * bin_width
+    g_range = jnp.exp(-0.5 * (d / bi_rgb_std) ** 2)  # (B, B); diag = 1
+
+    def bilateral(x):
+        # x (H, W, C): splat -> spatial blur per bin -> bin mix -> slice
+        grid = onehot[..., None] * x[..., None, :]  # (H, W, B, C)
+        grid = blur_bi2d(grid.reshape(h, w, -1)).reshape(h, w, num_bins, -1)
+        grid = jnp.einsum("bc,hwcx->hwbx", g_range, grid)
+        return jnp.einsum("hwb,hwbx->hwx", onehot, grid)
+
+    den_bi = bilateral(jnp.ones((h, w, 1), jnp.float32)) - c_bi
+
+    q = unary.astype(jnp.float32)
+    log_unary = jnp.log(jnp.clip(q, 1e-8))
+    eps = 1e-6
     for _ in range(num_iter):
-        msg_pos = gaussian_blur(q, pos_xy_std) - q
-        msg_bi = (gaussian_blur(q * edge[..., None], bi_xy_std / 8) - q * edge[..., None])
+        msg_pos = (blur_pos2d(q) - c_pos * q) / jnp.maximum(den_pos, eps)
+        msg_bi = (bilateral(q) - c_bi * q) / jnp.maximum(den_bi, eps)
         energy = log_unary + pos_w * msg_pos + bi_w * msg_bi
         q = jax.nn.softmax(energy, axis=-1)
     return q

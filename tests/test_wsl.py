@@ -321,3 +321,25 @@ def test_jtsm_no_paste_masks():
         image_sizes=np.asarray([[64, 64]] * b),
     )
     assert any("segmentation" in r for r in res)
+
+
+def test_jtsm_mcnn_crf_constraint():
+    """MODEL.SEM_SEG_HEAD.CONSTRAINT=CRF: the ASPP stuff head adds the
+    dense-CRF KL constraint loss at train (reference seg_heads.py:140-147)
+    and returns CRF-refined probabilities at eval (:150-162)."""
+    cfg = _wsl_cfg("JTSMROIHeads")
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedMCNNWSL"
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "ASPPHead"
+    cfg.MODEL.SEM_SEG_HEAD.CONSTRAINT = "CRF"
+    cfg.WSL.SP_ON = True
+    cfg.WSL.PS_ON = True
+    losses, out = _run_wsl(cfg, _wsl_batch(with_sp=True))
+    assert "loss_constraint" in losses
+    assert np.isfinite(float(losses["loss_constraint"]))
+    assert "sem_seg" in out
+    # CRF off -> no constraint loss, same loss keys otherwise
+    cfg2 = cfg.clone()
+    cfg2.MODEL.SEM_SEG_HEAD.CONSTRAINT = ""
+    losses2, _ = _run_wsl(cfg2, _wsl_batch(with_sp=True))
+    assert "loss_constraint" not in losses2
