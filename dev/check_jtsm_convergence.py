@@ -1,0 +1,123 @@
+"""Overfit the flagship JTSM weakly-supervised panoptic model on ONE fixed
+synthetic batch on the real chip — MOIPool membership matmuls, pseudo-label
+mining, mask refinery and the 12-loss dict all active. Asserts the MIL
+image loss and the total loss drop, the end-to-end guard that the WSL
+training dynamics work on TPU.
+
+Usage: python dev/check_jtsm_convergence.py  [ITERS=120 LR=0.002 env]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jtsm_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def main():
+    import jtsm_tpu.wsl  # registers WSL components
+
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.engine import make_train_step
+    from jtsm_tpu.engine.train_loop import TrainState
+    from jtsm_tpu.modeling import build_model
+    from jtsm_tpu.solver import build_optimizer
+    from jtsm_tpu.wsl import add_wsl_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.merge_from_file(
+        os.path.join(
+            root,
+            "projects/WSL/configs/PascalVOC-PanopticSegmentation/jtsm_WSR_18_DC5_1x.yaml",
+        )
+    )
+    # small shapes so the run stays minutes-cheap; same code paths
+    cfg.WSL.MAX_PROPOSALS = 256
+    cfg.WSL.MAX_SUPERPIXELS = 256
+    cfg.WSL.MASK_CAPACITY = 16
+    cfg.SOLVER.BASE_LR = float(os.environ.get("LR", "0.002"))
+    cfg.SOLVER.WARMUP_ITERS = 10
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+
+    b, r, n_sp, h, w, g = 2, 256, 256, 240, 320, 4
+    model = build_model(cfg)
+    rng_np = np.random.RandomState(0)
+    xy = rng_np.rand(b, r, 2).astype(np.float32) * np.asarray(
+        [w - 80, h - 80], np.float32
+    )
+    wh = rng_np.rand(b, r, 2).astype(np.float32) * 76 + 4
+    side = int(np.sqrt(n_sp))
+    sp = (
+        (np.arange(h)[:, None] * side // h) * side + (np.arange(w)[None, :] * side // w)
+    ).astype(np.int32)
+    batch = {
+        "image": jnp.asarray(rng_np.rand(b, h, w, 3) * 255.0, jnp.float32),
+        "image_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1)),
+        "proposals": jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+        "proposal_scores": jnp.asarray(rng_np.rand(b, r).astype(np.float32)),
+        "gt_classes": jnp.asarray(rng_np.randint(0, 20, (b, 4)), jnp.int32),
+        "gt_valid": jnp.ones((b, 4), bool),
+        "gt_boxes": jnp.zeros((b, 4, 4), jnp.float32),
+        "superpixels": jnp.asarray(np.tile(sp[None], (b, 1, 1))),
+        "oh_labels": jnp.asarray(rng_np.rand(b, r, n_sp) > 0.6),
+        "gt_sem_seg": jnp.asarray(rng_np.randint(0, 2, (b, h, w)), jnp.int32),
+    }
+
+    rng = jax.random.key(0)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "sampling": k, "dropout": k}, batch, train=True)
+    )(rng)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        frozen=variables.get("frozen", {}),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=jax.jit(tx.init)(variables["params"]),
+        rng=rng,
+    )
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    iters = int(os.environ.get("ITERS", "120"))
+    t0 = time.time()
+    first = None
+    for i in range(iters):
+        state, metrics = step(state, batch)
+        if i == 0:
+            jax.block_until_ready(metrics)
+            first = {k: float(v) for k, v in metrics.items()}
+            print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+            print(f"iter 0: {  {k: round(v, 3) for k, v in first.items()} }")
+        elif i % 20 == 0:
+            m = {k: round(float(v), 3) for k, v in metrics.items()}
+            print(f"iter {i}: total={m['total_loss']} mil={m['loss_mil']}")
+    last = {k: float(v) for k, v in metrics.items()}
+    print(f"iter {iters - 1}: {  {k: round(v, 3) for k, v in last.items()} }")
+
+    for k, v in last.items():
+        assert np.isfinite(v), (k, v)
+    drop_mil = 1.0 - last["loss_mil"] / max(first["loss_mil"], 1e-6)
+    drop_tot = 1.0 - last["total_loss"] / max(first["total_loss"], 1e-6)
+    print(f"loss_mil drop: {drop_mil:.1%}  total_loss drop: {drop_tot:.1%}")
+    assert drop_mil > 0.5, f"MIL loss did not overfit the fixed batch ({drop_mil:.1%})"
+    assert drop_tot > 0.3, f"total loss did not drop ({drop_tot:.1%})"
+    print("JTSM TPU convergence gate: OK")
+
+
+if __name__ == "__main__":
+    main()
