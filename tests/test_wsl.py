@@ -343,3 +343,28 @@ def test_jtsm_mcnn_crf_constraint():
     cfg2.MODEL.SEM_SEG_HEAD.CONSTRAINT = ""
     losses2, _ = _run_wsl(cfg2, _wsl_batch(with_sp=True))
     assert "loss_constraint" not in losses2
+
+
+def test_superpixel_union_mask_crops_grid_matches_exact():
+    """Batched grid-sampled mask crops == exact per-pixel crops on
+    g-aligned superpixel maps (same guarantee as moi_pool's grid path)."""
+    from jtsm_tpu.wsl.modeling.roi_heads_jtsm import (
+        superpixel_union_mask_crop,
+        superpixel_union_mask_crops,
+    )
+
+    rng = np.random.RandomState(2)
+    hs, ws, ns, d, m = 64, 96, 17, 9, 12
+    sp = jnp.asarray(
+        rng.randint(0, ns, (hs // 4, ws // 4)).repeat(4, 0).repeat(4, 1).astype(np.int32)
+    )
+    oh = jnp.asarray(rng.rand(d, ns) > 0.5)
+    xy = rng.rand(d, 2).astype(np.float32) * np.asarray([ws - 30, hs - 30], np.float32)
+    wh = rng.rand(d, 2).astype(np.float32) * 26 + 4
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+
+    grid = np.asarray(superpixel_union_mask_crops(sp, oh, boxes, m, grid_stride=4))
+    exact = np.asarray(
+        jax.vmap(lambda o, b: superpixel_union_mask_crop(sp, o, b, m))(oh, boxes)
+    )
+    assert np.array_equal(grid, exact)
