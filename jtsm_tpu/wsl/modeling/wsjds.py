@@ -37,7 +37,7 @@ from .roi_heads_wsl import (
     image_level_gt,
     wsl_inference_single,
 )
-from .wsod_zoo import csc
+from .wsod_zoo import csc_full
 
 Array = jax.Array
 
@@ -68,36 +68,39 @@ def csc_weighted_mil_image_loss(
     boxes_i,  # (R, 4)
     valid_i,  # (R,)
     labels_i,  # (C,) image-level one-hot
-    cpg_i,  # (C, H, W) class peak gradient maps
+    cpg_i,  # (C, H, W) class peak gradient maps, each normalized to max 1
     num_classes: int,
     csc_fg_threshold: float = 0.1,
+    mean_loss: bool = True,
 ):
-    """CSC weighting (reference roi_heads_csc.py / wsjds_heads.py:596): per
-    present class, proposals whose boxes capture the CPG mass keep their
-    positive contribution; leaky proposals are pushed toward 0."""
+    """Reference-exact CSC image loss (fast_rcnn_tsm.py:1051 ``csc_loss`` +
+    roi_heads_csc.py:496 ``_forward_csc``): the CSC op yields per-(roi,class)
+    weights W in [-1, 1]; W_pos = max(W, 0) keeps confident proposals'
+    positive contribution (BCE of the W_pos-weighted image score against the
+    label — absent classes have W == 1, so this term also suppresses them),
+    W_neg = |min(W, 0)| collects leaky proposals, pushed to 0 (BCE against
+    NL == 0). Returns (loss_cls_pos, loss_cls_neg)."""
+    preds_img = mil_i.sum(0)  # pred_class_img_logits (roi_heads_csc.py:520)
+    w = csc_full(
+        cpg_i,
+        boxes_i,
+        valid_i,
+        labels_i,
+        preds_img,
+        fg_threshold=csc_fg_threshold,
+    )  # (R, C)
+    w_pos = jnp.maximum(w, 0.0)
+    w_neg = jnp.abs(jnp.minimum(w, 0.0))
+    img_pos = jnp.clip((mil_i * w_pos).sum(0), 1e-20, 1.0 - 1e-20)
+    img_neg = jnp.clip((mil_i * w_neg).sum(0), 1e-20, 1.0 - 1e-20)
 
-    def one_class(c):
-        w = csc(cpg_i[c], boxes_i, valid_i, fg_thresh=csc_fg_threshold)
-        pos_w = w["pos_weight"]
-        neg_w = w["neg_weight"]
-        s_pos = jnp.sum(mil_i[:, c] * pos_w) / jnp.maximum(jnp.sum(pos_w), 1e-6)
-        s_neg = jnp.sum(mil_i[:, c] * neg_w) / jnp.maximum(jnp.sum(neg_w), 1e-6)
-        return s_pos, s_neg
+    def bce(p, t):
+        return -(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
 
-    s_pos, s_neg = jax.vmap(one_class)(jnp.arange(num_classes))
-    sum_scores = jnp.clip(mil_i.sum(0), 1e-6, 1 - 1e-6)
-    s_pos = jnp.clip(s_pos, 1e-6, 1 - 1e-6)
-    s_neg = jnp.clip(s_neg, 1e-6, 1 - 1e-6)
-    # present classes: confident (pos-weighted) mass -> label 1,
-    # leaked (neg-weighted) mass -> label 0; absent: sum -> 0
-    loss_pos = -(labels_i * jnp.log(s_pos)).sum() / jnp.maximum(labels_i.sum(), 1.0)
-    loss_neg = -(labels_i * jnp.log1p(-s_neg)).sum() / jnp.maximum(
-        labels_i.sum(), 1.0
+    reduce = jnp.mean if mean_loss else jnp.sum
+    return reduce(bce(img_pos, labels_i)), reduce(
+        bce(img_neg, jnp.zeros_like(img_neg))
     )
-    loss_abs = -((1 - labels_i) * jnp.log1p(-sum_scores)).sum() / jnp.maximum(
-        (1 - labels_i).sum(), 1.0
-    )
-    return loss_pos + loss_neg + loss_abs
 
 
 @ROI_HEADS_REGISTRY.register()
@@ -163,11 +166,11 @@ class WSJDSROIHeads(WSDDNROIHeads):
                 loss = jax.vmap(mil_image_loss)(mil, img_labels).mean()
                 return {}, {"loss_mil": loss}
 
-            loss_csc = jax.vmap(
+            loss_pos, loss_neg = jax.vmap(
                 lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
                     m, bx, v, l, c, self.num_classes, self.csc_fg_threshold
                 )
-            )(mil, proposals, valid, img_labels, cpg).mean()
+            )(mil, proposals, valid, img_labels, cpg)
 
             sem_t, sem_w = jax.vmap(
                 lambda c, l: sem_seg_targets_from_cpg(
@@ -175,7 +178,10 @@ class WSJDSROIHeads(WSDDNROIHeads):
                 )
             )(cpg, img_labels)
             aux = {"pgt_sem_seg_binary": sem_t, "pgt_sem_seg_weights": sem_w}
-            return aux, {"loss_mil_csc": loss_csc}
+            return aux, {
+                "loss_cls_pos": loss_pos.mean(),
+                "loss_cls_neg": loss_neg.mean(),
+            }
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
@@ -219,9 +225,12 @@ class CSCOICRROIHeads(OICRROIHeads):
         cpg = targets.get("cpg") if targets is not None else None
         if cpg is None:
             return super()._mil_losses(mil, img_labels, proposals, valid, targets)
-        loss = jax.vmap(
+        loss_pos, loss_neg = jax.vmap(
             lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
                 m, bx, v, l, c, self.num_classes, self.csc_fg_threshold
             )
-        )(mil, proposals, valid, img_labels, cpg).mean()
-        return {"loss_mil_csc": loss}
+        )(mil, proposals, valid, img_labels, cpg)
+        return {
+            "loss_cls_pos": loss_pos.mean(),
+            "loss_cls_neg": loss_neg.mean(),
+        }

@@ -437,55 +437,159 @@ class CMILROIHeads(WSDDNROIHeads):
 # ---------------------------------------------------------------------------
 
 
-def csc(
-    cpg: Array,  # (H, W) class peak gradient map (abs of input-grad), one class
-    boxes: Array,  # (R, 4)
-    valid: Array,
-    tau: float = 0.7,
-    fg_thresh: float = 0.1,
-) -> Dict[str, Array]:
-    """Vectorized reimplementation of csrc/csc: per-proposal positive /
-    negative weights from how much high-CPG mass a box captures vs leaks."""
-    h, w = cpg.shape
-    m = jnp.max(cpg)
-    norm = cpg / jnp.maximum(m, 1e-12)
-    hot = norm >= tau
-    total_mass = jnp.sum(norm * hot) + 1e-6
+def _round_half_away(x: Array) -> Array:
+    """C ``round()``: round half away from zero (numpy/jnp.round is
+    half-to-even, which disagrees on *.5 inputs)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+def csc(
+    cpg: Array,  # (H, W) CPG map for ONE class, normalized so max == 1
+    boxes: Array,  # (R, 4) XYXY in image coordinates
+    valid: Array,  # (R,) bool; padded rows get W == 1 and are excluded from
+    # the per-class score normalization
+    label: Array,  # scalar image-level label for this class (>= 0.5: present)
+    pred: Array,  # scalar image-level predicted score for this class
+    fg_threshold: float = 0.1,
+    area_sqrt: bool = True,
+    context_scale: float = 1.8,
+) -> Array:
+    """Reference-exact CSC forward for one class column
+    (reference wsl/layers/csrc/csc/csc_cuda.cu:352 ``csc_forward_cuda``):
+
+    1. binarize the CPG map at ``fg_threshold`` and build its integral image
+       (``binary_and_integral_cpu``, csc_cuda.cu:131);
+    2. per ROI, contrast the binary mass of the *frame* (ROI minus the
+       ``1/context_scale``-shrunk inner box) against the *context* (the
+       ``context_scale``-grown outer box minus the ROI), each normalized by
+       sqrt(area) (``CSCPool``, csc_cuda.cu:184);
+    3. normalize the score column to [-1, 1] (positives by the max, negatives
+       by |min|; all-zero columns collapse to 1, csc_cuda.cu:488-526);
+    4. blend with the image-level prediction:
+       ``W = pred * W + (1 - pred)`` (csc_cuda.cu:527-530).
+
+    Absent classes (label < 0.5) keep W == 1 (the ``at::ones`` init,
+    csc_cuda.cu:382,412-414). Returns the (R,) weight column."""
+    h, w = cpg.shape
+    binary = (cpg >= fg_threshold).astype(jnp.float32)
+    integral = jnp.cumsum(jnp.cumsum(binary, axis=0), axis=1)
+
+    def box_sum(hs, ws, he, we):
+        # inclusive [hs..he, ws..we]; start-1 < 0 contributes 0
+        hs = hs.astype(jnp.int32)
+        ws = ws.astype(jnp.int32)
+        he = he.astype(jnp.int32)
+        we = we.astype(jnp.int32)
+        a1 = integral[he, we]
+        a2 = jnp.where(ws - 1 >= 0, integral[he, jnp.maximum(ws - 1, 0)], 0.0)
+        a3 = jnp.where(hs - 1 >= 0, integral[jnp.maximum(hs - 1, 0), we], 0.0)
+        a4 = jnp.where(
+            (ws - 1 >= 0) & (hs - 1 >= 0),
+            integral[jnp.maximum(hs - 1, 0), jnp.maximum(ws - 1, 0)],
+            0.0,
+        )
+        return a1 - a2 - a3 + a4
 
     def one(box):
-        inside = (
-            (xs >= box[0]) & (xs <= box[2]) & (ys >= box[1]) & (ys <= box[3])
-        )
-        mass_in = jnp.sum(norm * hot * inside)
-        frac = mass_in / total_mass
-        area = jnp.maximum((box[2] - box[0]) * (box[3] - box[1]), 1.0)
-        density = mass_in / area
-        return frac, density
+        ws = jnp.clip(_round_half_away(box[0]), 0.0, w - 1.0)
+        hs = jnp.clip(_round_half_away(box[1]), 0.0, h - 1.0)
+        we = jnp.clip(_round_half_away(box[2]), 0.0, w - 1.0)
+        he = jnp.clip(_round_half_away(box[3]), 0.0, h - 1.0)
 
-    frac, density = jax.vmap(one)(boxes)
-    pos = (frac >= fg_thresh) & valid
-    w_pos = jnp.where(pos, frac * jnp.sqrt(density * (h * w)), 0.0)
-    w_neg = jnp.where(~pos & valid, 1.0 - frac, 0.0)
-    return {"pos_mask": pos, "pos_weight": w_pos, "neg_weight": w_neg, "frac": frac}
+        width_roi = we - ws
+        height_roi = he - hs
+        w_inner = width_roi / context_scale
+        h_inner = height_roi / context_scale
+        w_outer = width_roi * context_scale
+        h_outer = height_roi * context_scale
+        wc = (we + ws) / 2.0
+        hc = (he + hs) / 2.0
+
+        ws_i = _round_half_away(wc - w_inner / 2.0)
+        hs_i = _round_half_away(hc - h_inner / 2.0)
+        we_i = _round_half_away(wc + w_inner / 2.0)
+        he_i = _round_half_away(hc + h_inner / 2.0)
+
+        ws_o = _round_half_away(jnp.maximum(wc - w_outer / 2.0, 0.0))
+        hs_o = _round_half_away(jnp.maximum(hc - h_outer / 2.0, 0.0))
+        we_o = _round_half_away(jnp.minimum(wc + w_outer / 2.0, w - 1.0))
+        he_o = _round_half_away(jnp.minimum(hc + h_outer / 2.0, h - 1.0))
+
+        area_roi = (he - hs + 1.0) * (we - ws + 1.0)
+        area_inner = (he_i - hs_i + 1.0) * (we_i - ws_i + 1.0)
+        area_outer = (he_o - hs_o + 1.0) * (we_o - ws_o + 1.0)
+        area_frame = jnp.maximum(area_roi - area_inner, 1.0)
+        area_context = jnp.maximum(area_outer - area_roi, 1.0)
+
+        sum_roi = box_sum(hs, ws, he, we)
+        sum_inner = box_sum(hs_i, ws_i, he_i, we_i)
+        sum_outer = box_sum(hs_o, ws_o, he_o, we_o)
+        sum_frame = sum_roi - sum_inner
+        sum_context = sum_outer - sum_roi
+
+        if area_sqrt:
+            return sum_frame / jnp.sqrt(area_frame) - sum_context / jnp.sqrt(
+                area_context
+            )
+        return sum_frame / area_frame - sum_context / area_context
+
+    scores = jax.vmap(one)(boxes)
+
+    # per-class normalization over valid rows (csc_cuda.cu:488-526): running
+    # max/min start at 0, so max >= 0 and min <= 0 by construction
+    max_value = jnp.maximum(jnp.max(jnp.where(valid, scores, 0.0)), 0.0)
+    min_value = jnp.minimum(jnp.min(jnp.where(valid, scores, 0.0)), 0.0)
+    safe_max = jnp.where(max_value > 0, max_value, 1.0)
+    safe_min = jnp.where(min_value < 0, -min_value, 1.0)
+    normed = jnp.where(
+        (max_value > 0) & (min_value < 0),
+        jnp.where(scores > 0, scores / safe_max, scores / safe_min),
+        jnp.where(max_value > 0, scores / safe_max, 1.0),
+    )
+    blended = pred * normed + (1.0 - pred)
+    w_col = jnp.where(label >= 0.5, blended, 1.0)
+    return jnp.where(valid, w_col, 1.0)
+
+
+def csc_full(
+    cpgs: Array,  # (C, H, W) per-class CPG maps, each normalized to max 1
+    boxes: Array,  # (R, 4)
+    valid: Array,  # (R,)
+    labels: Array,  # (C,) image-level multi-hot
+    preds: Array,  # (C,) image-level predicted scores
+    fg_threshold: float = 0.1,
+    area_sqrt: bool = True,
+    context_scale: float = 1.8,
+) -> Array:
+    """All-class CSC weight matrix W (R, C) — the reference op's output
+    (csc_cuda.cu:352, `W = _C.csc_forward(...)` in wsl/layers/csc.py:28)."""
+    return jax.vmap(
+        lambda c, l, p: csc(
+            c, boxes, valid, l, p, fg_threshold, area_sqrt, context_scale
+        ),
+        out_axes=1,
+    )(cpgs, labels, preds)
 
 
 def compute_cpg(apply_fn, variables, batch, class_idx: Array) -> Array:
-    """Class peak gradient maps: |d score_c / d image|, summed over channels
-    (reference GeneralizedRCNNWSL.has_cpg + roi_heads_csc._forward_cpg).
-    ``apply_fn(variables, batch) -> (B, C) image-level class scores``."""
+    """Class peak gradient maps: per-channel-max of |d score_c / d image|,
+    normalized so each map's max is 1 (reference roi_heads_csc.py:443
+    ``_forward_cpg``: ``cpg.abs_(); torch.max(cpg, dim=1); cpg / max_value``).
+    ``apply_fn(variables, batch) -> (B, C) image-level class scores``. The
+    reference additionally zeroes maps of classes with pred < tau
+    (roi_heads_csc.py:462-463) — callers gate on the prediction."""
 
     def score(images):
         out = apply_fn(variables, dict(batch, image=images))
-        b = out.shape[0]
         return jnp.sum(
             jnp.take_along_axis(out, class_idx[:, None], axis=1)
         )
 
     grads = jax.grad(score)(batch["image"])
-    return jnp.abs(grads).sum(-1)  # (B, H, W)
+    cpg = jnp.abs(grads).max(-1)  # (B, H, W) channel max
+    return cpg / jnp.maximum(
+        cpg.max(axis=(1, 2), keepdims=True), 1e-20
+    )
 
 
 # ---------------------------------------------------------------------------

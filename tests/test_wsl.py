@@ -231,12 +231,27 @@ def test_csc_weights_and_cpg():
     boxes = jnp.asarray(
         [[10.0, 10.0, 20.0, 20.0], [0.0, 0.0, 5.0, 5.0], [0.0, 0.0, 31.0, 31.0]]
     )
-    res = csc(jnp.asarray(cpg), boxes, jnp.ones(3, bool))
-    r = {k: np.asarray(v) for k, v in res.items()}
-    assert r["pos_mask"][0] and not r["pos_mask"][1]
-    assert r["frac"][0] > 0.9 and r["frac"][1] < 0.05
+    w = np.asarray(
+        csc(
+            jnp.asarray(cpg),
+            boxes,
+            jnp.ones(3, bool),
+            jnp.asarray(1.0),  # label: present
+            jnp.asarray(1.0),  # pred
+        )
+    )
+    # the tight box's frame captures the hot ring (context empty) -> score
+    # normalizes to 1; the far box and the whole-image box (hot square inside
+    # its inner region) both score 0
+    np.testing.assert_allclose(w, [1.0, 0.0, 0.0], atol=1e-6)
+    # absent class: weights stay 1 regardless of geometry
+    w_abs = np.asarray(
+        csc(jnp.asarray(cpg), boxes, jnp.ones(3, bool), jnp.asarray(0.0), jnp.asarray(1.0))
+    )
+    np.testing.assert_allclose(w_abs, 1.0)
 
-    # compute_cpg: gradient of a linear scoring fn picks out the class map
+    # compute_cpg: gradient of a linear scoring fn picks out the class map,
+    # channel-maxed and normalized to max 1 (reference cpg_scale_op)
     def apply_fn(variables, batch):
         img = batch["image"]
         return jnp.stack(
@@ -246,7 +261,7 @@ def test_csc_weights_and_cpg():
     batch = {"image": jnp.ones((1, 8, 8, 3))}
     g = compute_cpg(apply_fn, {}, batch, jnp.asarray([1]))
     assert g.shape == (1, 8, 8)
-    np.testing.assert_allclose(np.asarray(g), 2.0)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
 
     # roi_merge: at lambda=1 disjoint boxes stay singleton clusters
     from jtsm_tpu.structures.boxes import pairwise_iou as piou

@@ -145,7 +145,8 @@ def test_wsjds_roi_heads():
         train=True,
         rngs={"sampling": jax.random.key(3), "dropout": jax.random.key(4)},
     )
-    assert np.isfinite(float(losses["loss_mil_csc"]))
+    assert np.isfinite(float(losses["loss_cls_pos"]))
+    assert np.isfinite(float(losses["loss_cls_neg"]))
     assert aux["pgt_sem_seg_binary"].shape == (b, 4, h, w)
     assert aux["pgt_sem_seg_weights"].shape == (b, 4, h, w)
 
@@ -299,7 +300,7 @@ def test_csc_oicr_heads():
         variables, feats, proposals, scores, sizes, targets, train=True,
         rngs={"sampling": jax.random.key(2), "dropout": jax.random.key(4)},
     )
-    assert "loss_mil_csc" in losses
+    assert "loss_cls_pos" in losses and "loss_cls_neg" in losses
     assert all(np.isfinite(float(v)) for v in losses.values())
     # without cpg: falls back to plain MIL loss
     t2 = {k: v for k, v in targets.items() if k != "cpg"}
