@@ -121,7 +121,12 @@ def main():
     with open(os.path.join(ann_dir, "person_keypoints_val2017_100.json"), "w") as f:
         json.dump(kp, f)
 
-    # panoptic: id map PNGs + stuff sem-seg PNGs
+    # panoptic: id map PNGs + stuff sem-seg PNGs. Thing segments are painted
+    # FROM THE INSTANCES ANNOTATIONS so box/mask GT and panoptic GT agree
+    # (the panoptic gates then measure one consistent scene).
+    anns_by_image = {}
+    for a in inst["annotations"]:
+        anns_by_image.setdefault(a["image_id"], []).append(a)
     pan_dir = os.path.join(coco, "panoptic_val2017_100")
     stuff_dir = os.path.join(coco, "panoptic_stuff_val2017_100")
     os.makedirs(pan_dir, exist_ok=True)
@@ -132,25 +137,29 @@ def main():
         seg_id = 1
         ids = np.zeros((h, w), np.uint32)
         segments = []
-        # one stuff background + up to 2 things
+        # one stuff background, then every instance rect on top
         ids[:, :] = seg_id
         segments.append(
             {"id": seg_id, "category_id": STUFF_0, "iscrowd": 0, "area": int(h * w)}
         )
         seg_id += 1
-        for _ in range(int(rng.integers(1, 3))):
-            bw, bh = int(rng.integers(20, w // 2)), int(rng.integers(20, h // 2))
-            x, y = int(rng.integers(0, w - bw)), int(rng.integers(0, h - bh))
+        for a in anns_by_image.get(info["id"], []):
+            x, y, bw, bh = (int(round(v)) for v in a["bbox"])
             ids[y : y + bh, x : x + bw] = seg_id
             segments.append(
                 {
                     "id": seg_id,
-                    "category_id": int(rng.choice(COCO_80)),
+                    "category_id": int(a["category_id"]),
                     "iscrowd": 0,
                     "area": int(bw * bh),
                 }
             )
             seg_id += 1
+        # visible areas after overlaps
+        areas = np.bincount(ids.reshape(-1), minlength=seg_id)
+        segments = [
+            dict(s, area=int(areas[s["id"]])) for s in segments if areas[s["id"]] > 0
+        ]
         rgb = np.stack(
             [ids % 256, (ids // 256) % 256, ids // 256**2], -1
         ).astype(np.uint8)
@@ -176,6 +185,72 @@ def main():
                     {"id": c["id"], "name": c["name"], "isthing": c["isthing"]}
                     for c in COCO_CATEGORIES
                 ],
+            },
+            f,
+        )
+    # MCG-style segmentation proposals pickle for the WSL/JTSM plane:
+    # per image, jittered copies of the GT rects + random distractors, a
+    # superpixel label map in which every GT rect is an exact union of
+    # superpixels (stuff grid + per-thing local grids, the property MCG
+    # segments give the reference), and per-proposal one-hot membership.
+    import pickle
+
+    ids_list, boxes_list, logits_list, sp_list, oh_list = [], [], [], [], []
+    cell = 24
+    for info in infos:
+        h, w = info["height"], info["width"]
+        sp = (np.arange(h)[:, None] // cell) * ((w + cell - 1) // cell) + (
+            np.arange(w)[None, :] // cell
+        )
+        next_id = int(sp.max()) + 1
+        gt = []
+        for a in anns_by_image.get(info["id"], []):
+            x, y, bw, bh = (int(round(v)) for v in a["bbox"])
+            local = (np.arange(bh)[:, None] // cell) * (
+                (bw + cell - 1) // cell
+            ) + (np.arange(bw)[None, :] // cell)
+            sp[y : y + bh, x : x + bw] = next_id + local
+            next_id += int(local.max()) + 1
+            gt.append([x, y, x + bw, y + bh])
+        gt = np.asarray(gt, np.float32).reshape(-1, 4)
+        jit = np.concatenate(
+            [gt + rng.normal(0, 3, gt.shape) for _ in range(3)]
+            + [gt],
+            0,
+        )
+        n_rand = max(0, 64 - len(jit))
+        rx1 = rng.uniform(0, w * 0.7, n_rand)
+        ry1 = rng.uniform(0, h * 0.7, n_rand)
+        rnd_boxes = np.stack(
+            [
+                rx1,
+                ry1,
+                rx1 + rng.uniform(16, w * 0.3, n_rand),
+                ry1 + rng.uniform(16, h * 0.3, n_rand),
+            ],
+            1,
+        )
+        boxes = np.concatenate([jit, rnd_boxes], 0).astype(np.float32)
+        boxes = np.clip(boxes, [0, 0, 0, 0], [w - 1, h - 1, w - 1, h - 1])
+        logits = np.sort(rng.uniform(0, 1, len(boxes)))[::-1].astype(np.float32)
+        # membership: superpixels whose centroid falls inside the box
+        from jtsm_tpu.wsl.data import oh_labels_from_boxes
+
+        oh = oh_labels_from_boxes(boxes, sp.astype(np.int32), next_id)
+        ids_list.append(info["id"])
+        boxes_list.append(boxes)
+        logits_list.append(logits)
+        sp_list.append(sp.astype(np.int32))
+        oh_list.append(oh)
+    with open(os.path.join(coco, "proposals_val2017_100.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "ids": ids_list,
+                "boxes": boxes_list,
+                "objectness_logits": logits_list,
+                "superpixels": sp_list,
+                "oh_labels": oh_list,
+                "bbox_mode": 0,  # BoxMode.XYXY_ABS
             },
             f,
         )

@@ -52,6 +52,25 @@ def main():
     )
     prof = json.loads(data)
     print("profile dumped:", xplanes[-1])
+    prog = prof["byProgramExcludeIdle"]["children"][0]
+    total = prog["metrics"]["rawTime"]
+    n_iters = 2  # traced fwd calls above
+    print(f"== op profile ({prog['name']}, {total / 1e12 * 1e3 / n_iters:.1f} ms/iter) ==")
+    for c in sorted(prog["children"], key=lambda n: -n["metrics"]["rawTime"]):
+        m = c["metrics"]
+        print(
+            f'{m["rawTime"] / total * 100:5.1f}%  '
+            f'{m["rawTime"] / 1e12 * 1e3 / n_iters:7.2f} ms  '
+            f'{c["name"][:50]:50s} occ={m.get("occurrences", 0)}'
+        )
+        for leaf in sorted(
+            c.get("children", []), key=lambda n: -n["metrics"]["rawTime"]
+        )[:3]:
+            lm = leaf["metrics"]
+            print(
+                f'        {lm["rawTime"] / 1e12 * 1e3 / n_iters:7.2f} ms'
+                f'    - {leaf["name"][:70]}'
+            )
 
 
 if __name__ == "__main__":

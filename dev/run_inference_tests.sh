@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e  # the shebang's -e is ignored when invoked as `bash <script>`
 # Evaluate pretrained models and verify expected AP
 # (reference: dev/run_inference_tests.sh).
 BIN="python tools/train_net.py"

@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e  # the shebang's -e is ignored when invoked as `bash <script>`
 # Smoke-train every quick-schedule instant-test config for a few iterations
 # (reference: dev/run_instant_tests.sh).
 # Offline: `python dev/make_synthetic_coco.py` fabricates the

@@ -6,6 +6,7 @@
 #
 # The pinned numbers were recorded on CPU (JAX_PLATFORMS=cpu); run the gates
 # on CPU for reproducibility.
+set -e  # the shebang's -e is ignored when invoked as `bash <script>`
 export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
 ROOT=$(dirname "$0")/..
 DATA=${JTSM_DATASETS:-/tmp/jtsm_synth_datasets}
@@ -13,13 +14,18 @@ export JTSM_DATASETS="$DATA"
 if [[ ! -d "$DATA/coco" ]]; then
   python "$ROOT/dev/make_synthetic_coco.py" --root "$DATA" --num 8
 fi
-BIN="python $ROOT/tools/train_net.py"
 OUTPUT=${OUTPUT:-/tmp/jtsm_synth_acc_output}
 CFG_LIST=( "${@:1}" )
 if [[ ${#CFG_LIST[@]} -eq 0 ]]; then
-  CFG_LIST=( "$ROOT"/configs/quick_schedules/*_synthetic_training_acc_test.yaml )
+  CFG_LIST=( "$ROOT"/configs/quick_schedules/*_synthetic_training_acc_test.yaml
+             "$ROOT"/projects/WSL/configs/quick_schedules/*_synthetic_training_acc_test.yaml )
 fi
 for cfg in "${CFG_LIST[@]}"; do
+  # WSL configs need the project trainer (add_wsl_config + SP loaders)
+  case "$cfg" in
+    *projects/WSL/*) BIN="python $ROOT/projects/WSL/tools/train_net.py" ;;
+    *)               BIN="python $ROOT/tools/train_net.py" ;;
+  esac
   echo "========================================================================"
   echo "Running $cfg ..."
   echo "========================================================================"

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import itertools
 import logging
+import os
 import queue
 import threading
 from typing import Any, Callable, Iterator, List, Optional
@@ -71,7 +72,9 @@ def load_proposals_into_dataset(dataset_dicts, proposal_file):
     import pickle
 
     logger.info(f"Loading proposals from: {proposal_file}")
-    with open(proposal_file, "rb") as f:
+    # $VAR expansion lets configs reference the dataset root portably
+    # (e.g. "$JTSM_DATASETS/coco/proposals.pkl")
+    with open(os.path.expandvars(proposal_file), "rb") as f:
         proposals = pickle.load(f, encoding="latin1")
 
     rename_keys = {"indexes": "ids", "scores": "objectness_logits"}
@@ -96,9 +99,14 @@ def load_proposals_into_dataset(dataset_dicts, proposal_file):
 
 
 def get_detection_dataset_dicts(
-    names, filter_empty: bool = True, min_keypoints: int = 0, proposal_files=None
+    names,
+    filter_empty: bool = True,
+    min_keypoints: int = 0,
+    proposal_files=None,
+    proposal_loader=None,
 ):
-    """Reference build.py:209."""
+    """Reference build.py:209. ``proposal_loader`` lets projects substitute a
+    richer pickle reader (the WSL loader also attaches superpixels)."""
     if isinstance(names, str):
         names = [names]
     assert len(names), names
@@ -108,8 +116,9 @@ def get_detection_dataset_dicts(
 
     if proposal_files is not None:
         assert len(names) == len(proposal_files)
+        loader = proposal_loader or load_proposals_into_dataset
         dataset_dicts = [
-            load_proposals_into_dataset(dataset_i_dicts, proposal_file)
+            loader(dataset_i_dicts, proposal_file)
             for dataset_i_dicts, proposal_file in zip(dataset_dicts, proposal_files)
         ]
 
@@ -210,7 +219,11 @@ class StaticBatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
 
-def build_detection_train_loader(cfg: CfgNode, mapper: Optional[Callable] = None):
+def build_detection_train_loader(
+    cfg: CfgNode,
+    mapper: Optional[Callable] = None,
+    proposal_loader: Optional[Callable] = None,
+):
     """Reference build.py:348. Per-host batch = total / process_count."""
     dataset_dicts = get_detection_dataset_dicts(
         cfg.DATASETS.TRAIN,
@@ -221,6 +234,7 @@ def build_detection_train_loader(cfg: CfgNode, mapper: Optional[Callable] = None
         proposal_files=cfg.DATASETS.PROPOSAL_FILES_TRAIN
         if cfg.MODEL.LOAD_PROPOSALS
         else None,
+        proposal_loader=proposal_loader,
     )
     dataset = DatasetFromList(dataset_dicts, copy=False)
     if mapper is None:
@@ -257,7 +271,11 @@ def build_detection_train_loader(cfg: CfgNode, mapper: Optional[Callable] = None
 
 
 def build_detection_test_loader(
-    cfg: CfgNode, dataset_name: str, mapper: Optional[Callable] = None, batch_size: int = 1
+    cfg: CfgNode,
+    dataset_name: str,
+    mapper: Optional[Callable] = None,
+    batch_size: int = 1,
+    proposal_loader: Optional[Callable] = None,
 ):
     """Reference build.py:414 (InferenceSampler, exact partition)."""
     dataset_dicts = get_detection_dataset_dicts(
@@ -268,6 +286,7 @@ def build_detection_test_loader(
         ]
         if cfg.MODEL.LOAD_PROPOSALS
         else None,
+        proposal_loader=proposal_loader,
     )
     dataset = DatasetFromList(dataset_dicts)
     if mapper is None:

@@ -89,6 +89,13 @@ class DatasetMapper:
             )
         return ret
 
+    def _transform_proposals(self, dataset_dict, image_shape, transforms):
+        """Hook so project mappers can extend proposal handling (the WSL
+        mapper adds superpixel maps + membership, wsl/data.py)."""
+        utils.transform_proposals(
+            dataset_dict, image_shape, transforms, proposal_topk=self.proposal_topk
+        )
+
     def __call__(self, dataset_dict: dict) -> dict:
         dataset_dict = copy.deepcopy(dataset_dict)
         image = utils.read_image(dataset_dict["file_name"], format=self.image_format)
@@ -113,9 +120,7 @@ class DatasetMapper:
             dataset_dict["sem_seg"] = sem_seg_gt.astype(np.int64)
 
         if self.proposal_topk is not None:
-            utils.transform_proposals(
-                dataset_dict, image_shape, transforms, proposal_topk=self.proposal_topk
-            )
+            self._transform_proposals(dataset_dict, image_shape, transforms)
 
         if not self.is_train:
             dataset_dict.pop("annotations", None)

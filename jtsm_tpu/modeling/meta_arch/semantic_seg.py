@@ -92,7 +92,17 @@ class SemSegFPNHead(nn.Module):
                         x, (x.shape[1] * 2, x.shape[2] * 2)
                     )
                     stride = stride // 2
-            out = x if out is None else out + x
+            if out is None:
+                out = x
+            else:
+                # coarser levels are ceil-divided, so their 2x-upsample chain
+                # can overshoot the finest level's grid when the padded image
+                # size is not divisible by the coarsest stride — crop to the
+                # common size (reference relies on ImageList divisibility
+                # padding making the sizes agree exactly)
+                hh = min(out.shape[1], x.shape[1])
+                ww = min(out.shape[2], x.shape[2])
+                out = out[:, :hh, :ww] + x[:, :hh, :ww]
 
         logits = Conv2d(
             features=self.num_classes,

@@ -233,6 +233,69 @@ def register_pascal_voc(name: str, dirname: str, split: str, year: int = 2007):
     )
 
 
+def load_mcg_proposals_into_dataset(dataset_dicts, proposal_file):
+    """Like data.build.load_proposals_into_dataset but also attaches the MCG
+    superpixel label map and the per-proposal one-hot membership when the
+    pickle carries them (reference wsl/data/build.py SP loaders +
+    wsl/data/detection_utils.py:291-343)."""
+    proposals = load_mcg_proposals(os.path.expandvars(proposal_file))
+
+    rename_keys = {"indexes": "ids", "scores": "objectness_logits"}
+    for key in rename_keys:
+        if key in proposals:
+            proposals[rename_keys[key]] = proposals.pop(key)
+
+    img_ids = {str(record["image_id"]) for record in dataset_dicts}
+    id_to_index = {
+        str(id): i for i, id in enumerate(proposals["ids"]) if str(id) in img_ids
+    }
+    bbox_mode = (
+        BoxMode(proposals["bbox_mode"])
+        if "bbox_mode" in proposals
+        else BoxMode.XYXY_ABS
+    )
+    for record in dataset_dicts:
+        i = id_to_index[str(record["image_id"])]
+        record["proposal_boxes"] = proposals["boxes"][i]
+        record["proposal_objectness_logits"] = proposals["objectness_logits"][i]
+        record["proposal_bbox_mode"] = bbox_mode
+        if "superpixels" in proposals:
+            record["proposal_superpixels"] = proposals["superpixels"][i]
+        if "oh_labels" in proposals:
+            record["proposal_oh_labels"] = proposals["oh_labels"][i]
+    return dataset_dicts
+
+
+class WSLDatasetMapper:
+    """DatasetMapper variant whose proposal step also transforms the MCG
+    superpixel map + membership (reference wsl/data/dataset_mapper.py →
+    detection_utils.py:266 ``transform_proposals_seg``)."""
+
+    def __init__(self, cfg, is_train: bool):
+        from ..data.dataset_mapper import DatasetMapper
+
+        class _Mapper(DatasetMapper):
+            def __init__(self, *a, max_superpixels=1024, **kw):
+                super().__init__(*a, **kw)
+                self.max_superpixels = max_superpixels
+
+            def _transform_proposals(self, dataset_dict, image_shape, transforms):
+                transform_proposals_seg(
+                    dataset_dict,
+                    image_shape,
+                    transforms,
+                    proposal_topk=self.proposal_topk,
+                    max_superpixels=self.max_superpixels,
+                )
+
+        kwargs = _Mapper.from_config(cfg, is_train)
+        kwargs["max_superpixels"] = cfg.WSL.MAX_SUPERPIXELS
+        self._mapper = _Mapper(**kwargs)
+
+    def __call__(self, dataset_dict):
+        return self._mapper(dataset_dict)
+
+
 class WSLStaticBatchLoader:
     """StaticBatchLoader wrapper that collates superpixels + oh_labels into
     the batch (reference wsl/data/build.py SP loader variants)."""
@@ -258,11 +321,21 @@ class WSLStaticBatchLoader:
 
 
 def build_wsl_train_loader(cfg, mapper=None):
-    """WSL train loader: precomputed proposals + superpixel fields."""
+    """WSL train loader: precomputed proposals + superpixel fields. With
+    WSL.SP_ON the MCG pickle loader attaches per-image superpixel maps +
+    membership, the mapper transforms them geometrically
+    (transform_proposals_seg), and the collate adds the static
+    ``superpixels``/``oh_labels`` batch fields (grid/centroid fallbacks cover
+    pickles without superpixels)."""
     from ..data import build_detection_train_loader
 
-    base = build_detection_train_loader(cfg, mapper)
-    if cfg.WSL.SP_ON:
+    sp = cfg.WSL.SP_ON
+    if sp and mapper is None:
+        mapper = WSLDatasetMapper(cfg, True)
+    base = build_detection_train_loader(
+        cfg, mapper, proposal_loader=load_mcg_proposals_into_dataset if sp else None
+    )
+    if sp:
         return WSLStaticBatchLoader(base, cfg.WSL.MAX_SUPERPIXELS)
     return base
 
@@ -270,7 +343,15 @@ def build_wsl_train_loader(cfg, mapper=None):
 def build_wsl_test_loader(cfg, dataset_name, mapper=None):
     from ..data import build_detection_test_loader
 
-    base = build_detection_test_loader(cfg, dataset_name, mapper)
-    if cfg.WSL.SP_ON:
+    sp = cfg.WSL.SP_ON
+    if sp and mapper is None:
+        mapper = WSLDatasetMapper(cfg, False)
+    base = build_detection_test_loader(
+        cfg,
+        dataset_name,
+        mapper,
+        proposal_loader=load_mcg_proposals_into_dataset if sp else None,
+    )
+    if sp:
         return WSLStaticBatchLoader(base, cfg.WSL.MAX_SUPERPIXELS)
     return base

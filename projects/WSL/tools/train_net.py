@@ -43,9 +43,18 @@ class Trainer(DefaultTrainer):
 
     @classmethod
     def build_train_loader(cls, cfg):
-        from jtsm_tpu.data import build_detection_train_loader
+        """Superpixel-aware loader (reference wsl/data/build.py SP variants):
+        when WSL.SP_ON, batches gain `superpixels` (B, H, W) and `oh_labels`
+        (B, R, S) fields consumed by MOIPool."""
+        from jtsm_tpu.wsl.data import build_wsl_train_loader
 
-        return build_detection_train_loader(cfg)
+        return build_wsl_train_loader(cfg)
+
+    @classmethod
+    def build_test_loader(cls, cfg, dataset_name):
+        from jtsm_tpu.wsl.data import build_wsl_test_loader
+
+        return build_wsl_test_loader(cfg, dataset_name)
 
     @classmethod
     def build_evaluator(cls, cfg, dataset_name, output_folder=None):
@@ -67,6 +76,9 @@ class Trainer(DefaultTrainer):
         if t in ("coco", "coco_panoptic_seg"):
             evals.append(COCOEvaluator(dataset_name, output_dir=output_folder))
         if t == "coco_panoptic_seg":
+            # reference tools/train_net.py:54-86 adds the stuff-branch
+            # SemSegEvaluator alongside the panoptic one
+            evals.append(SemSegEvaluator(dataset_name, output_dir=output_folder))
             evals.append(COCOPanopticEvaluator(dataset_name, output_folder))
         return evals[0] if len(evals) == 1 else DatasetEvaluators(evals)
 
@@ -191,7 +203,12 @@ def main(args):
         )(rng)
         ckpt = DetectionCheckpointer(dict(variables), cfg.OUTPUT_DIR)
         ckpt.resume_or_load(cfg.MODEL.WEIGHTS, resume=args.resume)
-        return Trainer.test(cfg, model, variables=ckpt.variables)
+        res = Trainer.test(cfg, model, variables=ckpt.variables)
+        if cfg.TEST.EXPECTED_RESULTS:
+            from jtsm_tpu.evaluation import verify_results
+
+            verify_results(cfg, res)
+        return res
 
     trainer = Trainer(cfg)
     trainer.resume_or_load(resume=args.resume)
