@@ -32,11 +32,37 @@ def make_images(img_dir, n, rng):
         h = int(rng.integers(240, 321))
         w = int(rng.integers(320, 401))
         name = f"{i:012d}.jpg"
-        Image.fromarray(
-            rng.integers(0, 255, (h, w, 3), dtype=np.uint8).astype(np.uint8)
-        ).save(os.path.join(img_dir, name))
         infos.append({"id": i, "file_name": name, "height": h, "width": w})
     return infos
+
+
+def class_color(cat_id):
+    """Deterministic saturated color per category id, distinct from the
+    gray stuff background — gives the synthetic scenes learnable appearance
+    (supervised models memorize noise, but the weakly-supervised gates need
+    image evidence MIL can localize)."""
+    r = (37 * cat_id + 61) % 200 + 55
+    g = (91 * cat_id + 13) % 200 + 55
+    b = (53 * cat_id + 137) % 200 + 55
+    return np.asarray([r, g, b], np.uint8)
+
+
+BG_COLOR = np.asarray([120, 120, 120], np.uint8)
+
+
+def render_images(img_dir, infos, anns_by_image, rng):
+    """Paint each scene: gray stuff background + per-class colored thing
+    rects (instances order = paint order, matching the panoptic id maps),
+    plus mild pixel noise so features are not constant."""
+    for info in infos:
+        h, w = info["height"], info["width"]
+        img = np.broadcast_to(BG_COLOR, (h, w, 3)).copy()
+        for a in anns_by_image.get(info["id"], []):
+            x, y, bw, bh = (int(round(v)) for v in a["bbox"])
+            img[y : y + bh, x : x + bw] = class_color(int(a["category_id"]))
+        noise = rng.integers(-12, 13, (h, w, 3))
+        img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(img_dir, info["file_name"]))
 
 
 def rect_poly(x, y, bw, bh):
@@ -111,6 +137,14 @@ def main():
     }
     with open(os.path.join(ann_dir, "instances_val2017_100.json"), "w") as f:
         json.dump(inst, f)
+
+    # render the scenes from the instance annotations (colored rects on the
+    # gray stuff background — the weak-supervision gates need localizable
+    # appearance, not pure noise)
+    _abi = {}
+    for a in inst["annotations"]:
+        _abi.setdefault(a["image_id"], []).append(a)
+    render_images(os.path.join(coco, "val2017"), infos, _abi, rng)
 
     # person_keypoints_val2017_100.json
     kp = {

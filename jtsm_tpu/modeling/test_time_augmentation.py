@@ -207,6 +207,8 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
         score_thresh: float = 1e-5,
         nms_thresh: float = 0.3,
         topk: int = 100,
+        superpixels: np.ndarray = None,  # (H0, W0) int32, original res
+        oh_labels: np.ndarray = None,  # (R, S) membership (geometry-free)
     ):
         h0, w0 = image.shape[:2]
         acc = None
@@ -222,6 +224,26 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
                 p = np.stack([x0, p[:, 1], x1, p[:, 3]], axis=1)
             batch["proposals"] = p[None]
             batch["proposal_scores"] = proposal_scores[None]
+            if superpixels is not None:
+                # the superpixel label map follows the image geometry
+                # (reference wsl DatasetMapperTTAAVG re-transforms it per
+                # augmentation): nearest resize + flip, padded to the bucket
+                from PIL import Image as _Image
+
+                sp = np.asarray(
+                    _Image.fromarray(superpixels.astype(np.int32), mode="I").resize(
+                        (ww, hh), _Image.NEAREST
+                    ),
+                    np.int32,
+                )
+                if flipped:
+                    sp = sp[:, ::-1]
+                bh, bw = batch["image"].shape[1:3]
+                sp_pad = np.zeros((1, bh, bw), np.int32)
+                sp_pad[0, :hh, :ww] = sp
+                batch["superpixels"] = sp_pad
+            if oh_labels is not None:
+                batch["oh_labels"] = oh_labels[None]
             out = predict_scores_fn(batch)
             scores = np.asarray(out["proposal_class_scores"])[0]
             acc = scores if acc is None else acc + scores

@@ -81,8 +81,12 @@ def add_wsl_config(cfg: CN) -> None:
     _C.MODEL.SEM_SEG_HEAD.MASK_SOFTMAX = False
     _C.MODEL.SEM_SEG_HEAD.CONSTRAINT = ""
 
+    # validation split names + proposal pickles (reference defaults.py:40-43)
     _C.DATASETS.VAL = ()
-    _C.TEST.EVAL_TRAIN = False
+    _C.DATASETS.PROPOSAL_FILES_VAL = ()
+    # WSOD convention: TTA evaluation also runs on the TRAIN datasets
+    # (corloc-style eval-on-train, reference train_net.py:220-253)
+    _C.TEST.EVAL_TRAIN = True
 
     if "VGG" not in _C.MODEL:
         _C.MODEL.VGG = CN()

@@ -113,14 +113,30 @@ class Trainer(DefaultTrainer):
         )
         topk = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
         results = OrderedDict()
-        for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
-            pf = (
-                [cfg.DATASETS.PROPOSAL_FILES_TEST[idx]]
-                if cfg.DATASETS.PROPOSAL_FILES_TEST
-                else None
-            )
+        # WSOD convention: TTA eval also covers the TRAIN datasets
+        # (corloc-style eval-on-train, reference train_net.py:220-253)
+        eval_sets = [
+            (n, cfg.DATASETS.PROPOSAL_FILES_TEST[i] if cfg.DATASETS.PROPOSAL_FILES_TEST else None)
+            for i, n in enumerate(cfg.DATASETS.TEST)
+        ]
+        if cfg.TEST.EVAL_TRAIN:
+            eval_sets += [
+                (n, cfg.DATASETS.PROPOSAL_FILES_TRAIN[i] if cfg.DATASETS.PROPOSAL_FILES_TRAIN else None)
+                for i, n in enumerate(cfg.DATASETS.TRAIN)
+                if n not in cfg.DATASETS.TEST
+            ]
+        for dataset_name, pf_one in eval_sets:
+            pf = [pf_one] if pf_one else None
+            sp_loader = None
+            if cfg.WSL.SP_ON:
+                from jtsm_tpu.wsl.data import load_mcg_proposals_into_dataset
+
+                sp_loader = load_mcg_proposals_into_dataset
             dicts = get_detection_dataset_dicts(
-                [dataset_name], filter_empty=False, proposal_files=pf
+                [dataset_name],
+                filter_empty=False,
+                proposal_files=pf,
+                proposal_loader=sp_loader,
             )
             evaluator = cls.build_evaluator(cfg, dataset_name)
             evaluator.reset()
@@ -132,6 +148,22 @@ class Trainer(DefaultTrainer):
                 )
                 order = np.argsort(-logits)[:topk]
                 boxes, logits = boxes[order], logits[order]
+                superpixels = d.get("proposal_superpixels")
+                oh = d.get("proposal_oh_labels")
+                if oh is not None:
+                    s_cap = cfg.WSL.MAX_SUPERPIXELS
+                    oh = np.asarray(oh, bool)[order]
+                    oh_pad = np.zeros((topk, s_cap), bool)
+                    oh_pad[: len(oh), : min(oh.shape[1], s_cap)] = oh[
+                        :, :s_cap
+                    ]
+                    oh = oh_pad
+                if superpixels is not None:
+                    superpixels = np.clip(
+                        np.asarray(superpixels, np.int32),
+                        0,
+                        cfg.WSL.MAX_SUPERPIXELS - 1,
+                    )
                 # pad to the static proposal capacity (-inf marks padding)
                 pad = topk - len(boxes)
                 if pad > 0:
@@ -147,6 +179,8 @@ class Trainer(DefaultTrainer):
                     score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
                     nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
                     topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+                    superpixels=superpixels,
+                    oh_labels=oh,
                 )
                 det = merged["detections"]
                 n = len(det["boxes"])

@@ -193,3 +193,50 @@ def test_tta_given_boxes_e2e_tiny_model():
         assert len(given_calls) == 2  # rerun in both views
         assert out["masks"].shape[0] == len(out["boxes"])
         assert np.all((out["masks"] >= 0) & (out["masks"] <= 1))
+
+
+def test_tta_avg_threads_superpixels_per_view():
+    """With superpixels given, every augmented view's batch must carry a
+    superpixel map matching the view geometry (nearest resize + flip, padded
+    to the bucket) plus the geometry-free oh_labels — the reference WSL
+    DatasetMapperTTAAVG contract."""
+    rng = np.random.RandomState(1)
+    r, s = 6, 16
+    h0 = w0 = 128
+    proposals = np.concatenate(
+        [rng.rand(r, 2) * 40, 50 + rng.rand(r, 2) * 40], axis=1
+    ).astype(np.float32)
+    prop_scores = np.zeros((r,), np.float32)
+    # left half superpixel 3, right half superpixel 7
+    sp = np.full((h0, w0), 3, np.int32)
+    sp[:, w0 // 2 :] = 7
+    oh = rng.rand(r, s) > 0.5
+
+    seen = []
+
+    def predict(batch):
+        assert "superpixels" in batch and "oh_labels" in batch
+        hh, ww = [int(v) for v in batch["image_sizes"][0]]
+        spv = batch["superpixels"][0]
+        assert spv.shape == batch["image"].shape[1:3]
+        np.testing.assert_array_equal(batch["oh_labels"][0], oh)
+        # view-left value: 3 unflipped, 7 flipped
+        seen.append(int(spv[hh // 2, 0]))
+        assert int(spv[hh // 2, max(ww - 1, 0)]) == (3 if seen[-1] == 7 else 7)
+        scores = np.ones((r, 2), np.float32)
+        return {"proposal_class_scores": scores[None]}
+
+    tta = GeneralizedRCNNWithTTAAVG(
+        predict, min_sizes=(64,), max_size=200, flip=True, buckets=((96, 96),)
+    )
+    img = np.zeros((h0, w0, 3), np.float32)
+    tta(
+        img,
+        proposals,
+        prop_scores,
+        predict,
+        topk=4,
+        superpixels=sp,
+        oh_labels=oh,
+    )
+    assert sorted(seen) == [3, 7]  # one unflipped + one flipped view
