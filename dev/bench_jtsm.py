@@ -45,6 +45,13 @@ def main():
             "projects/WSL/configs/PascalVOC-PanopticSegmentation/jtsm_WSR_18_DC5_1x.yaml",
         )
     )
+    # the zoo flagship now mirrors the reference recipe (TwoClassHead stuff
+    # branch, WSR-v2 backbone); this harness keeps measuring the LEARNED
+    # stuff branch + v1 backbone so the full 12-loss step and its history
+    # of numbers stay comparable
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "SemSegFPNHead"
+    cfg.MODEL.BACKBONE.NAME = "build_wsl_resnet_backbone"
+    cfg.WSL.ITER_SIZE = 1
     b = int(os.environ.get("BENCH_BATCH", str(cfg.SOLVER.IMS_PER_BATCH)))
     r = int(os.environ.get("BENCH_PROPOSALS", "2000"))
     n_sp = int(os.environ.get("BENCH_SUPERPIXELS", "1024"))

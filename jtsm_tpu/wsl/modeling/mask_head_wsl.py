@@ -20,10 +20,12 @@ import jax.numpy as jnp
 
 from ...config import CfgNode
 from ...layers import Conv2d, ConvTranspose2d, ShapeSpec
+from ...modeling.roi_heads.mask_head import ROI_MASK_HEAD_REGISTRY
 
 Array = jax.Array
 
 
+@ROI_MASK_HEAD_REGISTRY.register()
 class MaskRCNNConvUpsampleWSLHead(nn.Module):
     """conv x N -> deconv 2x -> 1x1 predictor; returns (logits, features)
     (reference mask_head.py:267)."""
@@ -76,12 +78,14 @@ class MaskRCNNConvUpsampleWSLHead(nn.Module):
         return logits.astype(jnp.float32), feats
 
 
+@ROI_MASK_HEAD_REGISTRY.register()
 class MaskRCNNUpsampleWSLHead(MaskRCNNConvUpsampleWSLHead):
     """deconv-only variant (reference mask_head.py:350): no conv trunk."""
 
     num_conv: int = 0
 
 
+@ROI_MASK_HEAD_REGISTRY.register()
 class MaskRCNNWSLHead(MaskRCNNConvUpsampleWSLHead):
     """conv-trunk-only variant without upsampling is modeled by num_conv
     convs + deconv in the reference fork's default config; kept as an alias

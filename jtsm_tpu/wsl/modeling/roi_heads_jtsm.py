@@ -54,6 +54,13 @@ from .roi_heads_wsl import (
 Array = jax.Array
 
 
+def _mask_logits(head, x):
+    """WSL mask heads return (logits, trunk features) (reference
+    mask_head.py:339 ``layers()``); the core head returns logits alone."""
+    out = head(x)
+    return out[0] if isinstance(out, tuple) else out
+
+
 def superpixel_union_mask_crop(
     superpixels: Array,  # (Hs, Ws) int32
     oh_labels_r: Array,  # (S,) membership of ONE proposal
@@ -524,7 +531,7 @@ class JTSMROIHeads(nn.Module):
             b * cm, self.mask_size, self.mask_size
         ).astype(jnp.float32)
 
-        mask_logits = self.mask_head(mask_feats)
+        mask_logits = _mask_logits(self.mask_head, mask_feats)
         losses = {
             "loss_mask": mask_rcnn_loss(mask_logits, flat_cls, flat_targets, flat_ok)
         }
@@ -535,7 +542,7 @@ class JTSMROIHeads(nn.Module):
             self_t = mask_rcnn_inference(
                 jax.lax.stop_gradient(prev_logits), flat_cls
             )
-            logits_k = head(mask_feats)
+            logits_k = _mask_logits(head, mask_feats)
             losses[f"loss_mask_r{kk}"] = mask_rcnn_loss(
                 logits_k, flat_cls, (self_t >= 0.5).astype(jnp.float32), flat_ok
             )
@@ -601,12 +608,12 @@ class JTSMROIHeads(nn.Module):
             if self.mask_refinery:
                 # reference :952-960: inference averages the REFINERY heads'
                 # logits (the class-agnostic base head only seeds training)
-                mask_logits = self.mask_refinery[0](mask_feats)
+                mask_logits = _mask_logits(self.mask_refinery[0], mask_feats)
                 for head in self.mask_refinery[1:]:
-                    mask_logits = mask_logits + head(mask_feats)
+                    mask_logits = mask_logits + _mask_logits(head, mask_feats)
                 mask_logits = mask_logits / len(self.mask_refinery)
             else:
-                mask_logits = self.mask_head(mask_feats)
+                mask_logits = _mask_logits(self.mask_head, mask_feats)
             probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
             detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
         return detections, {}
