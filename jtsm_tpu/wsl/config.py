@@ -45,13 +45,19 @@ def add_wsl_config(cfg: CN) -> None:
     _C.WSL.TEST_NO_PASTE = False
     # pseudo-gt mining
     _C.WSL.PGT_SCORE_THRESH = 0.0
-    # sampling namespace
+    # per-refinement-branch proposal sampling (reference defaults.py:53-58):
+    # branch k labels proposals against its mined PGT with
+    # Matcher(IOU_THRESHOLDS[k], IOU_LABELS[k]) and subsamples
+    # BATCH_SIZE_PER_IMAGE[k] of them at POSITIVE_FRACTION[k]
     _C.WSL.SAMPLING = CN()
     _C.WSL.SAMPLING.SAMPLING_ON = False
-    _C.WSL.SAMPLING.IOU_THRESHOLDS = [0.5]
-    _C.WSL.SAMPLING.IOU_LABELS = [0, 1]
-    _C.WSL.SAMPLING.BATCH_SIZE_PER_IMAGE = 4096
-    _C.WSL.SAMPLING.POSITIVE_FRACTION = 1.0
+    _C.WSL.SAMPLING.IOU_THRESHOLDS = [[0.5], [0.5], [0.5], [0.5]]
+    _C.WSL.SAMPLING.IOU_LABELS = [[0, 1], [0, 1], [0, 1], [0, 1]]
+    _C.WSL.SAMPLING.BATCH_SIZE_PER_IMAGE = [4096, 4096, 4096, 4096]
+    _C.WSL.SAMPLING.POSITIVE_FRACTION = [1.0, 1.0, 1.0, 1.0]
+    # cascade refinement: branch k>0 augments its proposal set with boxes
+    # mined from branch k-1 (reference roi_heads_all.py:2888,3081-3099)
+    _C.WSL.CASCADE_ON = False
 
     # static capacities for the WSL plane (TPU)
     # MOIPool superpixel-membership sampling grid (pixels): samples read the

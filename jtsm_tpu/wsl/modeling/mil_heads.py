@@ -17,7 +17,7 @@ proposals and validity masks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -170,10 +170,18 @@ def label_proposals_by_pgt(
     num_classes: int,
     fg_thresh: float = 0.5,
     bg_thresh: Optional[float] = None,
+    iou_thresholds: Optional[Sequence[float]] = None,
+    iou_labels: Optional[Sequence[int]] = None,
 ) -> Dict[str, Array]:
     """Assign every proposal a (class, weight) from mined PGT by IoU
     (reference OICR supervision): IoU >= fg_thresh -> pgt class; else
-    background with the matched pgt's weight."""
+    background with the matched pgt's weight.
+
+    When ``iou_thresholds``/``iou_labels`` are given, use Matcher semantics
+    instead (reference label_and_sample_proposals_wsl per-branch matchers,
+    WSL.SAMPLING.*): ascending thresholds split IoU into len+1 intervals
+    labeled by ``iou_labels`` with 1 = foreground, 0 = background,
+    -1 = ignore (weight 0)."""
     c, k = pgt["valid"].shape
     pgt_boxes = pgt["boxes"].reshape(c * k, 4)
     pgt_w = pgt["weight"].reshape(c * k)
@@ -185,14 +193,26 @@ def label_proposals_by_pgt(
     best = jnp.max(iou, axis=1)
     arg = jnp.argmax(iou, axis=1)
 
-    fg = best >= fg_thresh
+    if iou_thresholds is not None:
+        lab = jnp.asarray(list(iou_labels), jnp.int32)
+        interval = sum(
+            (best >= t).astype(jnp.int32) for t in iou_thresholds
+        )  # 0..len(thresholds)
+        match_label = lab[interval]
+        fg = match_label == 1
+        ignore = match_label == -1
+    else:
+        fg = best >= fg_thresh
+        ignore = (
+            (~fg) & (best >= bg_thresh)
+            if bg_thresh is not None
+            else jnp.zeros_like(fg)
+        )
     labels = jnp.where(fg, pgt_cls[arg], num_classes)
     weights = jnp.where(valid, pgt_w[arg], 0.0)
     any_pgt = jnp.any(pgt_valid)
     weights = jnp.where(any_pgt, weights, 0.0)
-    if bg_thresh is not None:
-        ignore = (~fg) & (best >= bg_thresh)
-        weights = jnp.where(ignore, 0.0, weights)
+    weights = jnp.where(ignore, 0.0, weights)
     return {
         "labels": labels,
         "weights": weights,

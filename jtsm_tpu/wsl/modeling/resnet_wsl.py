@@ -142,3 +142,35 @@ def build_mrrp_wsl_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> MRRP
         mrrp_test_branch_idx=cfg.MODEL.MRRP.TEST_BRANCH_IDX,
         dtype=dtype,
     )
+
+
+@BACKBONE_REGISTRY.register()
+def build_wsl_resnet_fpn_backbone(cfg: CfgNode, input_shape: ShapeSpec):
+    """FPN over the WS-ResNet trunk (reference wsl backbone registry name
+    used by faster_rcnn_WSR_*_FPN.yaml): the bottom-up emits res2..res5
+    regardless of the DC5 OUT_FEATURES setting."""
+    from ...modeling.backbone.fpn import FPN, LastLevelMaxPool
+
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    bottom_up = WSLResNet(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        res5_dilation=1,
+        norm=cfg.MODEL.RESNETS.NORM,
+        out_features=("res2", "res3", "res4", "res5"),
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        dtype=dtype,
+    )
+    return FPN(
+        bottom_up=bottom_up,
+        in_features=tuple(cfg.MODEL.FPN.IN_FEATURES),
+        out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        norm=cfg.MODEL.FPN.NORM,
+        top_block=LastLevelMaxPool(),
+        fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+        dtype=dtype,
+    )

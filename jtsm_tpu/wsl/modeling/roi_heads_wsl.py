@@ -33,6 +33,7 @@ from ..ops import moi_pool
 from .mil_heads import (
     MILOutputLayers,
     OICROutputLayers,
+    get_pgt_mist,
     get_pgt_top_k,
     label_proposals_by_pgt,
     mil_image_loss,
@@ -244,11 +245,20 @@ class OICRROIHeads(nn.Module):
     nms_thresh_test: float = 0.4
     detections_per_image: int = 100
     dtype: Any = jnp.float32
+    # per-branch proposal sampling (reference WSL.SAMPLING.* +
+    # label_and_sample_proposals_wsl): empty tuple = off
+    sampling_on: bool = False
+    sampling_iou_thresholds: Sequence[Sequence[float]] = ()
+    sampling_iou_labels: Sequence[Sequence[int]] = ()
+    sampling_batch_size: Sequence[int] = ()
+    sampling_pos_fraction: Sequence[float] = ()
+    cascade_on: bool = False  # see CascadeOICRROIHeads
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
         base = WSDDNROIHeads.from_config(cfg, input_shape)
         base.pop("dan_dims")
+        s = cfg.WSL.SAMPLING
         return dict(
             refine_num=cfg.WSL.REFINE_NUM,
             refine_reg=tuple(cfg.WSL.REFINE_REG[: cfg.WSL.REFINE_NUM]),
@@ -257,8 +267,35 @@ class OICRROIHeads(nn.Module):
             box2box_transform=Box2BoxTransform(
                 weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
             ),
+            sampling_on=s.SAMPLING_ON,
+            sampling_iou_thresholds=tuple(tuple(t) for t in s.IOU_THRESHOLDS),
+            sampling_iou_labels=tuple(tuple(l) for l in s.IOU_LABELS),
+            sampling_batch_size=tuple(s.BATCH_SIZE_PER_IMAGE),
+            sampling_pos_fraction=tuple(s.POSITIVE_FRACTION),
             **base,
         )
+
+    def _branch_matcher(self, k: int):
+        """Per-branch Matcher params when WSL.SAMPLING is on, else the
+        default 0.5-IoU OICR labeling."""
+        if self.sampling_on and k < len(self.sampling_iou_thresholds):
+            return (
+                tuple(self.sampling_iou_thresholds[k]),
+                tuple(self.sampling_iou_labels[k]),
+            )
+        return None, None
+
+    def _mine(self, bx, src, v, lbl):
+        """Branch PGT mining: MIST (top-15% + NMS) when WSL.REFINE_MIST,
+        else top-1 per present class (reference get_pgt_mist :1038 /
+        get_pgt_top_k :1168)."""
+        if self.refine_mist:
+            return get_pgt_mist(bx, src, v, lbl)
+        return get_pgt_top_k(bx, src, v, lbl, top_k=1)
+
+    def _prepare_features(self, feats, b):
+        """Hook for MRRP subclasses to unfold branch-folded features."""
+        return feats
 
     def _mil_losses(self, mil, img_labels, proposals, valid, targets):
         """Base MIL image loss; CSCOICRROIHeads overrides with CSC
@@ -275,14 +312,15 @@ class OICRROIHeads(nn.Module):
         targets: Optional[Dict[str, Array]] = None,
         train: bool = False,
     ):
-        feats = [features[f] for f in self.in_features]
         b, r = proposals.shape[:2]
+        feats = self._prepare_features(
+            [features[f] for f in self.in_features], b
+        )
         flat_boxes = proposals.reshape(b * r, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
         pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
-        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
-            pooled, train=train
-        )
+        dan = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")
+        x = dan(pooled, train=train)
         cls_logit, det_logit = MILOutputLayers(
             num_classes=self.num_classes, dtype=self.dtype, name="mil"
         )(x)
@@ -291,14 +329,18 @@ class OICRROIHeads(nn.Module):
         valid = jnp.isfinite(proposal_scores)
         mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)
 
-        branches = []
-        for k in range(self.refine_num):
-            logits, deltas = OICROutputLayers(
+        refine_heads = [
+            OICROutputLayers(
                 num_classes=self.num_classes,
                 with_reg=self.refine_reg[k] if k < len(self.refine_reg) else False,
                 dtype=self.dtype,
                 name=f"refine{k}",
-            )(x)
+            )
+            for k in range(self.refine_num)
+        ]
+        branches = []
+        for head_k in refine_heads:
+            logits, deltas = head_k(x)
             branches.append(
                 (
                     logits.reshape(b, r, -1),
@@ -314,18 +356,39 @@ class OICRROIHeads(nn.Module):
                 self._mil_losses(mil, img_labels, proposals, valid, targets)
             )
             source = mil  # (B, R, C) probabilities
+            sampling_rng = self.make_rng("sampling") if self.sampling_on else None
             for k, (logits, deltas) in enumerate(branches):
                 has_reg = deltas is not None
                 deltas_in = deltas if has_reg else jnp.zeros((b, r, 4))
+                thr, labs = self._branch_matcher(k)
+                src_k = source  # branch k-1's predictions (mil for k == 0)
 
-                def mine_and_loss(bx, src, v, lbl, lg, dl, has_reg=has_reg):
-                    pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
-                    sup = label_proposals_by_pgt(bx, v, pgt, self.num_classes)
-                    loss_cls = oicr_branch_loss(lg, sup["labels"], sup["weights"])
+                def mine_and_loss(bx, src, v, lbl, lg, dl, rng_k, has_reg=has_reg, k=k, thr=thr, labs=labs):
+                    pgt = self._mine(bx, src, v, lbl)
+                    sup = label_proposals_by_pgt(
+                        bx, v, pgt, self.num_classes,
+                        iou_thresholds=thr, iou_labels=labs,
+                    )
+                    w = sup["weights"]
+                    if self.sampling_on:
+                        # reference label_and_sample_proposals_wsl: subsample
+                        # BATCH_SIZE_PER_IMAGE[k] at POSITIVE_FRACTION[k]
+                        from ...ops.sampling import subsample_labels
+
+                        lbl_s = jnp.where(w > 0, sup["labels"], -1)
+                        pos_m, neg_m = subsample_labels(
+                            rng_k,
+                            lbl_s,
+                            self.sampling_batch_size[k],
+                            self.sampling_pos_fraction[k],
+                            self.num_classes,
+                        )
+                        w = w * (pos_m | neg_m)
+                    loss_cls = oicr_branch_loss(lg, sup["labels"], w)
                     if has_reg:
                         t = self.box2box_transform.get_deltas(bx, sup["matched_pgt_boxes"])
                         reg = smooth_l1_loss(dl, t, 0.0).sum(-1)
-                        fg_w = sup["weights"] * sup["fg"]
+                        fg_w = w * sup["fg"]
                         loss_reg = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)
                     else:
                         loss_reg = jnp.asarray(0.0)
@@ -333,17 +396,64 @@ class OICRROIHeads(nn.Module):
                     nxt = jax.nn.softmax(lg, axis=-1)[:, : self.num_classes]
                     return loss_cls, loss_reg, nxt
 
+                rngs_k = jax.random.split(
+                    jax.random.fold_in(sampling_rng, k) if sampling_rng is not None
+                    else jax.random.key(0),
+                    b,
+                )
                 loss_cls, loss_reg, source = jax.vmap(mine_and_loss)(
                     proposals,
-                    jax.lax.stop_gradient(source),
+                    jax.lax.stop_gradient(src_k),
                     valid,
                     img_labels,
                     logits,
                     deltas_in,
+                    rngs_k,
                 )
-                losses[f"loss_refine_cls{k}"] = loss_cls.mean()
+                # MIST branch-0 upweighting (reference roi_heads_jtsm.py:682)
+                term_weight = 3.0 if (self.refine_mist and k == 0) else 1.0
+                losses[f"loss_refine_cls{k}"] = loss_cls.mean() * term_weight
                 if has_reg:
-                    losses[f"loss_refine_reg{k}"] = loss_reg.mean()
+                    losses[f"loss_refine_reg{k}"] = loss_reg.mean() * term_weight
+
+                if self.cascade_on and k > 0:
+                    # cascade (reference roi_heads_all.py:3081-3099 under
+                    # WSL.CASCADE_ON): augment branch k's supervised set with
+                    # boxes MIST-mined from branch k-1 — pooled + necked as
+                    # extra proposals and supervised as foreground of their
+                    # mined class, weighted by the mining confidence
+                    def mine_extra(bx, src, v, lbl):
+                        m = get_pgt_mist(bx, src, v, lbl)
+                        return (
+                            m["boxes"].reshape(-1, 4),
+                            m["weight"].reshape(-1),
+                            m["valid"].reshape(-1),
+                            m["classes"].reshape(-1),
+                        )
+
+                    eb, ew, ev, ec = jax.vmap(mine_extra)(
+                        proposals,
+                        jax.lax.stop_gradient(src_k),
+                        valid,
+                        img_labels,
+                    )
+                    e = eb.shape[1]
+                    pooled_e = self.pooler(
+                        feats,
+                        eb.reshape(b * e, 4),
+                        jnp.repeat(jnp.arange(b, dtype=jnp.int32), e),
+                        rois_per_image=e,
+                    )
+                    lg_e, _ = refine_heads[k](dan(pooled_e, train=train))
+                    lg_e = lg_e.reshape(b, e, -1)
+                    ce = jax.vmap(
+                        lambda lg, cls, w, v2: oicr_branch_loss(
+                            lg,
+                            jnp.where(v2, cls, self.num_classes),
+                            jnp.where(v2, w, 0.0),
+                        )
+                    )(lg_e, ec, ew, ev)
+                    losses[f"loss_refine_cls{k}_cascade"] = ce.mean()
             return {}, losses
 
         # inference: average refinement branch softmax scores
@@ -373,3 +483,60 @@ class OICRROIHeads(nn.Module):
         )(final_boxes, avg, valid, image_sizes)
         detections["proposal_class_scores"] = avg
         return detections, {}
+
+
+@ROI_HEADS_REGISTRY.register()
+class CascadeOICRROIHeads(OICRROIHeads):
+    """Cascade OICR (reference roi_heads_all.py:2822, WSL.CASCADE_ON path
+    :3081-3099): refinement branch k > 0 augments its supervised set with
+    boxes MIST-mined from branch k-1's predictions. The mined boxes are
+    pooled through the shared neck as extra proposals and supervised as
+    foreground of their mined class, weighted by the mining confidence —
+    a fixed C x 32 extra rows per image keeps shapes static. Inference is
+    standard OICR branch averaging."""
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        ret = OICRROIHeads.from_config(cfg, input_shape)
+        ret["cascade_on"] = cfg.WSL.CASCADE_ON
+        return ret
+
+
+@ROI_HEADS_REGISTRY.register()
+class MRRPOICRROIHeads(OICRROIHeads):
+    """OICR over a Multi-Rate Receptive Pyramid backbone (reference
+    roi_heads_all.py:4620): the MRRP backbone folds its dilation branches
+    into the batch dim ((B*N, H, W, C)); the reference chunks them back and
+    pools every branch (:4830-4833). Condensed static-shape equivalent:
+    average the branch feature maps before pooling, so each ROI sees the
+    multi-rate context with one pooled row per proposal."""
+
+    mrrp_num_branch: int = 1
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        ret = OICRROIHeads.from_config(cfg, input_shape)
+        ret["mrrp_num_branch"] = (
+            cfg.MODEL.MRRP.NUM_BRANCH if cfg.MODEL.MRRP.MRRP_ON else 1
+        )
+        return ret
+
+    def _prepare_features(self, feats, b):
+        if self.mrrp_num_branch <= 1:
+            return feats
+        out = []
+        for f in feats:
+            if f.shape[0] > b:
+                nb = f.shape[0] // b
+                out.append(
+                    jnp.mean(f.reshape(nb, b, *f.shape[1:]), axis=0)
+                )
+            else:
+                out.append(f)
+        return out
+
+
+@ROI_HEADS_REGISTRY.register()
+class TridentOICRROIHeads(MRRPOICRROIHeads):
+    """Reference config-zoo alias for the MRRP/trident OICR head
+    (reg_all/oicr_TRD_*.yaml name)."""

@@ -383,3 +383,65 @@ def test_superpixel_union_mask_crops_grid_matches_exact():
         jax.vmap(lambda o, b: superpixel_union_mask_crop(sp, o, b, m))(oh, boxes)
     )
     assert np.array_equal(grid, exact)
+
+
+def test_cascade_oicr_heads():
+    """CascadeOICR (reference roi_heads_all.py:2822 + WSL.CASCADE_ON): branch
+    k>0 gains a cascade loss supervised on MIST-mined boxes from branch
+    k-1."""
+    cfg = _wsl_cfg("CascadeOICRROIHeads")
+    cfg.WSL.CASCADE_ON = True
+    losses, out = _run_wsl(cfg, _wsl_batch())
+    assert "loss_refine_cls1_cascade" in losses
+    assert "loss_refine_cls0" in losses and "valid" in out
+    # base branches carry no cascade term
+    assert "loss_refine_cls0_cascade" not in losses
+
+
+def test_oicr_per_branch_sampling():
+    """WSL.SAMPLING per-branch matcher + subsampling (reference
+    label_and_sample_proposals_wsl): losses stay finite and the branch
+    supervision still flows with tiny per-branch budgets."""
+    cfg = _wsl_cfg("OICRROIHeads")
+    cfg.WSL.SAMPLING.SAMPLING_ON = True
+    cfg.WSL.SAMPLING.IOU_THRESHOLDS = [[0.3], [0.4]]
+    cfg.WSL.SAMPLING.IOU_LABELS = [[0, 1], [0, 1]]
+    cfg.WSL.SAMPLING.BATCH_SIZE_PER_IMAGE = [6, 6]
+    cfg.WSL.SAMPLING.POSITIVE_FRACTION = [0.5, 0.5]
+    losses, out = _run_wsl(cfg, _wsl_batch())
+    assert "loss_refine_cls0" in losses and "loss_refine_cls1" in losses
+
+
+def test_oicr_refine_mist():
+    """WSL.REFINE_MIST routes branch mining through get_pgt_mist with the
+    3x branch-0 upweighting (reference roi_heads_jtsm.py:682)."""
+    cfg = _wsl_cfg("OICRROIHeads")
+    losses_base, _ = _run_wsl(cfg, _wsl_batch())
+    cfg2 = _wsl_cfg("OICRROIHeads")
+    cfg2.WSL.REFINE_MIST = True
+    losses_mist, _ = _run_wsl(cfg2, _wsl_batch())
+    assert "loss_refine_cls0" in losses_mist
+    # different mining => different branch losses
+    assert float(losses_mist["loss_refine_cls0"]) != float(
+        losses_base["loss_refine_cls0"]
+    )
+
+
+def test_trident_mrrp_oicr_heads():
+    """MRRP/Trident OICR: branch-folded backbone features are unfolded and
+    averaged before pooling (reference roi_heads_all.py:4620,4830-4833)."""
+    cfg = _wsl_cfg("TridentOICRROIHeads")
+    cfg.MODEL.BACKBONE.NAME = "build_mrrp_wsl_resnet_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.RES5_DILATION = 2
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res5"]
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res5"]
+    cfg.MODEL.MRRP.MRRP_ON = True
+    cfg.MODEL.MRRP.NUM_BRANCH = 3
+    cfg.MODEL.MRRP.BRANCH_DILATIONS = [1, 2, 3]
+    cfg.MODEL.MRRP.TEST_BRANCH_IDX = -1
+    cfg.MODEL.MRRP.MRRP_STAGE = "res5"
+    losses, out = _run_wsl(cfg, _wsl_batch())
+    assert "loss_mil" in losses and "loss_refine_cls0" in losses
+    assert "valid" in out
