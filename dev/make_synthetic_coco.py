@@ -247,9 +247,22 @@ def main():
             next_id += int(local.max()) + 1
             gt.append([x, y, x + bw, y + bh])
         gt = np.asarray(gt, np.float32).reshape(-1, 4)
+        # stuff-covering candidates: the full image + quadrants, so the MIL
+        # stuff branch has background-dominant proposals to mine (real MCG
+        # segment proposals cover stuff regions too)
+        stuff_boxes = np.asarray(
+            [
+                [0, 0, w - 1, h - 1],
+                [0, 0, w // 2, h // 2],
+                [w // 2, 0, w - 1, h // 2],
+                [0, h // 2, w // 2, h - 1],
+                [w // 2, h // 2, w - 1, h - 1],
+            ],
+            np.float32,
+        )
         jit = np.concatenate(
             [gt + rng.normal(0, 3, gt.shape) for _ in range(3)]
-            + [gt],
+            + [gt, stuff_boxes],
             0,
         )
         n_rand = max(0, 64 - len(jit))

@@ -409,8 +409,12 @@ class JTSMROIHeads(nn.Module):
 
     def _mine_sem_seg(self, proposals, valid, scores, img_labels, superpixels, oh_labels):
         """Paint mined top-1 masks into a per-pixel pseudo sem-seg label map
-        (reference get_pgt_sem_seg :2024): stuff classes at their stuff id,
-        mined things as class 0; everything else ignore."""
+        (reference get_pgt_sem_seg :2024): the canvas starts at 0 ("things" —
+        the reference's `torch.zeros` default; its `== 0 -> 255` ignore
+        conversion is commented out), mined masks are painted in ASCENDING
+        score order so the highest-score class wins each pixel, stuff classes
+        paint their stuff id and thing classes paint 0 (the reference's
+        `class - num_classes + 1` is <= 0 for things)."""
         b = proposals.shape[0]
         hs, ws = superpixels.shape[1:]
         cj = self.joint_classes
@@ -420,21 +424,21 @@ class JTSMROIHeads(nn.Module):
             pgt = get_pgt_top_k(bx, sc, v, lbl, top_k=1)
             ridx = pgt["idx"][:, 0]  # (Cj,)
             present = pgt["valid"][:, 0]  # (Cj,)
+            weight = pgt["weight"][:, 0]  # (Cj,) mined score
             # the painted label is constant WITHIN a superpixel, so resolve
-            # the class-painting order in superpixel space (Cj x S table)
-            # and gather per pixel ONCE. The previous per-(class, pixel)
-            # gather was 72% of the JTSM train step (432 ms at batch 4).
+            # the winning class in superpixel space (Cj x S table) and gather
+            # per pixel ONCE. (A per-(class, pixel) gather was 72% of the
+            # JTSM train step, 432 ms at batch 4.)
             ohc = oh[ridx]  # (Cj, S)
-            vals_sp = ohc & present[:, None]  # (Cj, S)
-            # reference paints class-by-class in order => LAST class wins
-            last_sp = (cj - 1) - jnp.argmax(vals_sp[::-1], axis=0)  # (S,)
-            any_sp = vals_sp.any(axis=0)  # (S,)
+            covers = ohc & present[:, None]  # (Cj, S)
+            # highest mined score wins (reference paints score-ascending)
+            w_sp = jnp.where(covers, weight[:, None], -jnp.inf)  # (Cj, S)
+            win = jnp.argmax(w_sp, axis=0)  # (S,)
+            any_sp = covers.any(axis=0)  # (S,)
             paint_vals = jnp.where(
                 jnp.arange(cj) < ct, 0, jnp.arange(cj) - ct + 1
             ).astype(jnp.int32)
-            out_sp = jnp.where(
-                any_sp, paint_vals[last_sp], jnp.int32(self.sem_seg_ignore)
-            )  # (S,)
+            out_sp = jnp.where(any_sp, paint_vals[win], 0)  # (S,) 0 = things
             return out_sp[sp]  # (hs, ws): one per-pixel gather
 
         return jax.vmap(one)(proposals, valid, scores, img_labels, superpixels, oh_labels)

@@ -445,3 +445,52 @@ def test_trident_mrrp_oicr_heads():
     losses, out = _run_wsl(cfg, _wsl_batch())
     assert "loss_mil" in losses and "loss_refine_cls0" in losses
     assert "valid" in out
+
+
+def test_jtsm_pgt_sem_seg_painting_semantics():
+    """Reference get_pgt_sem_seg (:2024): zeros ('things') canvas, highest
+    mined score wins a pixel, stuff classes paint their stuff id, thing
+    classes paint 0."""
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.roi_heads_jtsm import JTSMROIHeads
+
+    cfg = _wsl_cfg("JTSMROIHeads")
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedMCNNWSL"
+    head = JTSMROIHeads(
+        **JTSMROIHeads.from_config(
+            cfg, {"plain5": ShapeSpec(channels=8, stride=16)}
+        )
+    )
+    ct = head.num_classes  # 4 things
+    cj = head.joint_classes  # + 2 stuff (3 stuff classes incl. 'things')
+
+    # 4 superpixels in a 2x2 layout of 2x2-pixel cells
+    sp = jnp.asarray([[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]], jnp.int32)[None]
+    r = 3
+    boxes = jnp.zeros((1, r, 4))
+    valid = jnp.ones((1, r), bool)
+    # proposal 0 covers sp {0}, proposal 1 covers sp {0, 1}, proposal 2 {2}
+    oh = jnp.asarray(
+        [[[1, 0, 0, 0], [1, 1, 0, 0], [0, 0, 1, 0]]], bool
+    )
+    # class scores: thing class 0 -> proposal 0 (score 0.9);
+    # stuff joint class ct (stuff id 1) -> proposal 1 (score 0.5);
+    # stuff joint class ct+1 (stuff id 2) -> proposal 2 (score 0.7)
+    sc = np.zeros((1, r, cj), np.float32)
+    sc[0, 0, 0] = 0.9
+    sc[0, 1, ct] = 0.5
+    sc[0, 2, ct + 1] = 0.7
+    lbl = np.zeros((1, cj), np.float32)
+    lbl[0, [0, ct, ct + 1]] = 1.0
+    # proposal scores used as validity only
+    out = head._mine_sem_seg(
+        boxes, valid, jnp.asarray(sc), jnp.asarray(lbl), sp, oh
+    )
+    m = np.asarray(out)[0]
+    # sp0: thing (0.9) beats stuff-1 (0.5) -> painted 0 (things)
+    assert (m[:2, :2] == 0).all()
+    # sp1: only stuff-1 -> painted stuff id 1
+    assert (m[:2, 2:] == 1).all()
+    # sp2: stuff-2 -> painted 2; sp3: unmined -> 0 (things canvas)
+    assert (m[2:, :2] == 2).all()
+    assert (m[2:, 2:] == 0).all()
