@@ -59,6 +59,12 @@ def add_wsl_config(cfg: CN) -> None:
     # mined from branch k-1 (reference roi_heads_all.py:2888,3081-3099)
     _C.WSL.CASCADE_ON = False
 
+    # route MOIPool through the reference-exact rank-compacted formulation
+    # (wsl/ops.moi_pool_exact, pinned against the CUDA kernel) instead of the
+    # TPU-fast fixed-grid kernel. Exact is gather-heavy — for fidelity
+    # studies, not production throughput.
+    _C.WSL.MOI_POOL_EXACT = False
+
     # static capacities for the WSL plane (TPU)
     # MOIPool superpixel-membership sampling grid (pixels): samples read the
     # superpixel id of the stride-g cell containing them. 1 = exact per-pixel

@@ -139,6 +139,7 @@ class JTSMROIHeads(nn.Module):
     box2box_transform: Optional[Box2BoxTransform] = None
     sp_on: bool = True
     sp_grid_stride: int = 4  # MOIPool membership grid (see wsl/ops.moi_pool)
+    moi_pool_exact: bool = False  # reference-exact rank-compacted MOIPool
     moi_nonneg: bool = True  # pooled features ReLU-nonneg -> multiply mask
     ps_on: bool = True
     use_obn: bool = True
@@ -186,6 +187,7 @@ class JTSMROIHeads(nn.Module):
             ),
             sp_on=cfg.WSL.SP_ON,
             sp_grid_stride=cfg.WSL.SP_GRID_STRIDE,
+            moi_pool_exact=cfg.WSL.MOI_POOL_EXACT,
             moi_nonneg=cfg.WSL.MOI_NONNEG_FEATURES,
             ps_on=cfg.WSL.PS_ON,
             use_obn=cfg.WSL.USE_OBN,
@@ -253,19 +255,31 @@ class JTSMROIHeads(nn.Module):
         valid = jnp.isfinite(proposal_scores)
 
         if self.sp_on and superpixels is not None and oh_labels is not None:
-            pooled, valid_frac = jax.vmap(
-                lambda f, bx, sp, oh: moi_pool(
-                    f,
-                    bx,
-                    sp,
-                    oh,
-                    spatial_scale,
-                    p,
-                    self.pooler.sampling_ratio,
-                    sp_grid_stride=self.sp_grid_stride,
-                    nonneg_features=self.moi_nonneg,
-                )
-            )(feat, proposals, superpixels, oh_labels)
+            if self.moi_pool_exact:
+                # reference-exact rank-compacted binning (MOIPool_cuda.cu;
+                # pinned in tests/test_wsl_parity.py) — fidelity mode
+                from ..ops import moi_pool_exact
+
+                pooled, valid_bins = jax.vmap(
+                    lambda f, bx, sp, oh: moi_pool_exact(
+                        f, bx, sp, oh, spatial_scale, p
+                    )
+                )(feat, proposals, superpixels, oh_labels)
+                valid_frac = valid_bins.astype(jnp.float32)
+            else:
+                pooled, valid_frac = jax.vmap(
+                    lambda f, bx, sp, oh: moi_pool(
+                        f,
+                        bx,
+                        sp,
+                        oh,
+                        spatial_scale,
+                        p,
+                        self.pooler.sampling_ratio,
+                        sp_grid_stride=self.sp_grid_stride,
+                        nonneg_features=self.moi_nonneg,
+                    )
+                )(feat, proposals, superpixels, oh_labels)
             pooled = pooled.reshape(b * r, p, p, -1)
             # mask-area rescale (reference :615-630): weight proposal features
             # by how much of the box the superpixel mask covers

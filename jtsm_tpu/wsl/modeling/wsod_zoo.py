@@ -29,7 +29,7 @@ from ...layers import ShapeSpec
 from ...modeling.poolers import ROIPooler
 from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from ...structures.boxes import pairwise_iou
-from ..ops import frame_and_context_boxes
+from ..ops import roi_loop_pool
 from .mil_heads import (
     MILOutputLayers,
     OICROutputLayers,
@@ -73,11 +73,21 @@ class ContextLocNetROIHeads(WSDDNROIHeads):
         b, r = proposals.shape[:2]
         flat = proposals.reshape(b * r, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-        inner, outer = frame_and_context_boxes(flat)
 
-        pooled_roi = self.pooler(feats, flat, bidx, rois_per_image=r)
-        pooled_frame = self.pooler(feats, inner, bidx, rois_per_image=r)
-        pooled_ctx = self.pooler(feats, outer, bidx, rois_per_image=r)
+        # reference-exact ROILoopPool: [roi, frame(roi minus inner), context
+        # (outer minus roi)] blocks (csrc/ROILoopPool, pinned in
+        # tests/test_wsl_parity.py)
+        pooled_all = roi_loop_pool(
+            feats[0],
+            flat,
+            bidx,
+            self.pooler.scales[0],
+            output_size=self.pooler.output_size[0],
+        )
+        n = b * r
+        pooled_roi = pooled_all[:n]
+        pooled_frame = pooled_all[n : 2 * n]
+        pooled_ctx = pooled_all[2 * n :]
 
         dan = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")
         x_roi = dan(pooled_roi, train=train)

@@ -229,36 +229,115 @@ def frame_and_context_boxes(boxes: Array, scale_inner: float = 0.5, scale_outer:
 
 def roi_loop_pool(
     features: Array,  # (B, H, W, C)
-    boxes: Array,  # (R, 4)
-    batch_indices: Array,
+    boxes: Array,  # (R, 4) XYXY in image coordinates
+    batch_indices: Array,  # (R,)
     spatial_scale: float,
     output_size: int = 7,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 2,  # unused (RoIPool semantics); kept for API parity
+    context_ratio: float = 1.8,
 ) -> Array:
-    """Reference ROILoopPool: returns concatenated [roi, frame, context]
-    pooled features, (3R, P, P, C) in that block order."""
-    from ..ops.roi_align import roi_align_batched
+    """Reference-exact ROILoopPool (csrc/ROILoopPool/ROILoopPool_cuda.cu:10
+    ``RoILoopPoolForward``, context_ratio 1.8 at :309): RoIPool-style integer
+    max pooling of three regions per roi, concatenated in block order
+    [roi, frame, context] -> (3R, P, P, C):
 
-    inner, outer = frame_and_context_boxes(boxes)
-    pooled_roi = roi_align_batched(
-        features, boxes, batch_indices, output_size, spatial_scale, sampling_ratio
-    )
-    pooled_frame = roi_align_batched(
-        features, outer, batch_indices, output_size, spatial_scale, sampling_ratio
-    )
-    # frame: outer box minus inner region — approximate by zeroing the center
-    # bins (the reference masks the pooled interior)
+    * roi:     fixed-grid max over the roi windows;
+    * frame:   the same roi windows EXCLUDING pixels strictly inside the
+               1/context_ratio-shrunk inner box;
+    * context: windows over the context_ratio-grown outer box (clamped to the
+               image) EXCLUDING pixels strictly inside the roi.
+
+    The kernel floors empty/negative maxima at 0 (it assumes nonneg inputs)."""
     p = output_size
-    yy = jnp.arange(p)
-    interior = (
-        (yy[:, None] >= p // 4) & (yy[:, None] < p - p // 4)
-        & (yy[None, :] >= p // 4) & (yy[None, :] < p - p // 4)
-    )
-    pooled_frame = jnp.where(interior[None, :, :, None], 0.0, pooled_frame)
-    pooled_context = roi_align_batched(
-        features, outer, batch_indices, output_size, spatial_scale, sampling_ratio
-    )
-    return jnp.concatenate([pooled_roi, pooled_frame, pooled_context], axis=0)
+    bimg, h, w, c = features.shape
+    scale = float(spatial_scale)
+    cr = float(context_ratio)
+
+    def rnd(x):  # C round() — coords here can be negative after clamping? no:
+        return jnp.floor(x + 0.5).astype(jnp.int32)
+
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    phs = jnp.arange(p, dtype=jnp.float32)
+
+    def windows(x1, y1, x2, y2):
+        """Per-bin fixed-grid window membership (keep_h (H, P), keep_w (W, P))
+        with the kernel's floor/ceil overlap + clamping."""
+        rw = jnp.maximum(x2 - x1 + 1, 1).astype(jnp.float32)
+        rh = jnp.maximum(y2 - y1 + 1, 1).astype(jnp.float32)
+        bh = rh / p
+        bw = rw / p
+        hstart = jnp.clip(jnp.floor(phs * bh).astype(jnp.int32) + y1, 0, h)
+        hend = jnp.clip(jnp.ceil((phs + 1) * bh).astype(jnp.int32) + y1, 0, h)
+        wstart = jnp.clip(jnp.floor(phs * bw).astype(jnp.int32) + x1, 0, w)
+        wend = jnp.clip(jnp.ceil((phs + 1) * bw).astype(jnp.int32) + x1, 0, w)
+        keep_h = (rows[:, None] >= hstart[None]) & (rows[:, None] < hend[None])
+        keep_w = (cols[:, None] >= wstart[None]) & (cols[:, None] < wend[None])
+        return keep_h, keep_w
+
+    def pool(feat, keep_h, keep_w, excl):
+        """(P, P, C) max over the windows of pixels NOT excluded, floored at 0."""
+        out = []
+        for ph in range(p):
+            masked = jnp.where(
+                (keep_h[:, ph][:, None] & ~excl)[:, :, None], feat, -jnp.inf
+            )
+            colmax = jnp.max(masked, axis=0)  # (W, C)
+            row = [
+                jnp.maximum(
+                    jnp.max(
+                        jnp.where(keep_w[:, pw][:, None], colmax, -jnp.inf), axis=0
+                    ),
+                    0.0,
+                )
+                for pw in range(p)
+            ]
+            out.append(jnp.stack(row))
+        return jnp.stack(out)
+
+    def one(box, bi):
+        feat = features[bi]
+        x1 = rnd(box[0] * scale)
+        y1 = rnd(box[1] * scale)
+        x2 = rnd(box[2] * scale)
+        y2 = rnd(box[3] * scale)
+
+        bw_img = box[2] - box[0]
+        bh_img = box[3] - box[1]
+        in_res_w = (bw_img - bw_img / cr) / 2.0
+        in_res_h = (bh_img - bh_img / cr) / 2.0
+        out_res_w = (bw_img * cr - bw_img) / 2.0
+        out_res_h = (bh_img * cr - bh_img) / 2.0
+        img_w = w / scale
+        img_h = h / scale
+        x1_in = rnd(jnp.clip(box[0] + in_res_w, 0.0, img_w) * scale)
+        y1_in = rnd(jnp.clip(box[1] + in_res_h, 0.0, img_h) * scale)
+        x2_in = rnd(jnp.clip(box[2] - in_res_w, 0.0, img_w) * scale)
+        y2_in = rnd(jnp.clip(box[3] - in_res_h, 0.0, img_h) * scale)
+        x1_out = rnd(jnp.clip(box[0] - out_res_w, 0.0, img_w) * scale)
+        y1_out = rnd(jnp.clip(box[1] - out_res_h, 0.0, img_h) * scale)
+        x2_out = rnd(jnp.clip(box[2] + out_res_w, 0.0, img_w) * scale)
+        y2_out = rnd(jnp.clip(box[3] + out_res_h, 0.0, img_h) * scale)
+
+        no_excl = jnp.zeros((h, w), bool)
+        inside_inner = (
+            ((rows > y1_in) & (rows < y2_in))[:, None]
+            & ((cols > x1_in) & (cols < x2_in))[None, :]
+        )
+        inside_roi = (
+            ((rows > y1) & (rows < y2))[:, None]
+            & ((cols > x1) & (cols < x2))[None, :]
+        )
+
+        kh, kw = windows(x1, y1, x2, y2)
+        roi_out = pool(feat, kh, kw, no_excl)
+        frame_out = pool(feat, kh, kw, inside_inner)
+        kho, kwo = windows(x1_out, y1_out, x2_out, y2_out)
+        ctx_out = pool(feat, kho, kwo, inside_roi)
+        return roi_out, frame_out, ctx_out
+
+    roi_o, frame_o, ctx_o = jax.vmap(one)(boxes, batch_indices)
+    return jnp.concatenate([roi_o, frame_o, ctx_o], axis=0)
 
 
 def roi_label(
@@ -486,3 +565,93 @@ def csc_constraint(x: Array, w: Array, polar: bool = True) -> Array:
     else:
         w_ = -jnp.minimum(w, 0.0)
     return x * jax.lax.stop_gradient(w_)
+
+
+def moi_pool_exact(
+    features: Array,  # (H, W, C) single-image feature map
+    boxes: Array,  # (R, 4) XYXY in image coordinates
+    superpixels: Array,  # (Hs, Ws) int32 superpixel id map (image res)
+    oh_labels: Array,  # (R, S) bool membership
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+) -> Tuple[Array, Array]:
+    """Reference-exact MOIPool forward (csrc/MOIPool/MOIPool_cuda.cu:10
+    ``MoIPoolForward``): pooling bins are laid over the RANKS of the
+    member pixels — per column, a pixel's row-rank among that column's
+    member rows decides its height bin (t_roi_height/P*ph <= t_h <=
+    t_roi_height/P*(ph+1)); analogously per row for width — so the masked
+    region is compacted before binning. Bins whose FIXED spatial window is
+    empty (the kernel's is_empty guard) and bins with no member pixel
+    output 0 with validity False (argmax -1).
+
+    Returns (pooled (R, P, P, C), valid (R, P, P) bool). This is the
+    fidelity-exact (but gather-heavy) formulation; ``moi_pool`` is the
+    TPU-fast fixed-grid variant used by default (WSL.MOI_POOL_EXACT
+    selects this one)."""
+    p = output_size
+    h, w, c = features.shape
+    hs, ws = superpixels.shape
+    scale = float(spatial_scale)
+
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    # image-res coordinates of each feature pixel (kernel: h / spatial_scale
+    # with C float->int truncation)
+    img_y = jnp.clip(jnp.floor(rows / scale).astype(jnp.int32), 0, hs - 1)
+    img_x = jnp.clip(jnp.floor(cols / scale).astype(jnp.int32), 0, ws - 1)
+    sp_feat = superpixels[img_y][:, img_x]  # (H, W) superpixel id per pixel
+
+    def rnd(x):  # C round() on nonnegative coords
+        return jnp.floor(x + 0.5).astype(jnp.int32)
+
+    phs = jnp.arange(p, dtype=jnp.float32)
+
+    def one(box, oh_r):
+        x1 = rnd(box[0] * scale)
+        y1 = rnd(box[1] * scale)
+        x2 = rnd(box[2] * scale)
+        y2 = rnd(box[3] * scale)
+        inroi = (
+            ((rows >= y1) & (rows < y2))[:, None]
+            & ((cols >= x1) & (cols < x2))[None, :]
+        )
+        member = oh_r[sp_feat] & inroi  # (H, W)
+
+        t_h = jnp.cumsum(member, axis=0).astype(jnp.float32)  # (H, W) rank
+        T_h = member.sum(axis=0).astype(jnp.float32)  # (W,)
+        t_w = jnp.cumsum(member, axis=1).astype(jnp.float32)
+        T_w = member.sum(axis=1).astype(jnp.float32)
+
+        # (H, W, P): row-rank falls in height-bin ph
+        lo_h = T_h[None, :, None] / p * phs[None, None, :]
+        hi_h = T_h[None, :, None] / p * (phs[None, None, :] + 1.0)
+        keep_h = (lo_h <= t_h[:, :, None]) & (t_h[:, :, None] <= hi_h)
+        lo_w = T_w[:, None, None] / p * phs[None, None, :]
+        hi_w = T_w[:, None, None] / p * (phs[None, None, :] + 1.0)
+        keep_w = (lo_w <= t_w[:, :, None]) & (t_w[:, :, None] <= hi_w)
+
+        # the kernel's fixed-grid emptiness guard (MoIPoolForward :39-61)
+        roi_w = jnp.maximum(x2 - x1 + 1, 1).astype(jnp.float32)
+        roi_h = jnp.maximum(y2 - y1 + 1, 1).astype(jnp.float32)
+        bh = roi_h / p
+        bw = roi_w / p
+        hstart = jnp.clip(jnp.floor(phs * bh).astype(jnp.int32) + y1, 0, h)
+        hend = jnp.clip(jnp.ceil((phs + 1) * bh).astype(jnp.int32) + y1, 0, h)
+        wstart = jnp.clip(jnp.floor(phs * bw).astype(jnp.int32) + x1, 0, w)
+        wend = jnp.clip(jnp.ceil((phs + 1) * bw).astype(jnp.int32) + x1, 0, w)
+        nonempty_fixed = (hend > hstart)[:, None] & (wend > wstart)[None, :]
+
+        out = jnp.zeros((p, p, c), features.dtype)
+        valid = jnp.zeros((p, p), bool)
+        for ph in range(p):
+            for pw in range(p):
+                k2 = member & keep_h[:, :, ph] & keep_w[:, :, pw]
+                any_k = jnp.any(k2) & nonempty_fixed[ph, pw]
+                v = jnp.max(
+                    jnp.where(k2[:, :, None], features, -jnp.inf), axis=(0, 1)
+                )
+                out = out.at[ph, pw].set(jnp.where(any_k, v, 0.0))
+                valid = valid.at[ph, pw].set(any_k)
+        return out, valid
+
+    return jax.vmap(one)(boxes, oh_labels)

@@ -494,3 +494,18 @@ def test_jtsm_pgt_sem_seg_painting_semantics():
     # sp2: stuff-2 -> painted 2; sp3: unmined -> 0 (things canvas)
     assert (m[2:, :2] == 2).all()
     assert (m[2:, 2:] == 0).all()
+
+
+def test_jtsm_moi_pool_exact_knob():
+    """WSL.MOI_POOL_EXACT routes the head through the reference-exact
+    rank-compacted MOIPool (pinned in test_wsl_parity.py)."""
+    cfg = _wsl_cfg("JTSMROIHeads")
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedMCNNWSL"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.WSL.SP_ON = True
+    cfg.WSL.PS_ON = True
+    cfg.WSL.MOI_POOL_EXACT = True
+    losses, out = _run_wsl(cfg, _wsl_batch(with_sp=True))
+    assert "loss_mil" in losses and "masks" in out

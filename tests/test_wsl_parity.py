@@ -6,19 +6,23 @@ as a torch extension and running them on the fixed inputs stored alongside
 the outputs (see the inputs saved in the same archive). The JAX
 re-expressions must reproduce them exactly (float tolerance).
 
-Not golden-testable here and why:
-* MOIPool / ROILoopPool — the reference's CPU builds are plain RoIPool
-  (the superpixel masking / loop-box logic lives only in the .cu kernels),
-  so no authoritative CPU golden exists; masking semantics are covered by
-  a structural test in test_wsl.py::test_moi_pool_masking instead.
+Ops whose reference implementation is CUDA-only (no recordable CPU golden)
+are pinned against line-by-line numpy transcriptions of the .cu kernels on
+random inputs instead:
+* MOIPool — ``test_moi_pool_exact_parity`` pins ``moi_pool_exact``
+  (rank-compacted adaptive binning) against ``MoIPoolForward``
+  (MOIPool_cuda.cu:10); the TPU-fast fixed-grid ``moi_pool`` additionally
+  has a structural test (test_wsl.py::test_moi_pool_masking).
+* ROILoopPool — ``test_roi_loop_pool_parity`` pins the [roi, frame,
+  context] blocks against ``RoILoopPoolForward`` (ROILoopPool_cuda.cu:10).
+* CSC — ``test_csc_parity`` (see below).
+Other special cases:
 * dense CRF — csrc/crf depends on the external densecrf library, which is
   an empty (un-vendored) submodule in the reference checkout; pinned against
   a brute-force O((HW)^2) dense-CRF oracle in test_wsl_crf_reference.py
   instead.
-* CSC — csrc/csc is CUDA-only (no CPU implementation), so no recorded
-  golden exists either; ``test_csc_parity`` below pins the JAX op against a
-  line-by-line float32 numpy transcription of ``csc_forward_cuda``
-  (csc_cuda.cu:352) on random inputs instead.
+* CSC — ``test_csc_parity`` pins the JAX op against a float32
+  transcription of ``csc_forward_cuda`` (csc_cuda.cu:352).
 """
 
 import os
@@ -292,3 +296,195 @@ def test_csc_parity_degenerate_columns():
     # class 0 has an all-zero CPG map -> normalization collapses to 1 ->
     # W = pred * 1 + (1 - pred) = 1 exactly
     np.testing.assert_allclose(got[:, 0], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# MOIPool: brute-force oracle transcribed from MOIPool_cuda.cu
+# ---------------------------------------------------------------------------
+
+
+def _moi_pool_bruteforce(feat, rois, superpixels, oh_labels, spatial_scale, p):
+    """Line-by-line numpy transcription of ``MoIPoolForward``
+    (csrc/MOIPool/MOIPool_cuda.cu:10): rank-compacted adaptive binning over
+    the member pixels, fixed-grid emptiness guard, max-pool per bin."""
+    import math
+
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    out = np.zeros((r, p, p, c), np.float32)
+    valid = np.zeros((r, p, p), bool)
+    for n in range(r):
+        x1, y1, x2, y2 = rois[n]
+        rs_w = int(math.floor(x1 * spatial_scale + 0.5))
+        rs_h = int(math.floor(y1 * spatial_scale + 0.5))
+        re_w = int(math.floor(x2 * spatial_scale + 0.5))
+        re_h = int(math.floor(y2 * spatial_scale + 0.5))
+        roi_w = max(re_w - rs_w + 1, 1)
+        roi_h = max(re_h - rs_h + 1, 1)
+        bh = roi_h / p
+        bw = roi_w / p
+
+        def memb(hh, ww):
+            iy = int(hh / spatial_scale)
+            ix = int(ww / spatial_scale)
+            sid = superpixels[min(iy, superpixels.shape[0] - 1), min(ix, superpixels.shape[1] - 1)]
+            return bool(oh_labels[n, sid])
+
+        for ph in range(p):
+            for pw in range(p):
+                hstart = min(max(int(math.floor(ph * bh)) + rs_h, 0), h)
+                hend = min(max(int(math.ceil((ph + 1) * bh)) + rs_h, 0), h)
+                wstart = min(max(int(math.floor(pw * bw)) + rs_w, 0), w)
+                wend = min(max(int(math.ceil((pw + 1) * bw)) + rs_w, 0), w)
+                if hend <= hstart or wend <= wstart:
+                    continue
+                maxval = None
+                for hh in range(rs_h, re_h):
+                    for ww in range(rs_w, re_w):
+                        if not memb(hh, ww):
+                            continue
+                        t_rh = 0
+                        t_h = 0
+                        for h2 in range(rs_h, re_h):
+                            if not memb(h2, ww):
+                                continue
+                            t_rh += 1
+                            if h2 == hh:
+                                t_h = t_rh
+                        if t_rh / p * ph > t_h or t_rh / p * (ph + 1) < t_h:
+                            continue
+                        t_rw = 0
+                        t_w = 0
+                        for w2 in range(rs_w, re_w):
+                            if not memb(hh, w2):
+                                continue
+                            t_rw += 1
+                            if w2 == ww:
+                                t_w = t_rw
+                        if t_rw / p * pw > t_w or t_rw / p * (pw + 1) < t_w:
+                            continue
+                        v = feat[hh, ww]
+                        if maxval is None:
+                            maxval = v.copy()
+                        else:
+                            maxval = np.maximum(maxval, v)
+                if maxval is not None:
+                    out[n, ph, pw] = maxval
+                    valid[n, ph, pw] = True
+    return out, valid
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_moi_pool_exact_parity(seed):
+    from jtsm_tpu.wsl.ops import moi_pool_exact
+
+    rng = np.random.RandomState(seed)
+    scale = 0.25  # stride 4
+    hs = ws = 32  # image res
+    h = w = 8  # feature res
+    cc, rr, s = 3, 6, 5
+    feat = rng.randn(h, w, cc).astype(np.float32)
+    sp = rng.randint(0, s, (hs, ws)).astype(np.int32)
+    oh = rng.rand(rr, s) > 0.35
+    x1 = rng.uniform(0, ws * 0.5, rr)
+    y1 = rng.uniform(0, hs * 0.5, rr)
+    boxes = np.stack(
+        [x1, y1, x1 + rng.uniform(8, 14, rr), y1 + rng.uniform(8, 14, rr)], 1
+    ).astype(np.float32)
+    boxes = np.clip(boxes, 0, [ws - 1, hs - 1, ws - 1, hs - 1])
+
+    ref_out, ref_valid = _moi_pool_bruteforce(feat, boxes, sp, oh, scale, 4)
+    got_out, got_valid = moi_pool_exact(
+        jnp.asarray(feat), jnp.asarray(boxes), jnp.asarray(sp), jnp.asarray(oh),
+        spatial_scale=scale, output_size=4,
+    )
+    np.testing.assert_array_equal(np.asarray(got_valid), ref_valid)
+    np.testing.assert_allclose(np.asarray(got_out), ref_out, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ROILoopPool: brute-force oracle transcribed from ROILoopPool_cuda.cu
+# ---------------------------------------------------------------------------
+
+
+def _roi_loop_pool_bruteforce(feat, rois, batch_idx, scale, p, cr=1.8):
+    """Numpy transcription of ``RoILoopPoolForward``
+    (csrc/ROILoopPool/ROILoopPool_cuda.cu:10): [roi, frame, context] blocks,
+    RoIPool integer windows, inner/outer exclusion, nonneg 0 floor."""
+    import math
+
+    n_img, h, w, c = feat.shape
+    r = rois.shape[0]
+    out = np.zeros((3 * r, p, p, c), np.float32)
+
+    def rnd(x):
+        return int(math.floor(x + 0.5))
+
+    for n in range(r):
+        f = feat[batch_idx[n]]
+        x1, y1, x2, y2 = [float(v) for v in rois[n]]
+        rw, rh = x2 - x1, y2 - y1
+        in_rw, in_rh = (rw - rw / cr) / 2, (rh - rh / cr) / 2
+        out_rw, out_rh = (rw * cr - rw) / 2, (rh * cr - rh) / 2
+        img_w, img_h = w / scale, h / scale
+        clip = lambda v, hi: min(max(v, 0.0), hi)
+        x1i, y1i = clip(x1 + in_rw, img_w), clip(y1 + in_rh, img_h)
+        x2i, y2i = clip(x2 - in_rw, img_w), clip(y2 - in_rh, img_h)
+        x1o, y1o = clip(x1 - out_rw, img_w), clip(y1 - out_rh, img_h)
+        x2o, y2o = clip(x2 + out_rw, img_w), clip(y2 + out_rh, img_h)
+
+        def block(bx1, by1, bx2, by2, ex1, ey1, ex2, ey2, use_excl):
+            rs_w, rs_h = rnd(bx1 * scale), rnd(by1 * scale)
+            re_w, re_h = rnd(bx2 * scale), rnd(by2 * scale)
+            es_w, es_h = rnd(ex1 * scale), rnd(ey1 * scale)
+            ee_w, ee_h = rnd(ex2 * scale), rnd(ey2 * scale)
+            roi_w = max(re_w - rs_w + 1, 1)
+            roi_h = max(re_h - rs_h + 1, 1)
+            bh, bw = roi_h / p, roi_w / p
+            o = np.zeros((p, p, c), np.float32)
+            for ph in range(p):
+                for pw in range(p):
+                    hstart = min(max(int(math.floor(ph * bh)) + rs_h, 0), h)
+                    hend = min(max(int(math.ceil((ph + 1) * bh)) + rs_h, 0), h)
+                    wstart = min(max(int(math.floor(pw * bw)) + rs_w, 0), w)
+                    wend = min(max(int(math.ceil((pw + 1) * bw)) + rs_w, 0), w)
+                    maxv = np.zeros(c, np.float32)
+                    for hh in range(hstart, hend):
+                        for ww in range(wstart, wend):
+                            if use_excl and (es_h < hh < ee_h) and (es_w < ww < ee_w):
+                                continue
+                            maxv = np.maximum(maxv, f[hh, ww])
+                    o[ph, pw] = maxv
+            return o
+
+        out[n] = block(x1, y1, x2, y2, x1i, y1i, x2i, y2i, False)
+        out[n + r] = block(x1, y1, x2, y2, x1i, y1i, x2i, y2i, True)
+        out[n + 2 * r] = block(x1o, y1o, x2o, y2o, x1, y1, x2, y2, True)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_roi_loop_pool_parity(seed):
+    from jtsm_tpu.wsl.ops import roi_loop_pool
+
+    rng = np.random.RandomState(seed)
+    scale = 0.25
+    h = w = 10
+    b, r, cc = 2, 5, 3
+    feat = np.abs(rng.randn(b, h, w, cc)).astype(np.float32)  # nonneg
+    x1 = rng.uniform(2, 18, r)
+    y1 = rng.uniform(2, 18, r)
+    boxes = np.stack(
+        [x1, y1, x1 + rng.uniform(8, 18, r), y1 + rng.uniform(8, 18, r)], 1
+    ).astype(np.float32)
+    boxes = np.clip(boxes, 0, [w / scale - 1, h / scale - 1] * 2)
+    bidx = rng.randint(0, b, r).astype(np.int32)
+
+    ref = _roi_loop_pool_bruteforce(feat, boxes, bidx, scale, 3)
+    got = np.asarray(
+        roi_loop_pool(
+            jnp.asarray(feat), jnp.asarray(boxes), jnp.asarray(bidx),
+            scale, output_size=3,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
