@@ -100,7 +100,11 @@ def main():
     )
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
-    iters = int(os.environ.get("ITERS", "120"))
+    # 240 default: since the reference-exact pseudo-sem-seg painting (zeros
+    # canvas), the dense sem-seg CE takes a larger share of the globally
+    # clipped gradient, so the MIL branch needs ~2x the steps to cross the
+    # 50% overfit bar (52.6% at 240 on the dev chip, total loss -74%)
+    iters = int(os.environ.get("ITERS", "240"))
     t0 = time.time()
     first = None
     for i in range(iters):

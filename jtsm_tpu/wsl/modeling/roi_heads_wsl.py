@@ -15,7 +15,7 @@ arrays with weights/validity instead of dynamic lists.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -29,7 +29,6 @@ from ...ops.box_regression import Box2BoxTransform
 from ...ops.losses import smooth_l1_loss
 from ...ops.nms import batched_nms_mask
 from ...structures.boxes import clip_boxes, nonempty_boxes
-from ..ops import moi_pool
 from .mil_heads import (
     MILOutputLayers,
     OICROutputLayers,

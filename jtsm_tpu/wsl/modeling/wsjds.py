@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ...config import CfgNode
 from ...layers import ShapeSpec
-from ...modeling.poolers import ROIPooler
 from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from .mil_heads import MILOutputLayers, mil_image_loss, wsddn_scores
 from .roi_heads_wsl import (

@@ -18,15 +18,13 @@ All static-shape; each head registers in ROI_HEADS_REGISTRY.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ...config import CfgNode
-from ...layers import ShapeSpec
-from ...modeling.poolers import ROIPooler
 from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from ...structures.boxes import pairwise_iou
 from ..ops import roi_loop_pool

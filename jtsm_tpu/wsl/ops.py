@@ -206,27 +206,6 @@ def moi_pool(
     return pooled, valid_frac
 
 
-def frame_and_context_boxes(boxes: Array, scale_inner: float = 0.5, scale_outer: float = 1.8):
-    """ContextLocNet rois: inner 'frame' box and outer 'context' box."""
-    cx = (boxes[:, 0] + boxes[:, 2]) / 2
-    cy = (boxes[:, 1] + boxes[:, 3]) / 2
-    w = boxes[:, 2] - boxes[:, 0]
-    h = boxes[:, 3] - boxes[:, 1]
-
-    def make(scale):
-        return jnp.stack(
-            [
-                cx - w * scale / 2,
-                cy - h * scale / 2,
-                cx + w * scale / 2,
-                cy + h * scale / 2,
-            ],
-            axis=1,
-        )
-
-    return make(scale_inner), make(scale_outer)
-
-
 def roi_loop_pool(
     features: Array,  # (B, H, W, C)
     boxes: Array,  # (R, 4) XYXY in image coordinates
