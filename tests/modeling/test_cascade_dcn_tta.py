@@ -115,3 +115,68 @@ def test_tta_union(cascade_model_and_vars):
     out = tta((rng.rand(60, 80, 3) * 255).astype(np.float32))
     assert out["boxes"].ndim == 2 and out["boxes"].shape[1] == 4
     assert len(out["scores"]) == len(out["boxes"])
+
+
+def _deform_conv_bruteforce(x, offsets, kernel, mask=None, stride=1, dilation=1):
+    """Numpy transcription of the reference deformable im2col bilinear
+    sampling (detectron2 layers/csrc/deformable/deform_conv_cuda_kernel.cu
+    ``deformable_im2col_bilinear``: 4-tap bilinear, out-of-bounds taps
+    contribute zero), centered kernel taps, optional DCNv2 modulation."""
+    b, h, w, cin = x.shape
+    k = kernel.shape[0]
+    oh = (h - 1) // stride + 1
+    ow = (w - 1) // stride + 1
+    cout = kernel.shape[-1]
+    out = np.zeros((b, oh, ow, cout), np.float64)
+    off = offsets.reshape(b, oh, ow, k * k, 2)
+    msk = None if mask is None else mask.reshape(b, oh, ow, k, k)
+
+    def bil(img, yy, xx):
+        y0, x0 = int(np.floor(yy)), int(np.floor(xx))
+        fy, fx = yy - y0, xx - x0
+        v = np.zeros(cin, np.float64)
+        for dy2, wy in ((0, 1 - fy), (1, fy)):
+            for dx2, wx in ((0, 1 - fx), (1, fx)):
+                yi, xi = y0 + dy2, x0 + dx2
+                if 0 <= yi < h and 0 <= xi < w:
+                    v += wy * wx * img[yi, xi]
+        return v
+
+    for bi in range(b):
+        for oy in range(oh):
+            for ox in range(ow):
+                acc = np.zeros(cout, np.float64)
+                for ky in range(k):
+                    for kx in range(k):
+                        t = ky * k + kx
+                        sy = oy * stride + (ky - (k - 1) / 2.0) * dilation + off[bi, oy, ox, t, 0]
+                        sx = ox * stride + (kx - (k - 1) / 2.0) * dilation + off[bi, oy, ox, t, 1]
+                        v = bil(x[bi], sy, sx)
+                        if msk is not None:
+                            v = v * msk[bi, oy, ox, ky, kx]
+                        acc += v @ kernel[ky, kx]
+                out[bi, oy, ox] = acc
+    return out
+
+
+@pytest.mark.parametrize("modulated", [False, True])
+def test_dcn_bilinear_parity_with_real_offsets(modulated):
+    """Nonzero fractional offsets (incl. out-of-bounds samples) against the
+    brute-force transcription of the reference deformable bilinear
+    sampling."""
+    rng = np.random.RandomState(3)
+    b, h, w, cin, cout, k = 1, 6, 7, 3, 4, 3
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    offsets = (rng.rand(b, h, w, 2 * k * k).astype(np.float32) - 0.5) * 5.0
+    kern = rng.randn(k, k, cin, cout).astype(np.float32) * 0.2
+    mask = rng.rand(b, h, w, k * k).astype(np.float32) if modulated else None
+
+    ref = _deform_conv_bruteforce(
+        x.astype(np.float64), offsets.astype(np.float64),
+        kern.astype(np.float64), None if mask is None else mask.astype(np.float64),
+    )
+    got = deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(kern),
+        None if mask is None else jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
