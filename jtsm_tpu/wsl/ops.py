@@ -169,6 +169,8 @@ def moi_pool(
 
     flat = features.reshape(h * w, c)
     neg_inf = jnp.asarray(-1e30, features.dtype)
+    # one appended zero row: invalid samples gather it directly (below)
+    flat_z = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
 
     # one feature gather per (jy, jx) sample offset instead of a single
     # (R, P*S, P*S, C) gather: the monolithic form forced a 3.2 GB layout
@@ -182,22 +184,30 @@ def moi_pool(
         for jx in range(s):
             xi_j = xi[:, jx::s]
             idx = yi_j[:, :, None] * w + xi_j[:, None, :]  # (R, P, P)
-            vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p, p, c)
-            m = member_all[:, jy::s, jx::s].astype(vals.dtype)[..., None]
+            m_bool = member_all[:, jy::s, jx::s] >= 0.5  # exact 0/1 floats
             if nonneg_features:
-                # features are known >= 0 (ReLU-terminated backbone), so a
-                # 0/1 multiply is exactly the masked max: invalid samples
-                # become 0 and can never win, and bins with no valid sample
-                # pool to 0 — the same value the additive form's final
-                # cleanup assigns. Pure elementwise epilogue on the gather;
-                # the additive -1e30 form costs ~10 ms/step of materialized
-                # penalty broadcasts + reshapes at the fc layout
-                masked = vals * m
+                # features are known >= 0 (ReLU-terminated backbone), so
+                # masking-to-zero is exactly the masked max: invalid samples
+                # can never win, and bins with no valid sample pool to 0 —
+                # the same value the additive form's final cleanup assigns.
+                # The mask is applied to the GATHER INDEX (invalid samples
+                # read the appended zero row) instead of multiplying the
+                # gathered values: the (R, P, P, C) 0/1 broadcast multiply
+                # made XLA materialize 3 x 400 MB operands in the fc operand
+                # layout (~16 ms/step at batch 4); the index select is a
+                # (R, P, P) int op fused into the gather
+                idx_m = jnp.where(m_bool, idx, h * w)
+                vals = jnp.take(flat_z, idx_m.reshape(-1), axis=0).reshape(
+                    r, p, p, c
+                )
+                masked = vals
             else:
                 # exact for arbitrary sign: member is exactly 0/1, so
                 # invalid samples get vals - 1e30 and valid samples are
                 # untouched (a pred-dtype jnp.where here makes XLA
                 # materialize the (R, P, P, C) bool broadcast)
+                vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, p, p, c)
+                m = m_bool.astype(vals.dtype)[..., None]
                 masked = vals + (m - 1.0) * (-neg_inf)
             pooled = masked if pooled is None else jnp.maximum(pooled, masked)
     valid_frac = member_all.reshape(r, p, s, p, s).mean(axis=(2, 4))
