@@ -77,20 +77,25 @@ def build_bootstrap_loaders(cfg: CfgNode, predictor) -> List:
         sampler = build_data_sampler(ds_cfg)
         min_score = ds_cfg.FILTER.get("MIN_VALUE", 0.0) if ds_cfg.FILTER.TYPE else 0.0
 
-        def score_filter(sample, thresh=min_score):
+        def filtered_predictor(image, _p=predictor, _t=min_score):
+            """Score-based detection filter (reference
+            data/filters/detection_score.py ``ScoreBasedFilter``): drop
+            detections below MIN_VALUE before pseudo-GT sampling by
+            clearing their validity."""
             import numpy as np
 
-            outputs = getattr(sample, "annotations", None)
-            if outputs is None:
-                return True
-            return True  # annotations already derive from thresholded dets
+            outputs = dict(_p(image))
+            if _t > 0.0 and "scores" in outputs and "valid" in outputs:
+                outputs["valid"] = np.asarray(outputs["valid"]) & (
+                    np.asarray(outputs["scores"]) >= _t
+                )
+            return outputs
 
         loaders.append(
             InferenceBasedLoader(
-                predictor,
+                filtered_predictor,
                 image_loader,
                 data_sampler=sampler,
-                data_filter=score_filter,
                 batch_size=ds_cfg.INFERENCE.OUTPUT_BATCH_SIZE,
             )
         )

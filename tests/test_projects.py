@@ -891,3 +891,86 @@ def test_panoptic_deeplab_dataset_mapper(tmp_path):
     # offsets point at the centroid: zero mean over the mask
     m = d["gt_offset_weight"] > 0
     assert abs(d["gt_offset"][m].mean()) < 1.0
+
+
+def test_densepose_bootstrap_evolution_e2e(tmp_path):
+    """Drive a REAL evolution yaml end-to-end through the bootstrap plane:
+    yaml -> load_bootstrap_config normalization -> build_image_loader over a
+    registered unlabeled dataset -> InferenceBasedLoader with a stub
+    predictor -> PredictionToGroundTruthSampler pseudo-GT batches (reference
+    densepose/engine/trainer.py build_bootstrap_loaders + the
+    configs/evolution/*_B_* recipes)."""
+    from PIL import Image
+
+    from densepose import add_densepose_config
+    from densepose.engine import build_bootstrap_loaders
+
+    from jtsm_tpu.data import DatasetCatalog
+
+    # unlabeled "chimpnsee" stand-in: plain image files on disk
+    files = []
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        f = tmp_path / f"frame{i}.png"
+        Image.fromarray(rng.randint(0, 255, (32, 40, 3), np.uint8)).save(f)
+        files.append({"file_name": str(f)})
+    name = "chimpnsee_test_stub"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: files)
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.merge_from_file(
+        "projects/DensePose/configs/evolution/"
+        "densepose_R_50_FPN_DL_WC1M_3x_Atop10P_CA.yaml"
+    )
+    assert len(cfg.BOOTSTRAP_DATASETS) == 1
+    cfg.defrost()
+    # point the bootstrap entry at the stub; image_list avoids video decode
+    cfg.BOOTSTRAP_DATASETS[0]["DATASET"] = name
+    cfg.BOOTSTRAP_DATASETS[0]["IMAGE_LOADER"]["TYPE"] = "image_list"
+
+    s = 8
+
+    def stub_predictor(image):
+        r = np.random.RandomState(7)
+        return {
+            "boxes": np.asarray([[[2, 2, 18, 26]]], np.float32),
+            "scores": np.asarray([[0.95]], np.float32),
+            "classes": np.zeros((1, 1), np.int64),
+            "valid": np.asarray([[True]]),
+            "dp_patch": r.randint(0, 25, (1, 1, s, s)),
+            "dp_u": r.rand(1, 1, s, s).astype(np.float32),
+            "dp_v": r.rand(1, 1, s, s).astype(np.float32),
+            "dp_sigma": r.rand(1, 1, s, s).astype(np.float32),
+        }
+
+    loaders, ratios = build_bootstrap_loaders(cfg, stub_predictor)
+    assert ratios == [1.0]
+    # BOOTSTRAP_DATASETS entries are normalized to full CfgNodes
+    assert cfg.BOOTSTRAP_DATASETS[0].DATA_SAMPLER.TYPE == "densepose_uniform"
+
+    batches = list(loaders[0])
+    samples = [s for b in batches for s in b]
+    assert len(samples) == 3  # one pseudo-GT sample per unlabeled image
+    for smp in samples:
+        assert smp.image.shape == (32, 40, 3)
+        assert smp.boxes_xyxy.shape == (1, 4)
+        ann = smp.annotations[0]
+        # mined pseudo-points in DensePose's 0-255 box-relative convention
+        assert len(ann["dp_x"]) > 0 and len(ann["dp_x"]) == len(ann["dp_I"])
+        assert all(0 <= v <= 256 for v in ann["dp_x"] + ann["dp_y"])
+        assert all(0 <= v <= 1 for v in ann["dp_U"] + ann["dp_V"])
+        assert list(ann["bbox"]) == [2, 2, 16, 24]
+
+    # FILTER.MIN_VALUE (0.8 in the yaml) drops low-score detections before
+    # pseudo-GT sampling (reference data/filters ScoreBasedFilter)
+    def weak_predictor(image):
+        out = stub_predictor(image)
+        out["scores"] = np.asarray([[0.5]], np.float32)
+        return out
+
+    loaders, _ = build_bootstrap_loaders(cfg, weak_predictor)
+    weak_samples = [s for b in list(loaders[0]) for s in b]
+    assert all(len(smp.boxes_xyxy) == 0 for smp in weak_samples)
