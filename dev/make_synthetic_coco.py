@@ -88,13 +88,15 @@ def make_instances(infos, rng, with_kpts=False):
                 "segmentation": rect_poly(x, y, bw, bh),
             }
             if with_kpts:
+                # deterministic per-index fractional positions (a 5x4 grid
+                # over the box) so the keypoint head has a LEARNABLE target
+                # ("keypoint k sits at a fixed relative offset of the box")
+                # and the synthetic keypoint gate can assert a real OKS AP
                 kps = []
-                for _ in range(17):
-                    kps += [
-                        float(rng.uniform(x, x + bw)),
-                        float(rng.uniform(y, y + bh)),
-                        2,
-                    ]
+                for k in range(17):
+                    fx = 0.15 + 0.7 * (k % 5) / 4.0
+                    fy = 0.15 + 0.7 * (k // 5) / 3.0
+                    kps += [x + fx * bw, y + fy * bh, 2]
                 ann["keypoints"] = kps
                 ann["num_keypoints"] = 17
             anns.append(ann)

@@ -377,14 +377,22 @@ def build_static_batch(
         "orig_sizes": np.zeros((b, 2), np.int32),
     }
     has_gt = max_instances > 0 and any("instances" in d for d in per_image)
+    per_tgt: List[Optional[dict]] = [None] * b
     if has_gt:
-        tmpl = instances_to_static_targets(
-            Instances((1, 1), gt_boxes=np.zeros((0, 4), np.float32), gt_classes=np.zeros((0,), np.int64)),
-            max_instances,
-            mask_crop_size,
-        )
-        for k, v in tmpl.items():
-            batch[k] = np.zeros((b,) + v.shape, v.dtype)
+        for i, d in enumerate(per_image):
+            if "instances" in d:
+                per_tgt[i] = instances_to_static_targets(
+                    d["instances"], max_instances, mask_crop_size
+                )
+        # allocate from the UNION of per-image target keys (optional fields
+        # like gt_keypoints / gt_mask_crops appear only when the dataset
+        # carries them; templating from an empty Instances dropped them)
+        for tgt in per_tgt:
+            if tgt is None:
+                continue
+            for k, v in tgt.items():
+                if k not in batch:
+                    batch[k] = np.zeros((b,) + v.shape, v.dtype)
     if proposal_topk > 0:
         batch["proposals"] = np.zeros((b, proposal_topk, 4), np.float32)
         batch["proposal_scores"] = np.full((b, proposal_topk), -np.inf, np.float32)
@@ -401,9 +409,8 @@ def build_static_batch(
         batch["orig_sizes"][i] = (d.get("height", h), d.get("width", w))
         if has_sem_seg and "sem_seg" in d:
             batch["gt_sem_seg"][i, :h, :w] = d["sem_seg"]
-        if has_gt and "instances" in d:
-            tgt = instances_to_static_targets(d["instances"], max_instances, mask_crop_size)
-            for k, v in tgt.items():
+        if per_tgt[i] is not None:
+            for k, v in per_tgt[i].items():
                 batch[k][i] = v
         if proposal_topk > 0 and "proposals" in d:
             p = d["proposals"]

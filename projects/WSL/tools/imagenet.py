@@ -28,23 +28,28 @@ import optax
 
 import flax.linen as nn
 from jtsm_tpu.checkpoint import DetectionCheckpointer
+from jtsm_tpu.modeling.backbone.resnet import ResNet
 from jtsm_tpu.parallel.mesh import batch_sharding, build_mesh, replicated
 from jtsm_tpu.wsl.modeling.resnet_wsl import WSLResNet
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32) * 255
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32) * 255
 
+# ws_* = WS max-pool stem (DRN-WSOD family); plain = standard conv stem
 ARCH_DEPTH = {"ws_resnet18": 18, "ws_resnet34": 34, "ws_resnet50": 50,
-              "ws_resnet101": 101}
+              "ws_resnet101": 101,
+              "resnet18": 18, "resnet34": 34, "resnet50": 50,
+              "resnet101": 101}
 
 
 class WSClassifier(nn.Module):
     depth: int = 18
     num_classes: int = 1000
+    ws_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        backbone = WSLResNet(
+        backbone = (WSLResNet if self.ws_stem else ResNet)(
             depth=self.depth,
             out_features=("res5",),
             norm="BN",
@@ -163,7 +168,11 @@ def main():
         )
         val_iter = lambda: batches(val_samples, args.batch_size, False, 0, args.workers)
 
-    model = WSClassifier(depth=ARCH_DEPTH[args.arch], num_classes=num_classes)
+    model = WSClassifier(
+        depth=ARCH_DEPTH[args.arch],
+        num_classes=num_classes,
+        ws_stem=args.arch.startswith("ws_"),
+    )
     sample = next(iter(train_iter(0)))[0][:1]
     variables = model.init(jax.random.key(0), jnp.asarray(sample), train=True)
 

@@ -217,3 +217,29 @@ def test_collate_proposal_padding_is_neg_inf():
         [{k: v for k, v in d.items() if k != "proposals"}], [(32, 48)], proposal_topk=8
     )
     assert np.isneginf(batch2["proposal_scores"][0]).all()
+
+
+def test_collate_keypoints_and_optional_field_union():
+    """Optional Instances fields (gt_keypoints) must survive static
+    collation — the batch arrays come from the UNION of per-image target
+    keys, not from an empty-Instances template (regression: keypoint
+    training batches raised KeyError 'gt_keypoints')."""
+    from jtsm_tpu.data.detection_utils import build_static_batch
+    from jtsm_tpu.structures import Instances
+
+    kp = np.zeros((2, 17, 3), np.float32)
+    kp[:, :, 0] = 7.0
+    kp[:, :, 2] = 2.0
+    inst = Instances(
+        (32, 48),
+        gt_boxes=np.asarray([[0, 0, 10, 10], [5, 5, 20, 20]], np.float32),
+        gt_classes=np.zeros((2,), np.int64),
+        gt_keypoints=kp,
+    )
+    d = {"image": np.zeros((32, 48, 3), np.float32), "height": 32, "width": 48,
+         "instances": inst}
+    batch = build_static_batch([d], [(32, 48)], max_instances=5)
+    assert batch["gt_keypoints"].shape == (1, 5, 17, 3)
+    assert (batch["gt_keypoints"][0, :2, :, 0] == 7.0).all()
+    assert (batch["gt_keypoints"][0, 2:] == 0).all()  # padding rows zeroed
+    assert batch["gt_valid"][0, :2].all() and not batch["gt_valid"][0, 2:].any()
