@@ -153,6 +153,7 @@ class COCOEvaluator(DatasetEvaluator):
                 self._coco_gt = json.load(f)
 
         self._do_masks = False
+        self._do_keypoints = False
         self._predictions: List[dict] = []
 
     def reset(self):
@@ -167,6 +168,9 @@ class COCOEvaluator(DatasetEvaluator):
             }
         with_masks = "masks" in outputs or "masks_full" in outputs
         self._do_masks = self._do_masks or with_masks
+        # tasks are inferred from what the model emits (reference
+        # coco_evaluation.py _tasks_from_predictions)
+        self._do_keypoints = self._do_keypoints or "keypoints" in outputs
         self._predictions.extend(
             batched_outputs_to_coco_json(
                 outputs,
@@ -197,7 +201,13 @@ class COCOEvaluator(DatasetEvaluator):
             with open(os.path.join(self._output_dir, "coco_instances_results.json"), "w") as f:
                 json.dump(predictions, f)
 
-        tasks = self._tasks or (("bbox", "segm") if self._do_masks else ("bbox",))
+        tasks = self._tasks
+        if not tasks:
+            tasks = ("bbox",)
+            if self._do_masks:
+                tasks = tasks + ("segm",)
+            if self._do_keypoints:
+                tasks = tasks + ("keypoints",)
         results = OrderedDict()
         img_ids_with_preds = sorted({p["image_id"] for p in predictions})
         for task in tasks:

@@ -52,6 +52,17 @@ def detector_postprocess_batched(
         boxes = jax.vmap(clip_boxes)(boxes, orig_sizes)
     out = dict(detections)
     out["boxes"] = boxes
+    if "keypoints" in detections:
+        # (B, D, K, 4) = (x, y, logit, prob): x/y follow the box rescale
+        kp = detections["keypoints"]
+        out["keypoints"] = jnp.concatenate(
+            [
+                kp[..., 0:1] * sx[..., None],
+                kp[..., 1:2] * sy[..., None],
+                kp[..., 2:],
+            ],
+            axis=-1,
+        )
     return out
 
 
