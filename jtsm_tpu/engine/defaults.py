@@ -234,7 +234,16 @@ class DefaultTrainer(TrainerBase):
             output_folder = os.path.join(cfg.OUTPUT_DIR, "inference")
         evaluator_type = MetadataCatalog.get(dataset_name).get("evaluator_type", "coco")
         evaluators = []
-        if evaluator_type in ("coco", "coco_panoptic_seg"):
+        if (
+            evaluator_type == "coco"
+            and cfg.MODEL.META_ARCHITECTURE == "ProposalNetwork"
+        ):
+            # RPN-only models emit proposals, not detections: proposal AR
+            # (reference coco_evaluation.py _evaluate_box_proposals drive)
+            from ..evaluation import COCOProposalEvaluator
+
+            evaluators.append(COCOProposalEvaluator(dataset_name))
+        elif evaluator_type in ("coco", "coco_panoptic_seg"):
             evaluators.append(COCOEvaluator(dataset_name, output_dir=output_folder))
         if evaluator_type in ("sem_seg", "coco_panoptic_seg"):
             evaluators.append(SemSegEvaluator(dataset_name, output_dir=output_folder))

@@ -255,9 +255,13 @@ class COCOProposalEvaluator(DatasetEvaluator):
             )
 
     def evaluate(self):
+        # COCO proposal AR: per-GT best IoU over the top-k proposals, recall
+        # averaged over IoU thresholds 0.5:0.05:0.95 pooled across images
+        # (reference coco_evaluation.py _evaluate_box_proposals)
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
         results = {}
         for limit in self._limits:
-            recalls = []
+            best_ious = []
             for p in self._proposals:
                 gts = np.asarray(self._gt_by_img.get(p["image_id"], []), dtype=np.float64)
                 if len(gts) == 0:
@@ -267,12 +271,14 @@ class COCOProposalEvaluator(DatasetEvaluator):
                 order = np.argsort(-p["scores"])[:limit]
                 boxes = p["boxes"][order]
                 if len(boxes) == 0:
-                    recalls.append(np.zeros(len(gts)))
+                    best_ious.append(np.zeros(len(gts)))
                     continue
                 iou = _iou_np(gts_xyxy, boxes)
-                recalls.append(iou.max(axis=1) >= 0.5)
-            if recalls:
-                results[f"AR@{limit}"] = 100.0 * float(np.concatenate(recalls).mean())
+                best_ious.append(iou.max(axis=1))
+            if best_ious:
+                best = np.concatenate(best_ious)
+                ar = np.mean([np.mean(best >= t) for t in thresholds])
+                results[f"AR@{limit}"] = 100.0 * float(ar)
         return {"box_proposals": results}
 
 

@@ -145,4 +145,13 @@ class ProposalNetwork(nn.Module):
         )
         if train:
             return rpn_losses
-        return {"proposals": proposals, "scores": prop_scores}
+        # rescale to original-image coordinates like detections (reference
+        # rcnn.py:249 ProposalNetwork postprocesses with detector_postprocess)
+        from ..postprocessing import detector_postprocess_batched
+
+        post = detector_postprocess_batched(
+            {"boxes": proposals},
+            batch["image_sizes"],
+            batch.get("orig_sizes", batch["image_sizes"]),
+        )
+        return {"proposals": post["boxes"], "scores": prop_scores}
