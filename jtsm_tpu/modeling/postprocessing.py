@@ -28,14 +28,20 @@ def detector_postprocess_batched(
     sx = scale[:, 1][:, None]
     sy = scale[:, 0][:, None]
     boxes = detections["boxes"]
-    if boxes.shape[-1] == 5:  # rotated (cx, cy, w, h, a): scale, no clip
+    if boxes.shape[-1] == 5:
+        # rotated (cx, cy, w, h, a): anisotropic scaling skews the box; fit
+        # a rotated rect like the reference (RotatedBoxes.scale —
+        # structures/rotated_boxes.py:390): edge midpoints transform, w/h/
+        # angle re-derived from them. No clip (rotated boxes may overhang).
+        theta = boxes[..., 4] * (jnp.pi / 180.0)
+        c, s = jnp.cos(theta), jnp.sin(theta)
         boxes = jnp.stack(
             [
                 boxes[..., 0] * sx,
                 boxes[..., 1] * sy,
-                boxes[..., 2] * sx,
-                boxes[..., 3] * sy,
-                boxes[..., 4],
+                boxes[..., 2] * jnp.sqrt((sx * c) ** 2 + (sy * s) ** 2),
+                boxes[..., 3] * jnp.sqrt((sx * s) ** 2 + (sy * c) ** 2),
+                jnp.arctan2(sx * s, sy * c) * (180.0 / jnp.pi),
             ],
             axis=-1,
         )

@@ -41,3 +41,20 @@ def test_anisotropic_rescale():
     )
     np.testing.assert_allclose(np.asarray(out["boxes"][0, 0]), [16, 30, 32, 60])
     np.testing.assert_allclose(np.asarray(out["keypoints"][0, 0, 0, :2]), [16, 30])
+
+
+def test_rotated_boxes_anisotropic_rescale_matches_structures_scale():
+    """Batched postprocess of rotated detections must match the
+    reference-correct RotatedBoxes.scale fit (angle changes under
+    anisotropic scaling)."""
+    from jtsm_tpu.structures.rotated_boxes import RotatedBoxes
+
+    raw = jnp.asarray([[[30.0, 40.0, 20.0, 10.0, 30.0],
+                        [10.0, 10.0, 8.0, 4.0, -45.0]]])
+    out = detector_postprocess_batched(
+        {"boxes": raw},
+        image_sizes=jnp.asarray([[100, 160]], jnp.int32),
+        orig_sizes=jnp.asarray([[300, 320]], jnp.int32),  # sy=3, sx=2
+    )
+    want = RotatedBoxes(raw[0]).scale(2.0, 3.0).tensor
+    np.testing.assert_allclose(np.asarray(out["boxes"][0]), np.asarray(want), rtol=1e-5)
