@@ -125,10 +125,12 @@ class COCOEval:
         iou_type: str = "bbox",
         kpt_oks_sigmas=None,
         use_native: bool = True,
+        max_dets: Sequence[int] = MAX_DETS,
     ):
         assert iou_type in ("bbox", "segm", "keypoints"), iou_type
         self.iou_type = iou_type
         self.use_native = use_native
+        self.max_dets = tuple(max_dets)
         if kpt_oks_sigmas is not None and len(kpt_oks_sigmas):
             global OKS_SIGMAS
         self.imgs = {img["id"]: img for img in gt_dataset["images"]}
@@ -151,7 +153,7 @@ class COCOEval:
         t_count = len(IOU_THRS)
         a_names = list(AREA_RNGS.keys())
         k_count = len(self.cat_ids)
-        max_det = max(MAX_DETS)
+        max_det = max(self.max_dets)
 
         # per (cat, area, img): matches
         native = None
@@ -179,11 +181,11 @@ class COCOEval:
                         )
 
         # accumulate
-        precision = -np.ones((t_count, len(REC_THRS), k_count, len(a_names), len(MAX_DETS)))
-        recall = -np.ones((t_count, k_count, len(a_names), len(MAX_DETS)))
+        precision = -np.ones((t_count, len(REC_THRS), k_count, len(a_names), len(self.max_dets)))
+        recall = -np.ones((t_count, k_count, len(a_names), len(self.max_dets)))
         for ki in range(k_count):
             for ai in range(len(a_names)):
-                for di, md in enumerate(MAX_DETS):
+                for di, md in enumerate(self.max_dets):
                     entries = [
                         eval_imgs.get((ki, ai, img_id)) for img_id in img_ids
                     ]
@@ -229,9 +231,9 @@ class COCOEval:
         self.precision = precision
         self.recall = recall
 
-        def _summ(ap=True, iou_thr=None, area="all", max_dets=100):
+        def _summ(ap=True, iou_thr=None, area="all", max_dets=None):
             ai = a_names.index(area)
-            di = MAX_DETS.index(max_dets)
+            di = self.max_dets.index(max_dets if max_dets is not None else self.max_dets[-1])
             if ap:
                 s = precision
                 if iou_thr is not None:
@@ -262,9 +264,7 @@ class COCOEval:
                 "APs": _summ(True, area="small"),
                 "APm": _summ(True, area="medium"),
                 "APl": _summ(True, area="large"),
-                "AR1": _summ(False, max_dets=1),
-                "AR10": _summ(False, max_dets=10),
-                "AR100": _summ(False, max_dets=100),
+                **{f"AR{md}": _summ(False, max_dets=md) for md in self.max_dets},
                 "ARs": _summ(False, area="small"),
                 "ARm": _summ(False, area="medium"),
                 "ARl": _summ(False, area="large"),
@@ -272,7 +272,7 @@ class COCOEval:
         # per-category AP (for the reference's per-category table)
         self.per_category_ap = {}
         for ki, cat_id in enumerate(self.cat_ids):
-            s = precision[:, :, ki, 0, MAX_DETS.index(100)]
+            s = precision[:, :, ki, 0, len(self.max_dets) - 1]
             valid = s[s > -1]
             self.per_category_ap[cat_id] = float(np.mean(valid)) if valid.size else float("nan")
         return stats

@@ -26,10 +26,16 @@ logger = logging.getLogger(__name__)
 
 
 class LVISEval(COCOEval):
-    """COCO protocol + LVIS image-level category annotations."""
+    """COCO protocol + LVIS particulars: maxDets 300 (LVIS caps 300
+    detections per image; applied per image-category pair here, which is
+    equivalent whenever the detector emits <=300 per image), federated
+    ignore rules, and frequency-bucket APs (APr/APc/APf)."""
 
     def __init__(self, gt_dataset: Dict, iou_type: str = "bbox"):
-        super().__init__(gt_dataset, iou_type)
+        super().__init__(gt_dataset, iou_type, max_dets=(300,))
+        self._cat_freq = {
+            c["id"]: c.get("frequency", "f") for c in gt_dataset.get("categories", [])
+        }
         self._img_neg = {
             img["id"]: set(img.get("neg_category_ids", []))
             for img in gt_dataset["images"]
@@ -48,7 +54,21 @@ class LVISEval(COCOEval):
 
     def evaluate(self, detections: List[Dict], img_ids=None):
         detections = [d for d in detections if self._keep_det(d)]
-        return super().evaluate(detections, img_ids)
+        stats = super().evaluate(detections, img_ids)
+        # LVIS frequency buckets: AP over rare/common/frequent categories
+        for bucket, key in (("r", "APr"), ("c", "APc"), ("f", "APf")):
+            ks = [
+                ki
+                for ki, cid in enumerate(self.cat_ids)
+                if self._cat_freq.get(cid) == bucket
+            ]
+            if ks:
+                s = self.precision[:, :, ks, 0, -1]
+                valid = s[s > -1]
+                stats[key] = float(np.mean(valid)) if valid.size else float("nan")
+            else:
+                stats[key] = float("nan")
+        return stats
 
 
 class LVISEvaluator(DatasetEvaluator):

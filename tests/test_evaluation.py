@@ -322,3 +322,62 @@ def test_native_rle_iou_matches_python():
             denom = dm[i].sum() if crowd[j] else dm[i].sum() + gm[j].sum() - inter
             want = inter / denom if denom else 0.0
             assert np.isclose(native[i, j], want, atol=1e-12)
+
+
+def test_lvis_evaluator_e2e(tmp_path):
+    """LVISEvaluator end-to-end on a tiny LVIS-format json: detections of
+    categories that are neither positively annotated nor listed in an
+    image's neg_category_ids are IGNORED (LVIS federated protocol), so a
+    spurious high-score detection of an unlisted class cannot create a
+    false positive (reference lvis_evaluation.py)."""
+    import json as _json
+
+    from jtsm_tpu.data import MetadataCatalog
+    from jtsm_tpu.evaluation.lvis_evaluation import LVISEvaluator
+
+    gt = {
+        "images": [
+            {"id": 1, "width": 50, "height": 50,
+             "not_exhaustive_category_ids": [], "neg_category_ids": [2]},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [5, 5, 20, 20],
+             "area": 400, "segmentation": [[5, 5, 25, 5, 25, 25, 5, 25]]},
+        ],
+        "categories": [
+            {"id": 1, "name": "a", "frequency": "f"},
+            {"id": 2, "name": "b", "frequency": "c"},
+            {"id": 3, "name": "c", "frequency": "r"},
+        ],
+    }
+    jf = tmp_path / "lvis_tiny.json"
+    jf.write_text(_json.dumps(gt))
+    name = "lvis_eval_test_ds"
+    MetadataCatalog.get(name).json_file = str(jf)
+
+    ev = LVISEvaluator(name, distributed=False)
+    ev.reset()
+    outputs = {
+        # det 0: perfect match of cat 1 (contiguous id 0)
+        # det 1: cat 3 (contiguous 2) — unlisted for this image -> ignored
+        # det 2: cat 2 (contiguous 1) — negative list -> a real FP if kept
+        "boxes": np.asarray([[[5, 5, 25, 25], [0, 0, 10, 10], [30, 30, 45, 45]]], np.float32),
+        "scores": np.asarray([[0.9, 0.95, 0.8]], np.float32),
+        "classes": np.asarray([[0, 2, 1]], np.int64),
+        "valid": np.asarray([[True, True, True]]),
+    }
+    inputs = {
+        "image_ids": np.asarray([1]),
+        "orig_sizes": np.asarray([[50, 50]]),
+        "image_sizes": np.asarray([[50, 50]]),
+    }
+    ev.process(inputs, outputs)
+    res = ev.evaluate()
+    # cat 1 perfectly detected -> AP 100; the unlisted cat-3 det is dropped
+    # (with it kept, cat 3 would contribute AP 0 and drag the mean down)
+    assert res["bbox"]["AP"] == 100.0
+    # frequency buckets: cat 1 is "f" (perfect) -> APf 100; the "r" and "c"
+    # categories have no GT and their dets were ignored -> nan
+    assert res["bbox"]["APf"] == 100.0
+    assert np.isnan(res["bbox"]["APr"]) and np.isnan(res["bbox"]["APc"])
+    assert "AR300" in res["bbox"]  # LVIS maxDets protocol
