@@ -381,3 +381,45 @@ def test_lvis_evaluator_e2e(tmp_path):
     assert res["bbox"]["APf"] == 100.0
     assert np.isnan(res["bbox"]["APr"]) and np.isnan(res["bbox"]["APc"])
     assert "AR300" in res["bbox"]  # LVIS maxDets protocol
+
+
+def test_pascal_voc_evaluator_e2e():
+    """PascalVOCDetectionEvaluator end-to-end on a registered toy VOC-style
+    dataset: detections matching a ``difficult`` GT are ignored (not false
+    positives), and the VOC07 11-point mAP comes out exact (reference
+    pascal_voc_evaluation.py semantics)."""
+    from jtsm_tpu.data import DatasetCatalog, MetadataCatalog
+    from jtsm_tpu.evaluation import PascalVOCDetectionEvaluator
+
+    name = "voc_eval_test_ds"
+    dicts = [
+        {
+            "file_name": "a.jpg", "image_id": "000001", "height": 60, "width": 80,
+            "annotations": [
+                {"category_id": 0, "bbox": [10, 10, 30, 30], "difficult": False},
+                {"category_id": 0, "bbox": [40, 40, 55, 55], "difficult": True},
+                {"category_id": 1, "bbox": [0, 0, 20, 20], "difficult": False},
+            ],
+        }
+    ]
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: dicts)
+    MetadataCatalog.get(name).thing_classes = ["cat", "dog"]
+    MetadataCatalog.get(name).year = 2007
+
+    ev = PascalVOCDetectionEvaluator(name)
+    ev.reset()
+    outputs = {
+        "boxes": np.asarray(
+            [[[10, 10, 30, 30], [40, 40, 55, 55], [0, 0, 20, 20]]], np.float32
+        ),
+        "scores": np.asarray([[0.9, 0.8, 0.95]], np.float32),
+        "classes": np.asarray([[0, 0, 1]], np.int64),
+        "valid": np.asarray([[True, True, True]]),
+    }
+    ev.process({"image_ids": np.asarray(["000001"], object)}, outputs)
+    res = ev.evaluate()
+    # class 0: the non-difficult GT is recalled; the difficult-GT det is
+    # ignored. class 1: perfect. VOC07 metric -> 100 each.
+    np.testing.assert_allclose(res["bbox"]["AP50"], 100.0)
