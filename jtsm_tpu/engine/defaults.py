@@ -309,11 +309,29 @@ class DefaultTrainer(TrainerBase):
         extra = self.checkpointer.resume_or_load(self.cfg.MODEL.WEIGHTS, resume=resume)
         loaded = self.checkpointer.variables
         state = self._trainer.state
-        self._trainer.state = state.replace(
+        replacements = dict(
             params=loaded.get("params", state.params),
             frozen=loaded.get("frozen", state.frozen),
             batch_stats=loaded.get("batch_stats", state.batch_stats),
         )
+        if resume:
+            # continue the exact trajectory: momentum buffers + optax
+            # schedule counters + the sampling rng stream (saved as
+            # checkpointables by SimpleTrainer.sync_checkpointer; they land
+            # in ``extra`` on a fresh-trainer resume)
+            opt_state = extra.pop("opt_state", None)
+            if opt_state is None:
+                opt_state = self.checkpointer.checkpointables.get("opt_state")
+            if opt_state is not None:
+                replacements["opt_state"] = jax.tree_util.tree_map(
+                    jnp.asarray, opt_state
+                )
+            rng = extra.pop("rng", None)
+            if rng is None:
+                rng = self.checkpointer.checkpointables.get("rng")
+            if rng is not None:
+                replacements["rng"] = jax.random.wrap_key_data(jnp.asarray(rng))
+        self._trainer.state = state.replace(**replacements)
         if resume and "iteration" in extra:
             self.start_iter = int(extra["iteration"]) + 1
 

@@ -160,9 +160,16 @@ class SimpleTrainer(TrainerBase):
         self._pending_metrics = metrics
 
     def sync_checkpointer(self):
-        """Expose the live state to the checkpointer before periodic saves."""
+        """Expose the live state to the checkpointer before periodic saves.
+        Optimizer state (momentum + schedule counters) and the sampling rng
+        ride along as checkpointables so a resumed run continues the exact
+        trajectory (reference saves optimizer/scheduler the same way)."""
         if hasattr(self, "checkpointer"):
             self.checkpointer.variables = self.state_variables()
+            self.checkpointer.checkpointables["opt_state"] = self.state.opt_state
+            self.checkpointer.checkpointables["rng"] = jax.random.key_data(
+                self.state.rng
+            )
 
     def update_precise_bn(self, num_iter: int = 200):
         """Recompute population BN statistics over ``num_iter`` batches

@@ -150,3 +150,40 @@ def test_nan_loss_guard():
     with EventStorage(0) as storage:
         t.storage = storage
         t._write_metrics({"loss_cls": 0.4}, data_time=0.0)
+
+
+def test_resume_restores_optimizer_state_and_rng(tiny_coco_train, tmp_path):
+    """Resume continues the exact trajectory: momentum buffers, optax
+    schedule counters and the sampling rng are checkpointed and restored
+    (regression: opt_state reset to zeros on resume, silently restarting
+    the LR schedule and momentum mid-run)."""
+    import jax
+    import numpy as np
+
+    cfg = _tiny_train_cfg(tiny_coco_train, str(tmp_path / "out_resume"))
+    trainer = DefaultTrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    trainer.train()
+    saved_state = trainer.state
+
+    # fresh process-equivalent: new trainer, resume from last_checkpoint
+    cfg2 = _tiny_train_cfg(tiny_coco_train, cfg.OUTPUT_DIR)
+    trainer2 = DefaultTrainer(cfg2)
+    trainer2.resume_or_load(resume=True)
+    assert trainer2.start_iter == 3
+
+    # momentum buffers equal the live trainer's (and are not all-zero)
+    def leaves(t):
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(t)]
+
+    got = leaves(trainer2.state.opt_state)
+    want = leaves(saved_state.opt_state)
+    assert len(got) == len(want)
+    assert any(np.abs(w).max() > 0 for w in want if w.dtype.kind == "f")
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # rng stream continues, not reset to the seed key
+    assert np.array_equal(
+        np.asarray(jax.random.key_data(trainer2.state.rng)),
+        np.asarray(jax.random.key_data(saved_state.rng)),
+    )
