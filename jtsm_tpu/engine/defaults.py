@@ -290,6 +290,17 @@ class DefaultTrainer(TrainerBase):
             self._last_eval_results = self.test(self.cfg, self.model, variables=self._trainer.state_variables())
             return self._last_eval_results
 
+        if cfg.TEST.PRECISE_BN.ENABLED and jax.tree_util.tree_leaves(
+            self._trainer.state.batch_stats
+        ):
+            # recompute population BN stats before each eval (reference
+            # defaults.py build_hooks PreciseBN; no-op without BN stats)
+            ret.append(
+                hooks.PreciseBN(
+                    cfg.TEST.EVAL_PERIOD, cfg.TEST.PRECISE_BN.NUM_ITER
+                )
+            )
+
         if cfg.TEST.EVAL_PERIOD > 0:
             ret.append(hooks.EvalHook(cfg.TEST.EVAL_PERIOD, test_and_save_results))
 
@@ -348,6 +359,9 @@ class DefaultTrainer(TrainerBase):
 
     def sync_checkpointer(self):
         self._trainer.sync_checkpointer()
+
+    def update_precise_bn(self, num_iter: int = 200):
+        self._trainer.update_precise_bn(num_iter)
 
     @property
     def state(self):

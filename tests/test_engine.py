@@ -187,3 +187,26 @@ def test_resume_restores_optimizer_state_and_rng(tiny_coco_train, tmp_path):
         np.asarray(jax.random.key_data(trainer2.state.rng)),
         np.asarray(jax.random.key_data(saved_state.rng)),
     )
+
+
+def test_precise_bn_wired_and_updates_stats(tiny_coco_train, tmp_path):
+    """TEST.PRECISE_BN.ENABLED registers the PreciseBN hook (it was a dead
+    knob) and update_precise_bn recomputes population BN statistics."""
+    import jax
+    import numpy as np
+
+    from jtsm_tpu.engine import hooks as hooks_mod
+
+    cfg = _tiny_train_cfg(tiny_coco_train, str(tmp_path / "out_pbn"))
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.TEST.PRECISE_BN.ENABLED = True
+    cfg.TEST.PRECISE_BN.NUM_ITER = 2
+    cfg.TEST.EVAL_PERIOD = 100
+    trainer = DefaultTrainer(cfg)
+    assert any(isinstance(h, hooks_mod.PreciseBN) for h in trainer._hooks)
+
+    before = [np.asarray(x) for x in jax.tree_util.tree_leaves(trainer.state.batch_stats)]
+    assert before, "BN model must carry batch_stats"
+    trainer.update_precise_bn(2)
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(trainer._trainer.state.batch_stats)]
+    assert any(not np.array_equal(b, a) for b, a in zip(before, after))
