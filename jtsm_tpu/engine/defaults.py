@@ -244,7 +244,13 @@ class DefaultTrainer(TrainerBase):
 
             evaluators.append(COCOProposalEvaluator(dataset_name))
         elif evaluator_type in ("coco", "coco_panoptic_seg"):
-            evaluators.append(COCOEvaluator(dataset_name, output_dir=output_folder))
+            evaluators.append(
+                COCOEvaluator(
+                    dataset_name,
+                    output_dir=output_folder,
+                    kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS,
+                )
+            )
         if evaluator_type in ("sem_seg", "coco_panoptic_seg"):
             evaluators.append(SemSegEvaluator(dataset_name, output_dir=output_folder))
         if evaluator_type == "coco_panoptic_seg":

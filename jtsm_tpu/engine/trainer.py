@@ -121,11 +121,17 @@ class SimpleTrainer(TrainerBase):
         else:
             self._train_step = jax.jit(step, donate_argnums=(0,))
         self._pending_metrics = None
+        # optional host-side hook: batch_transform(state, batch, iteration)
+        # -> batch, applied before the jitted step (e.g. the WSL trainer
+        # injects CPG maps for the CSC-family heads)
+        self.batch_transform = None
 
     def run_step(self):
         start = time.perf_counter()
         batch = next(self._data_loader_iter)
         batch = {k: v for k, v in batch.items() if k != "image_ids"}
+        if self.batch_transform is not None:
+            batch = self.batch_transform(self.state, batch, self.iter)
         data_time = time.perf_counter() - start
 
         if self.mesh is not None:

@@ -80,14 +80,16 @@ def mask_iou(det_rles: List, gt_rles: List, iscrowd: np.ndarray, h: int, w: int)
     return out
 
 
-def oks_iou(dets_kpts: np.ndarray, det_boxes, gts: List[dict]) -> np.ndarray:
+def oks_iou(
+    dets_kpts: np.ndarray, det_boxes, gts: List[dict], sigmas: Optional[np.ndarray] = None
+) -> np.ndarray:
     """Object keypoint similarity (D, G)."""
     d = len(dets_kpts)
     g = len(gts)
     out = np.zeros((d, g))
     if d == 0 or g == 0:
         return out
-    vars_ = (OKS_SIGMAS * 2) ** 2
+    vars_ = ((OKS_SIGMAS if sigmas is None else np.asarray(sigmas)) * 2) ** 2
     for j, gt in enumerate(gts):
         gk = np.asarray(gt["keypoints"], dtype=np.float64).reshape(-1, 3)
         xg, yg, vg = gk[:, 0], gk[:, 1], gk[:, 2]
@@ -131,8 +133,11 @@ class COCOEval:
         self.iou_type = iou_type
         self.use_native = use_native
         self.max_dets = tuple(max_dets)
-        if kpt_oks_sigmas is not None and len(kpt_oks_sigmas):
-            global OKS_SIGMAS
+        self.oks_sigmas = (
+            np.asarray(kpt_oks_sigmas, dtype=np.float64)
+            if kpt_oks_sigmas is not None and len(kpt_oks_sigmas)
+            else OKS_SIGMAS
+        )
         self.imgs = {img["id"]: img for img in gt_dataset["images"]}
         self.cat_ids = sorted(c["id"] for c in gt_dataset.get("categories", []))
         self._gts = defaultdict(list)
@@ -346,7 +351,7 @@ class COCOEval:
                 w,
             )
         return oks_iou(
-            [det["keypoints"] for det in dets], None, gts
+            [det["keypoints"] for det in dets], None, gts, sigmas=self.oks_sigmas
         )
 
     def _gt_area(self, gt: dict) -> float:

@@ -233,3 +233,88 @@ class CSCOICRROIHeads(OICRROIHeads):
             "loss_cls_pos": loss_pos.mean(),
             "loss_cls_neg": loss_neg.mean(),
         }
+
+
+# ---------------------------------------------------------------------------
+# CPG injection for the training loop (reference roi_heads_csc.py:443
+# ``_forward_cpg`` runs torch.autograd.grad inside the head each step; here
+# the maps are produced by a jitted grad pass BEFORE the train step and ride
+# into the head through ``batch['cpg']`` — same two-pass dataflow, expressed
+# as a SimpleTrainer.batch_transform)
+# ---------------------------------------------------------------------------
+
+# heads that consume CPG maps (reference GeneralizedRCNNWSL.has_cpg class set)
+CPG_ROI_HEADS = ("CSCROIHeads", "CSCOICRROIHeads", "WSJDSROIHeads")
+
+# reference constants (roi_heads_csc.py:111): maps of classes whose image
+# prediction is below tau are zeroed; at most this many present classes per
+# image get maps each step (static shape for jit; VOC images carry 1-3)
+CPG_TAU = 0.7
+CPG_MAX_CLASSES = 8
+
+
+def make_cpg_batch_transform(model, csc_max_iter: int, num_classes: int):
+    """Build a ``SimpleTrainer.batch_transform`` that adds per-class CPG
+    maps (B, C, H, W) to each training batch until ``csc_max_iter`` (wiring
+    WSL.CSC_MAX_ITER — after the cutoff the heads fall back to the plain MIL
+    loss exactly like the reference's ``return None``)."""
+    import numpy as np
+
+    @jax.jit
+    def cpg_maps(variables, batch, class_idx, class_ok):
+        images = batch["image"]
+
+        def image_scores(imgs):
+            out = model.apply(variables, dict(batch, image=imgs), train=False)
+            return out["proposal_class_scores"].sum(axis=1)  # (B, C)
+
+        # reference tau gate: classes predicted below tau get no map
+        preds = jnp.clip(image_scores(images), 0.0, 1.0)
+        pred_ok = jnp.take_along_axis(preds, class_idx, axis=1) >= CPG_TAU
+        ok = class_ok & pred_ok  # (B, K)
+
+        def per_class(args):
+            idx_k, ok_k = args  # (B,), (B,)
+
+            def score(imgs):
+                s = image_scores(imgs)
+                picked = jnp.take_along_axis(s, idx_k[:, None], axis=1)[:, 0]
+                return jnp.sum(picked * ok_k)
+
+            g = jax.grad(score)(images)  # (B, H, W, 3)
+            cpg = jnp.abs(g).max(-1)
+            return cpg / jnp.maximum(cpg.max(axis=(1, 2), keepdims=True), 1e-20)
+
+        # lax.map: K sequential grad passes (vmap would hold K backbones of
+        # activations live; the reference also loops classes sequentially)
+        cpgs = jax.lax.map(
+            per_class, (class_idx.T, class_ok.T)
+        )  # (K, B, H, W)
+        cpgs = jnp.transpose(cpgs, (1, 0, 2, 3)) * ok[..., None, None]
+        b, _, h, w = cpgs.shape
+        full = jnp.zeros((b, num_classes, h, w), cpgs.dtype)
+        # max-scatter: padded slots carry all-zero maps and cannot clobber
+        return full.at[jnp.arange(b)[:, None], class_idx].max(cpgs)
+
+    def transform(state, batch, iteration):
+        if iteration > csc_max_iter or "gt_classes" not in batch:
+            return batch
+        gt_c = np.asarray(batch["gt_classes"])
+        gt_v = np.asarray(batch["gt_valid"]).astype(bool)
+        b = gt_c.shape[0]
+        idx = np.zeros((b, CPG_MAX_CLASSES), np.int32)
+        ok = np.zeros((b, CPG_MAX_CLASSES), bool)
+        for i in range(b):
+            present = np.unique(gt_c[i][gt_v[i]])[:CPG_MAX_CLASSES]
+            idx[i, : len(present)] = present
+            ok[i, : len(present)] = True
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.frozen):
+            variables["frozen"] = state.frozen
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        cpg = cpg_maps(variables, device_batch, jnp.asarray(idx), jnp.asarray(ok))
+        return dict(batch, cpg=cpg)
+
+    return transform

@@ -363,11 +363,13 @@ class CMILROIHeads(WSDDNROIHeads):
     """Continuation MIL (reference roi_heads_cmil.py)."""
 
     max_iter: int = 35000
+    size_epoch: float = 5000.0
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape):
         ret = WSDDNROIHeads.from_config(cfg, input_shape)
         ret["max_iter"] = cfg.SOLVER.MAX_ITER
+        ret["size_epoch"] = float(cfg.WSL.SIZE_EPOCH)
         return ret
 
     @nn.compact
@@ -396,10 +398,11 @@ class CMILROIHeads(WSDDNROIHeads):
         det_logit = det_logit.reshape(b, r, -1)
         valid = jnp.isfinite(proposal_scores)
 
-        size_epoch = 5000.0
         lam = (
             roi_merge_lambda(
-                cur_iter, max(self.max_iter / size_epoch, 1.0), size_epoch
+                cur_iter,
+                max(self.max_iter / self.size_epoch, 1.0),
+                self.size_epoch,
             )
             if cur_iter is not None
             else jnp.asarray(1.0)  # test time: lambda=1 -> merging is identity

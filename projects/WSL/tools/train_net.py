@@ -27,6 +27,20 @@ class Trainer(DefaultTrainer):
     TPU the skip is unnecessary (static batches carry validity masks) and
     accumulation is optax.MultiSteps on the optimizer."""
 
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        # CSC-family heads consume class-peak-gradient maps each step
+        # (reference GeneralizedRCNNWSL.has_cpg + roi_heads_csc _forward_cpg)
+        from jtsm_tpu.wsl.modeling.wsjds import (
+            CPG_ROI_HEADS,
+            make_cpg_batch_transform,
+        )
+
+        if cfg.MODEL.ROI_HEADS.NAME in CPG_ROI_HEADS:
+            self._trainer.batch_transform = make_cpg_batch_transform(
+                self.model, cfg.WSL.CSC_MAX_ITER, cfg.MODEL.ROI_HEADS.NUM_CLASSES
+            )
+
     @classmethod
     def build_optimizer(cls, cfg, params):
         """Gradient accumulation over WSL.ITER_SIZE mini-batches

@@ -423,3 +423,24 @@ def test_pascal_voc_evaluator_e2e():
     # class 0: the non-difficult GT is recalled; the difficult-GT det is
     # ignored. class 1: perfect. VOC07 metric -> 100 each.
     np.testing.assert_allclose(res["bbox"]["AP50"], 100.0)
+
+
+def test_keypoint_oks_sigmas_plumbed():
+    """TEST.KEYPOINT_OKS_SIGMAS actually changes OKS matching (regression:
+    the sigmas arg hit a broken `global` stub and was ignored)."""
+    from jtsm_tpu.evaluation.cocoeval import COCOEval
+
+    gt = {
+        "images": [{"id": 1, "width": 100, "height": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "iscrowd": 0,
+             "bbox": [10, 10, 40, 40], "area": 1600,
+             "keypoints": [20, 20, 2, 30, 30, 2, 40, 40, 2], "num_keypoints": 3}
+        ],
+        "categories": [{"id": 1, "name": "p"}],
+    }
+    det = [{"image_id": 1, "category_id": 1, "score": 0.9,
+            "keypoints": [22, 20, 1, 30, 33, 1, 40, 40, 1], "bbox": [10, 10, 40, 40]}]
+    tight = COCOEval(gt, "keypoints", kpt_oks_sigmas=[0.01] * 3).evaluate(det)
+    loose = COCOEval(gt, "keypoints", kpt_oks_sigmas=[0.5] * 3).evaluate(det)
+    assert loose["AP"] == 1.0 and tight["AP"] == 0.0
