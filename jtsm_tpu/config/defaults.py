@@ -284,10 +284,8 @@ _C.TPU = CN()
 # resized by the usual policy then padded to the smallest fitting bucket so
 # XLA compiles a bounded number of programs.
 _C.TPU.IMAGE_BUCKETS = [[800, 1344], [1344, 800], [1024, 1024]]
-_C.TPU.SIZE_DIVISIBILITY = 32
 # Fixed capacities that replace dynamic shapes (see SURVEY.md §7):
 _C.TPU.MAX_GT_INSTANCES = 100
-_C.TPU.MAX_DETECTIONS = 100
 # dtype of the compute path: "bfloat16" or "float32"
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # mesh axis names and sizes; -1 means "all remaining devices"

@@ -296,6 +296,11 @@ class DefaultTrainer(TrainerBase):
             self._last_eval_results = self.test(self.cfg, self.model, variables=self._trainer.state_variables())
             return self._last_eval_results
 
+        if cfg.VIS_PERIOD > 0:
+            # training-sample visualization to TensorBoard (reference
+            # rcnn.py visualize_training driven by cfg.VIS_PERIOD)
+            ret.append(hooks.TrainingVisualizationHook(cfg.VIS_PERIOD))
+
         if cfg.TEST.PRECISE_BN.ENABLED and jax.tree_util.tree_leaves(
             self._trainer.state.batch_stats
         ):
@@ -368,6 +373,10 @@ class DefaultTrainer(TrainerBase):
 
     def update_precise_bn(self, num_iter: int = 200):
         self._trainer.update_precise_bn(num_iter)
+
+    @property
+    def last_batch(self):
+        return getattr(self._trainer, "last_batch", None)
 
     @property
     def state(self):

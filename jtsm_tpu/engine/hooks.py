@@ -209,3 +209,41 @@ class PreciseBN(HookBase):
         if self._period > 0 and next_iter % self._period == 0:
             if hasattr(self.trainer, "update_precise_bn"):
                 self.trainer.update_precise_bn(self._num_iter)
+
+
+class TrainingVisualizationHook(HookBase):
+    """Every ``period`` steps, draw the first training image with its GT
+    boxes and put it into EventStorage for the TensorBoard writer
+    (reference meta_arch/rcnn.py ``visualize_training`` driven by
+    cfg.VIS_PERIOD)."""
+
+    def __init__(self, period: int):
+        self._period = period
+
+    def after_step(self):
+        if self._period <= 0 or self.trainer.iter % self._period != 0:
+            return
+        batch = getattr(self.trainer, "last_batch", None)
+        if batch is None or "image" not in batch:
+            return
+        import numpy as np
+
+        from ..utils.visualizer import Visualizer
+
+        # batches carry RAW pixel images (normalization happens inside the
+        # model), so the first image is directly drawable
+        img = np.clip(np.asarray(batch["image"][0]), 0, 255).astype(np.uint8)
+        vis = Visualizer(img)
+        if "gt_boxes" in batch:
+            boxes = np.asarray(batch["gt_boxes"][0])
+            valid = (
+                np.asarray(batch["gt_valid"][0]).astype(bool)
+                if "gt_valid" in batch
+                else np.ones(len(boxes), bool)
+            )
+            vis.overlay_instances(boxes=boxes[valid])
+        out = vis.get_output().get_image()
+        # CHW layout like the reference put_image contract
+        self.trainer.storage.put_image(
+            "training_samples", np.transpose(out, (2, 0, 1))
+        )

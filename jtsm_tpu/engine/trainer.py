@@ -140,6 +140,7 @@ class SimpleTrainer(TrainerBase):
             batch = shard_batch_pytree(batch, self.mesh)
 
         self.state, metrics = self._train_step(self.state, batch)
+        self.last_batch = batch  # exposed for TrainingVisualizationHook
         self._write_metrics(metrics, data_time)
 
     def _write_metrics(self, metrics: Dict[str, Any], data_time: float):
