@@ -63,8 +63,8 @@ def detector_postprocess_batched(
         kp = detections["keypoints"]
         out["keypoints"] = jnp.concatenate(
             [
-                kp[..., 0:1] * sx[..., None],
-                kp[..., 1:2] * sy[..., None],
+                kp[..., 0:1] * sx[..., None, None],
+                kp[..., 1:2] * sy[..., None, None],
                 kp[..., 2:],
             ],
             axis=-1,

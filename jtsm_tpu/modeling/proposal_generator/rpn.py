@@ -101,6 +101,7 @@ class RPN(nn.Module):
     post_nms_topk_test: int = 1000
     nms_thresh: float = 0.7
     min_box_size: float = 0.0
+    boundary_threshold: float = -1.0
     loss_weight: float = 1.0
     box_reg_loss_weight: float = 1.0
     smooth_l1_beta: float = 0.0
@@ -139,6 +140,7 @@ class RPN(nn.Module):
             post_nms_topk_test=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
             nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
             min_box_size=float(cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE),
+            boundary_threshold=float(cfg.MODEL.RPN.BOUNDARY_THRESH),
             loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
             box_reg_loss_weight=cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT,
             smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
@@ -187,6 +189,7 @@ class RPN(nn.Module):
                 jnp.concatenate(deltas_flat, axis=1),
                 gt_boxes,
                 gt_valid,
+                images_sizes,
             )
 
         proposals, prop_scores = self._predict_proposals(
@@ -197,14 +200,28 @@ class RPN(nn.Module):
     def _adapt_inputs(self, feature_batch, image_sizes, gt_boxes, gt_valid):
         return image_sizes, gt_boxes, gt_valid
 
-    def _losses(self, rng, anchors, logits, deltas, gt_boxes, gt_valid):
-        """anchors (N, 4); logits (B, N); deltas (B, N, 4)."""
+    def _losses(self, rng, anchors, logits, deltas, gt_boxes, gt_valid, image_sizes):
+        """anchors (N, 4); logits (B, N); deltas (B, N, 4); image_sizes (B, 2)."""
         b = logits.shape[0]
         rngs = jax.random.split(rng, b)
 
-        def one(rng_i, logit, delta, gt_b, gt_v):
+        def one(rng_i, logit, delta, gt_b, gt_v, size_i):
             iou = pairwise_iou(gt_b, anchors)  # (G, N)
             matched_idx, match_labels = self.anchor_matcher(iou, gt_valid=gt_v)
+            if self.boundary_threshold >= 0:
+                # reference rpn.py: anchors that leave the image by more than
+                # BOUNDARY_THRESH pixels are ignored (label -1), a legacy
+                # Faster R-CNN option
+                t = self.boundary_threshold
+                h = size_i[0].astype(jnp.float32)
+                w = size_i[1].astype(jnp.float32)
+                inside = (
+                    (anchors[:, 0] >= -t)
+                    & (anchors[:, 1] >= -t)
+                    & (anchors[:, 2] < w + t)
+                    & (anchors[:, 3] < h + t)
+                )
+                match_labels = jnp.where(inside, match_labels, -1)
             pos_mask, neg_mask = subsample_labels(
                 rng_i,
                 match_labels.astype(jnp.int32),
@@ -233,7 +250,9 @@ class RPN(nn.Module):
                 reg_loss = jnp.sum(giou_loss(pred_boxes, matched_gt) * pos_mask)
             return obj_loss, reg_loss
 
-        obj_losses, reg_losses = jax.vmap(one)(rngs, logits, deltas, gt_boxes, gt_valid)
+        obj_losses, reg_losses = jax.vmap(one)(
+            rngs, logits, deltas, gt_boxes, gt_valid, image_sizes
+        )
         normalizer = self.batch_size_per_image * b
         return {
             "loss_rpn_cls": jnp.sum(obj_losses) / normalizer * self.loss_weight,

@@ -126,6 +126,38 @@ def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
         if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
             clip = optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
         else:
-            clip = optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+            clip = clip_per_param_norm(
+                cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE,
+                cfg.SOLVER.CLIP_GRADIENTS.NORM_TYPE,
+            )
         tx = optax.chain(clip, tx)
     return tx
+
+
+def clip_per_param_norm(max_norm: float, norm_type: float = 2.0):
+    """Per-parameter p-norm gradient clipping.
+
+    The reference's ``CLIP_TYPE: norm`` applies ``torch.nn.utils
+    .clip_grad_norm_(p, CLIP_VALUE, NORM_TYPE)`` to each parameter tensor
+    individually (solver/build.py:56-58 iterates params and calls the
+    clipper per tensor) — NOT a global-norm clip. Matches torch's
+    ``clip_coef = max_norm / (norm + 1e-6)`` clamped at 1.
+    """
+    max_norm = float(max_norm)
+    norm_type = float(norm_type)
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_leaf(g):
+            gf = g.astype(jnp.float32)
+            if norm_type == float("inf"):
+                n = jnp.max(jnp.abs(gf))
+            else:
+                n = jnp.sum(jnp.abs(gf) ** norm_type) ** (1.0 / norm_type)
+            scale = jnp.minimum(1.0, max_norm / (n + 1e-6))
+            return (gf * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)

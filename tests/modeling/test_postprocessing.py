@@ -29,6 +29,26 @@ def test_boxes_and_keypoints_rescale_together():
     np.testing.assert_allclose(kp[:, 2:], [[1.5, 0.8], [2.5, 0.9]])
 
 
+def test_keypoints_rescale_batch_gt1():
+    # regression: with B > 1 the keypoint scale factor was (B, 1, 1) which
+    # rank-promotes to (1, B, 1, 1) and fails to broadcast against
+    # (B, D, K, 4) — only B = 1 happened to work
+    b, d, k = 3, 5, 17
+    kp = jnp.ones((b, d, k, 4))
+    dets = {
+        "boxes": jnp.ones((b, d, 4)),
+        "keypoints": kp,
+    }
+    out = detector_postprocess_batched(
+        dets,
+        image_sizes=jnp.tile(jnp.asarray([[100, 200]], jnp.int32), (b, 1)),
+        orig_sizes=jnp.tile(jnp.asarray([[200, 400]], jnp.int32), (b, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(out["keypoints"][..., 0]), 2.0)
+    np.testing.assert_allclose(np.asarray(out["keypoints"][..., 1]), 2.0)
+    np.testing.assert_allclose(np.asarray(out["keypoints"][..., 2:]), 1.0)
+
+
 def test_anisotropic_rescale():
     dets = {
         "boxes": jnp.asarray([[[8.0, 10.0, 16.0, 20.0]]]),
