@@ -11,6 +11,9 @@ def add_wsl_config(cfg: CN) -> None:
 
     _C.WSL = CN()
     _C.WSL.ITER_SIZE = 1
+    # mean-vs-sum reduction of the MIL image BCE (reference defaults.py:22;
+    # the wsddn/csc WSR yamls set False, oicr/pcl/cmil/uwsod set True)
+    _C.WSL.MEAN_LOSS = True
     _C.WSL.USE_OBN = True
     _C.WSL.REFINE_NUM = 3
     _C.WSL.REFINE_REG = [False, False, False, False]
@@ -43,8 +46,6 @@ def add_wsl_config(cfg: CN) -> None:
     # no_paste flags instead of box-pasted crop masks (reference
     # roi_heads_jtsm.py:969-997 + postprocessing.py:63-70)
     _C.WSL.TEST_NO_PASTE = False
-    # pseudo-gt mining
-    _C.WSL.PGT_SCORE_THRESH = 0.0
     # per-refinement-branch proposal sampling (reference defaults.py:53-58):
     # branch k labels proposals against its mined PGT with
     # Matcher(IOU_THRESHOLDS[k], IOU_LABELS[k]) and subsamples
@@ -75,7 +76,7 @@ def add_wsl_config(cfg: CN) -> None:
     # are nonnegative — true for every WSL backbone, which all end in ReLU;
     # set False for a backbone with signed outputs to use the -1e30 form)
     _C.WSL.MOI_NONNEG_FEATURES = True
-    _C.WSL.MAX_PROPOSALS = 2000  # padded proposal capacity R
+    # padded proposal capacity R is DATASETS.PRECOMPUTED_PROPOSAL_TOPK_*
     _C.WSL.MAX_SUPERPIXELS = 1024  # padded superpixel capacity S
 
     _C.MODEL.MRRP = CN()

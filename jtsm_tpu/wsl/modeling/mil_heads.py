@@ -54,6 +54,47 @@ class MILOutputLayers(nn.Module):
         return cls_logit, det_logit
 
 
+class GAMLayer(nn.Module):
+    """Guided attention module (reference fast_rcnn.py:2027
+    ``GAMOutputLayers``): a 1x1-conv sigmoid attention map rescales the
+    backbone feature as ``(1 + a) * x``, and a second 1x1 conv on the
+    attention map global-average-pools to image-level class logits trained
+    with BCE vs the image one-hot (``GAMOutputs.losses`` :1986, cfg
+    ``WSL.HAS_GAM``)."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        """x: (B, H, W, C) -> (attended features, (B, num_classes) logits)."""
+        a = nn.Conv(
+            x.shape[-1],
+            (1, 1),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            name="conv6",
+        )(x)
+        a = jax.nn.sigmoid(a.astype(jnp.float32))
+        attended = (1.0 + a).astype(x.dtype) * x
+        logits = nn.Conv(
+            self.num_classes,
+            (1, 1),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            name="conv7",
+        )(a.astype(self.dtype))
+        logits = jnp.mean(logits.astype(jnp.float32), axis=(1, 2))
+        return attended, logits
+
+
+def gam_image_loss(logits: Array, image_labels: Array) -> Array:
+    """BCE-with-logits, mean reduction (reference WSL.MEAN_LOSS default)."""
+    labels = image_labels.astype(jnp.float32)
+    bce = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return bce.mean()
+
+
 def wsddn_scores(cls_logit: Array, det_logit: Array, valid: Array) -> Array:
     """(R, C) x (R, C) -> (R, C) MIL scores: softmax over classes x softmax
     over (valid) proposals."""
@@ -64,13 +105,18 @@ def wsddn_scores(cls_logit: Array, det_logit: Array, valid: Array) -> Array:
     return s_cls * s_det
 
 
-def mil_image_loss(proposal_scores: Array, image_labels: Array) -> Array:
+def mil_image_loss(
+    proposal_scores: Array, image_labels: Array, mean_loss: bool = True
+) -> Array:
     """Image-level multi-label BCE (reference fast_rcnn_tsm.py:346):
-    image score = sum of proposal scores per class, clamped to (0, 1)."""
+    image score = sum of proposal scores per class, clamped to (0, 1).
+    ``mean_loss`` selects mean-vs-sum reduction over classes (cfg
+    ``WSL.MEAN_LOSS``, reference default True; the wsddn/csc WSR yamls set
+    False)."""
     img_score = jnp.clip(proposal_scores.sum(axis=0), 1e-6, 1.0 - 1e-6)
     labels = image_labels.astype(jnp.float32)
     bce = -(labels * jnp.log(img_score) + (1 - labels) * jnp.log(1 - img_score))
-    return bce.sum()
+    return bce.mean() if mean_loss else bce.sum()
 
 
 class OICROutputLayers(nn.Module):

@@ -157,6 +157,7 @@ class JTSMROIHeads(nn.Module):
     nms_thresh_test: float = 0.4
     detections_per_image: int = 100
     sem_seg_ignore: int = 255
+    mean_loss: bool = True  # WSL.MEAN_LOSS (reference fast_rcnn_tsm.py:355)
     dtype: Any = jnp.float32
 
     @property
@@ -203,6 +204,7 @@ class JTSMROIHeads(nn.Module):
             nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
             sem_seg_ignore=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+            mean_loss=cfg.WSL.MEAN_LOSS,
             dtype=dtype,
         )
         if cfg.MODEL.MASK_ON:
@@ -351,7 +353,11 @@ class JTSMROIHeads(nn.Module):
         self, proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feats, images=None
     ):
         img_labels = self._joint_labels(targets, b)
-        losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+        losses = {
+            "loss_mil": jax.vmap(
+                lambda m, l: mil_image_loss(m, l, self.mean_loss)
+            )(mil, img_labels).mean()
+        }
 
         source = mil
         for k, (logits, deltas) in enumerate(branches):

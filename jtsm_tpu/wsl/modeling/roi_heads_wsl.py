@@ -30,8 +30,10 @@ from ...ops.losses import smooth_l1_loss
 from ...ops.nms import batched_nms_mask
 from ...structures.boxes import clip_boxes, nonempty_boxes
 from .mil_heads import (
+    GAMLayer,
     MILOutputLayers,
     OICROutputLayers,
+    gam_image_loss,
     get_pgt_mist,
     get_pgt_top_k,
     label_proposals_by_pgt,
@@ -153,6 +155,8 @@ class WSDDNROIHeads(nn.Module):
     score_thresh_test: float = 1e-4
     nms_thresh_test: float = 0.4
     detections_per_image: int = 100
+    has_gam: bool = False
+    mean_loss: bool = True
     dtype: Any = jnp.float32
 
     @classmethod
@@ -173,8 +177,26 @@ class WSDDNROIHeads(nn.Module):
             score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
             nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            has_gam=cfg.WSL.HAS_GAM,
+            mean_loss=cfg.WSL.MEAN_LOSS,
             dtype=dtype,
         )
+
+    def _apply_gam(self, feats):
+        """WSL.HAS_GAM: guided-attention rescale of the (single-level)
+        feature + image-level class logits (reference roi_heads_all.py:1733
+        applies GAM before pooling)."""
+        if not self.has_gam:
+            return feats, None
+        assert len(feats) == 1, "GAM requires a single feature level"
+        attended, gam_logits = GAMLayer(
+            num_classes=self.num_classes, dtype=self.dtype, name="gam"
+        )(feats[0])
+        return [attended], gam_logits
+
+    def _prepare_features(self, feats, b):
+        """Hook for MRRP subclasses to unfold branch-folded features."""
+        return feats
 
     @nn.compact
     def __call__(
@@ -186,8 +208,9 @@ class WSDDNROIHeads(nn.Module):
         targets: Optional[Dict[str, Array]] = None,
         train: bool = False,
     ):
-        feats = [features[f] for f in self.in_features]
         b, r = proposals.shape[:2]
+        feats = self._prepare_features([features[f] for f in self.in_features], b)
+        feats, gam_logits = self._apply_gam(feats)
         flat_boxes = proposals.reshape(b * r, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
         pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
@@ -207,8 +230,13 @@ class WSDDNROIHeads(nn.Module):
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            loss = jax.vmap(mil_image_loss)(mil, img_labels).mean()
-            return {}, {"loss_mil": loss}
+            loss = jax.vmap(
+                lambda m, l: mil_image_loss(m, l, self.mean_loss)
+            )(mil, img_labels).mean()
+            losses = {"loss_mil": loss}
+            if gam_logits is not None:
+                losses["loss_gam"] = gam_image_loss(gam_logits, img_labels)
+            return {}, losses
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
@@ -252,6 +280,10 @@ class OICRROIHeads(nn.Module):
     sampling_batch_size: Sequence[int] = ()
     sampling_pos_fraction: Sequence[float] = ()
     cascade_on: bool = False  # see CascadeOICRROIHeads
+    has_gam: bool = False
+    mean_loss: bool = True
+
+    _apply_gam = WSDDNROIHeads._apply_gam
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
@@ -299,7 +331,11 @@ class OICRROIHeads(nn.Module):
     def _mil_losses(self, mil, img_labels, proposals, valid, targets):
         """Base MIL image loss; CSCOICRROIHeads overrides with CSC
         weighting (reference roi_heads_csc.py)."""
-        return {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+        return {
+            "loss_mil": jax.vmap(
+                lambda m, l: mil_image_loss(m, l, self.mean_loss)
+            )(mil, img_labels).mean()
+        }
 
     @nn.compact
     def __call__(
@@ -315,6 +351,7 @@ class OICRROIHeads(nn.Module):
         feats = self._prepare_features(
             [features[f] for f in self.in_features], b
         )
+        feats, gam_logits = self._apply_gam(feats)
         flat_boxes = proposals.reshape(b * r, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
         pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
@@ -354,6 +391,8 @@ class OICRROIHeads(nn.Module):
             losses = dict(
                 self._mil_losses(mil, img_labels, proposals, valid, targets)
             )
+            if gam_logits is not None:
+                losses["loss_gam"] = gam_image_loss(gam_logits, img_labels)
             source = mil  # (B, R, C) probabilities
             sampling_rng = self.make_rng("sampling") if self.sampling_on else None
             for k, (logits, deltas) in enumerate(branches):
@@ -539,3 +578,34 @@ class MRRPOICRROIHeads(OICRROIHeads):
 class TridentOICRROIHeads(MRRPOICRROIHeads):
     """Reference config-zoo alias for the MRRP/trident OICR head
     (reg_all/oicr_TRD_*.yaml name)."""
+
+
+@ROI_HEADS_REGISTRY.register()
+class MRRPWSDDNROIHeads(WSDDNROIHeads):
+    """WSDDN over a Multi-Rate Receptive Pyramid backbone (reference
+    roi_heads_all.py:809): branch-folded (B*N, H, W, C) features are
+    averaged over the dilation branches before pooling (same condensation
+    as MRRPOICRROIHeads)."""
+
+    mrrp_num_branch: int = 1
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        ret = WSDDNROIHeads.from_config(cfg, input_shape)
+        ret["mrrp_num_branch"] = (
+            cfg.MODEL.MRRP.NUM_BRANCH if cfg.MODEL.MRRP.MRRP_ON else 1
+        )
+        return ret
+
+    _prepare_features = MRRPOICRROIHeads._prepare_features
+
+
+from ...modeling.roi_heads.res5_roi_heads import Res5ROIHeads as _Res5ROIHeads  # noqa: E402
+
+
+@ROI_HEADS_REGISTRY.register()
+class WSRes5ROIHeads(_Res5ROIHeads):
+    """Reference config-zoo name (wsl/modeling/roi_heads/roi_heads.py:410)
+    for the fully-supervised C4 Res5 second stage over a WS-ResNet trunk —
+    structurally identical to the core Res5ROIHeads; registered so the
+    reference faster_rcnn_WSR_*_C4 yamls work verbatim."""

@@ -34,6 +34,10 @@ class ASPPHead(nn.Module):
     loss_weight: float = 1.0
     ignore_value: int = 255
     use_crf: bool = False
+    # reference seg_heads.py:89,126: True -> (num_classes + 1)-channel
+    # softmax CE; False (default) -> per-class weighted BCE on binary
+    # targets (the WSJDS det->seg supervision)
+    mask_softmax: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -51,6 +55,7 @@ class ASPPHead(nn.Module):
             loss_weight=cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
             ignore_value=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
             use_crf=bool(cfg.MODEL.SEM_SEG_HEAD.get("CONSTRAINT", "") == "CRF"),
+            mask_softmax=bool(cfg.MODEL.SEM_SEG_HEAD.get("MASK_SOFTMAX", False)),
             dtype=dtype,
         )
 
@@ -72,6 +77,8 @@ class ASPPHead(nn.Module):
         train: bool = False,
         targets_stride: int = 1,
         images=None,
+        binary_targets=None,  # (B, C, Ht, Wt) per-class 0/1 maps
+        binary_weights=None,  # (B, C, Ht, Wt) balanced fg/bg weights
     ):
         x = features[self.in_features[-1]]
         x = ASPP(
@@ -81,8 +88,9 @@ class ASPPHead(nn.Module):
             dtype=self.dtype,
             name="aspp",
         )(x, deterministic=not train)
+        out_channels = self.num_classes + (1 if self.mask_softmax else 0)
         logits = Conv2d(
-            features=self.num_classes,
+            features=out_channels,
             kernel_size=1,
             dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.001),
@@ -90,7 +98,11 @@ class ASPPHead(nn.Module):
         )(x).astype(jnp.float32)
 
         losses = {}
-        if train and targets is not None:
+        if train and binary_targets is not None:
+            losses["loss_sem_seg"] = self._binary_loss(
+                logits, binary_targets, binary_weights
+            )
+        elif train and targets is not None:
             assert self.common_stride % targets_stride == 0
             s = self.common_stride // targets_stride
             t = targets[:, ::s, ::s][:, : logits.shape[1], : logits.shape[2]]
@@ -112,6 +124,42 @@ class ASPPHead(nn.Module):
             # eval-time refinement (reference seg_heads.py:150-162)
             logits = jnp.log(jnp.clip(self._crf(logits, images), 1e-8))
         return logits, losses
+
+    def _binary_loss(self, logits, binary_targets, binary_weights):
+        """WSJDS det->seg supervision (reference seg_heads.py:126-138):
+        MASK_SOFTMAX off -> per-class weighted BCE-with-logits (sum, weights
+        already balanced per class); on -> (num_classes + 1)-way softmax CE
+        with the extra background channel, target = argmax class or bg when
+        no class is positive, ignore where every class weight is 0. Targets
+        arrive at an arbitrary resolution (CPG/image res in the reference);
+        they are stride-subsampled to the logits grid and the balanced
+        weights renormalized at that resolution."""
+        h, w = logits.shape[1], logits.shape[2]
+        bt = jnp.transpose(binary_targets, (0, 2, 3, 1))  # (B, Ht, Wt, C)
+        bw = jnp.transpose(binary_weights, (0, 2, 3, 1))
+        sy = max(bt.shape[1] // h, 1)
+        sx = max(bt.shape[2] // w, 1)
+        bt = bt[:, ::sy, ::sx][:, :h, :w]
+        bw = bw[:, ::sy, ::sx][:, :h, :w]
+        pos = (bt > 0.5) & (bw > 0)
+        neg = (bt <= 0.5) & (bw > 0)
+        # re-balance fg/bg at the subsampled resolution (the incoming
+        # weights were normalized by full-res pixel counts)
+        n_pos = jnp.maximum(pos.sum(axis=(1, 2), keepdims=True), 1.0)
+        n_neg = jnp.maximum(neg.sum(axis=(1, 2), keepdims=True), 1.0)
+        wgt = jnp.where(pos, 1.0 / n_pos, jnp.where(neg, 1.0 / n_neg, 0.0))
+        if self.mask_softmax:
+            any_pos = pos.any(axis=-1)
+            cls = jnp.where(any_pos, jnp.argmax(bt * wgt, axis=-1), self.num_classes)
+            valid = (bw > 0).any(axis=-1)
+            ce = softmax_cross_entropy(logits, cls)
+            return (
+                jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0) * self.loss_weight
+            )
+        t = bt.astype(jnp.float32)
+        lg = logits
+        bce = jnp.maximum(lg, 0.0) - lg * t + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+        return jnp.sum(bce * wgt) * self.loss_weight
 
 
 @SEM_SEG_HEADS_REGISTRY.register()

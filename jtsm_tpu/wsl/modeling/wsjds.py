@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from ...config import CfgNode
 from ...layers import ShapeSpec
+from ...layers.wrappers import interpolate_bilinear
+from ...modeling.meta_arch.semantic_seg import build_sem_seg_head
 from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
 from .mil_heads import MILOutputLayers, mil_image_loss, wsddn_scores
 from .roi_heads_wsl import (
@@ -50,11 +52,14 @@ def sem_seg_targets_from_cpg(
     """Per-class binary targets + balanced weights
     (reference wsjds_heads.py:670 ``_get_sem_seg_target``): cpg >= fg ->
     positive, < bg -> negative, in between -> ignore (weight 0); absent
-    classes are all-negative. fg/bg weights are normalized by their pixel
-    counts so each side contributes equally."""
+    classes are all-negative; present classes with an all-zero map (the CPG
+    transform zeroes maps whose image prediction is below tau — reference
+    ``pred_class_img_logits < tau -> 255``) are fully ignored. fg/bg weights
+    are normalized by their pixel counts so each side contributes equally."""
     present = img_labels[:, None, None] > 0.5
-    pos = (cpg >= fg_threshold) & present
-    neg = (cpg < bg_threshold) | ~present
+    has_map = cpg.max(axis=(1, 2), keepdims=True) > 0
+    pos = (cpg >= fg_threshold) & present & has_map
+    neg = ((cpg < bg_threshold) & present & has_map) | ~present
     targets = pos.astype(jnp.float32)
     n_pos = jnp.maximum(pos.sum(axis=(1, 2), keepdims=True), 1.0)
     n_neg = jnp.maximum(neg.sum(axis=(1, 2), keepdims=True), 1.0)
@@ -106,11 +111,20 @@ def csc_weighted_mil_image_loss(
 class WSJDSROIHeads(WSDDNROIHeads):
     """MIL box branch with CSC-weighted image loss + CPG sem-seg mining
     (reference wsjds_heads.py:36). Box features are scaled by
-    (objectness + 1) before the neck (reference :386)."""
+    (objectness + 1) before the neck (reference :386). The head owns its
+    own seg branch (reference ``_init_sem_seg_head`` :218 — an ASPP head
+    supervised with the CPG-mined binary targets :414-422); its sigmoid
+    predictions feed BACK into a second, 0.1-weighted CSC det loss
+    (:430-448) and provide full-image instance masks at inference
+    (``_get_ins_seg_result`` :697)."""
 
     csc_fg_threshold: float = 0.1
     sem_fg_threshold: float = 0.7
     sem_bg_threshold: float = 0.1
+    sem_seg_head: Optional[nn.Module] = None
+    # stride of the seg-branch input feature: padded image resolution is
+    # feature_hw * stride (static shapes; images pad to divisibility)
+    seg_stride: int = 8
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
@@ -120,7 +134,78 @@ class WSJDSROIHeads(WSDDNROIHeads):
             sem_fg_threshold=cfg.WSL.SEM_FG_THRESHOLD,
             sem_bg_threshold=cfg.WSL.SEM_BG_THRESHOLD,
         )
+        # the seg branch needs a head that supports binary det->seg
+        # supervision (ASPPHead); the plain CSC heads run without one
+        if cfg.MODEL.SEM_SEG_HEAD.NAME == "ASPPHead":
+            ret["sem_seg_head"] = build_sem_seg_head(cfg, input_shape)
+            feat = cfg.MODEL.ROI_HEADS.IN_FEATURES[-1]
+            ret["seg_stride"] = input_shape[feat].stride
         return ret
+
+    def _seg_branch_train(self, features, losses, mil, proposals, valid, img_labels, cpg):
+        """det -> seg -> det round trip (reference wsjds_heads.py:414-448).
+        Returns the merged loss dict."""
+        sem_t, sem_w = jax.vmap(
+            lambda c, l: sem_seg_targets_from_cpg(
+                c, l, self.sem_fg_threshold, self.sem_bg_threshold
+            )
+        )(cpg, img_labels)
+        if self.sem_seg_head is None:
+            # no seg branch: expose the mined targets for an external head
+            return losses, {"pgt_sem_seg_binary": sem_t, "pgt_sem_seg_weights": sem_w}
+        logits, sem_losses = self.sem_seg_head(
+            features, None, train=True, binary_targets=sem_t, binary_weights=sem_w
+        )
+        losses.update(sem_losses)
+        # seg -> det: sigmoid masks, per-class max-normalized, re-run CSC
+        # as 0.1-weighted ``mask_``-prefixed losses (reference :430-448)
+        masks = jax.nn.sigmoid(logits.astype(jnp.float32))  # (B, h, w, C)
+        masks = jnp.transpose(masks, (0, 3, 1, 2))  # (B, C, h, w)
+        masks = interpolate_bilinear(
+            jnp.transpose(masks, (0, 2, 3, 1)), cpg.shape[-2:]
+        )
+        masks = jnp.transpose(masks, (0, 3, 1, 2))
+        masks = masks / jnp.maximum(masks.max(axis=(2, 3), keepdims=True), 1e-12)
+        m_pos, m_neg = jax.vmap(
+            lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
+                m, bx, v, l, c, self.num_classes, self.csc_fg_threshold, self.mean_loss
+            )
+        )(mil, proposals, valid, img_labels, masks)
+        losses["loss_mask_cls_pos"] = 0.1 * m_pos.mean()
+        losses["loss_mask_cls_neg"] = 0.1 * m_neg.mean()
+        return losses, {"pgt_sem_seg_binary": sem_t, "pgt_sem_seg_weights": sem_w}
+
+    def _seg_branch_inference(self, features, detections, image_hw):
+        """Full-image instance masks windowed from the seg prediction at
+        each detection's box + no_paste flags (reference
+        ``_get_ins_seg_result`` wsjds_heads.py:697)."""
+        if self.sem_seg_head is None:
+            return detections
+        logits, _ = self.sem_seg_head(features, None, train=False)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        probs = interpolate_bilinear(probs, image_hw)  # (B, H, W, C)
+        h, w = image_hw
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+        def one_image(p, boxes, classes):
+            cls_maps = jnp.transpose(p, (2, 0, 1))[
+                jnp.clip(classes, 0, self.num_classes - 1)
+            ]  # (D, H, W)
+            x0, y0, x1, y1 = jnp.split(boxes, 4, axis=1)  # (D, 1) each
+            window = (
+                (yy[None] >= y0[..., None])
+                & (yy[None] < y1[..., None])
+                & (xx[None] >= x0[..., None])
+                & (xx[None] < x1[..., None])
+            )
+            return cls_maps * window
+
+        detections["masks_full"] = jax.vmap(one_image)(
+            probs, detections["boxes"], detections["classes"]
+        )
+        detections["no_paste"] = detections["valid"]
+        return detections
 
     @nn.compact
     def __call__(
@@ -162,25 +247,25 @@ class WSJDSROIHeads(WSDDNROIHeads):
 
             cpg = targets.get("cpg")  # (B, C, H, W) or None
             if cpg is None:
-                loss = jax.vmap(mil_image_loss)(mil, img_labels).mean()
+                loss = jax.vmap(
+                    lambda m, l: mil_image_loss(m, l, self.mean_loss)
+                )(mil, img_labels).mean()
                 return {}, {"loss_mil": loss}
 
             loss_pos, loss_neg = jax.vmap(
                 lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
-                    m, bx, v, l, c, self.num_classes, self.csc_fg_threshold
+                    m, bx, v, l, c, self.num_classes, self.csc_fg_threshold, self.mean_loss
                 )
             )(mil, proposals, valid, img_labels, cpg)
 
-            sem_t, sem_w = jax.vmap(
-                lambda c, l: sem_seg_targets_from_cpg(
-                    c, l, self.sem_fg_threshold, self.sem_bg_threshold
-                )
-            )(cpg, img_labels)
-            aux = {"pgt_sem_seg_binary": sem_t, "pgt_sem_seg_weights": sem_w}
-            return aux, {
+            losses = {
                 "loss_cls_pos": loss_pos.mean(),
                 "loss_cls_neg": loss_neg.mean(),
             }
+            losses, aux = self._seg_branch_train(
+                features, losses, mil, proposals, valid, img_labels, cpg
+            )
+            return aux, losses
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
@@ -194,15 +279,24 @@ class WSJDSROIHeads(WSDDNROIHeads):
             )
         )(proposals, mil, valid, image_sizes)
         detections["proposal_class_scores"] = mil
+        detections = self._seg_branch_inference(
+            features,
+            detections,
+            (feats[-1].shape[1] * self.seg_stride, feats[-1].shape[2] * self.seg_stride),
+        )
         return detections, {}
 
 
 @ROI_HEADS_REGISTRY.register()
 class CSCROIHeads(WSJDSROIHeads):
     """CSC: CPG-weighted WSDDN (reference roi_heads_csc.py:35
-    ``CSCROIHeads``). Same machinery as WSJDS minus the stuff branch — the
-    sem-seg pseudo targets it mines are simply unused when the meta-arch has
-    no seg head."""
+    ``CSCROIHeads``). Same machinery as WSJDS minus the stuff branch."""
+
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
+        ret = WSJDSROIHeads.from_config(cfg, input_shape)
+        ret["sem_seg_head"] = None  # detection-only (reference roi_heads_csc.py)
+        return ret
 
 
 @ROI_HEADS_REGISTRY.register()
@@ -226,7 +320,7 @@ class CSCOICRROIHeads(OICRROIHeads):
             return super()._mil_losses(mil, img_labels, proposals, valid, targets)
         loss_pos, loss_neg = jax.vmap(
             lambda m, bx, v, l, c: csc_weighted_mil_image_loss(
-                m, bx, v, l, c, self.num_classes, self.csc_fg_threshold
+                m, bx, v, l, c, self.num_classes, self.csc_fg_threshold, self.mean_loss
             )
         )(mil, proposals, valid, img_labels, cpg)
         return {

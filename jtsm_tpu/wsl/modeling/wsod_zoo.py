@@ -31,6 +31,7 @@ from ..ops import roi_loop_pool
 from .mil_heads import (
     MILOutputLayers,
     OICROutputLayers,
+    gam_image_loss,
     get_pgt_top_k,
     label_proposals_by_pgt,
     mil_image_loss,
@@ -107,7 +108,7 @@ class ContextLocNetROIHeads(WSDDNROIHeads):
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            return {}, {"loss_mil": jax.vmap(mil_image_loss)(scores, img_labels).mean()}
+            return {}, {"loss_mil": jax.vmap(lambda _m, _l: mil_image_loss(_m, _l, self.mean_loss))(scores, img_labels).mean()}
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
@@ -206,6 +207,7 @@ class PCLROIHeads(WSDDNROIHeads):
         train: bool = False,
     ):
         feats = [features[f] for f in self.in_features]
+        feats, gam_logits = self._apply_gam(feats)
         b, r = proposals.shape[:2]
         flat = proposals.reshape(b * r, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
@@ -232,7 +234,9 @@ class PCLROIHeads(WSDDNROIHeads):
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+            losses = {"loss_mil": jax.vmap(lambda _m, _l: mil_image_loss(_m, _l, self.mean_loss))(mil, img_labels).mean()}
+            if gam_logits is not None:
+                losses["loss_gam"] = gam_image_loss(gam_logits, img_labels)
             source = mil
             for k, logits in enumerate(branches):
                 def one(bx, src, v, lbl, lg):
@@ -432,7 +436,7 @@ class CMILROIHeads(WSDDNROIHeads):
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
             return {}, {
-                "loss_mil": jax.vmap(mil_image_loss)(cluster_scores, img_labels).mean()
+                "loss_mil": jax.vmap(lambda _m, _l: mil_image_loss(_m, _l, self.mean_loss))(cluster_scores, img_labels).mean()
             }
 
         detections = jax.vmap(
@@ -663,7 +667,7 @@ class UWSODROIHeads(WSDDNROIHeads):
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            losses = {"loss_mil": jax.vmap(mil_image_loss)(mil, img_labels).mean()}
+            losses = {"loss_mil": jax.vmap(lambda _m, _l: mil_image_loss(_m, _l, self.mean_loss))(mil, img_labels).mean()}
             source = mil
             pgt_boxes_out = None
             pgt_valid_out = None

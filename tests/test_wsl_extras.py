@@ -351,3 +351,205 @@ def test_csc_statistic_writer():
     np.testing.assert_allclose(st.roi_neg, [1, 0, 1])
     np.testing.assert_allclose(st.roi_zero, [0, 0, 1])
     st.write()  # smoke: logs without error
+
+
+def test_mil_image_loss_mean_vs_sum():
+    from jtsm_tpu.wsl.modeling.mil_heads import mil_image_loss
+
+    scores = jnp.asarray(np.random.RandomState(0).rand(6, 5) * 0.1, jnp.float32)
+    labels = jnp.asarray([1.0, 0.0, 1.0, 0.0, 0.0])
+    l_mean = float(mil_image_loss(scores, labels, mean_loss=True))
+    l_sum = float(mil_image_loss(scores, labels, mean_loss=False))
+    np.testing.assert_allclose(l_sum, l_mean * 5, rtol=1e-6)
+
+
+def test_gam_layer_and_wsddn_gam():
+    """WSL.HAS_GAM (reference fast_rcnn.py:2027 GAMOutputLayers): the
+    attention conv rescales features by (1 + sigmoid(a)) and a second conv
+    GAP-pools to image logits trained with BCE."""
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.mil_heads import GAMLayer, gam_image_loss
+    from jtsm_tpu.wsl.modeling.roi_heads_wsl import WSDDNROIHeads
+
+    gam = GAMLayer(num_classes=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16), jnp.float32)
+    v = gam.init(jax.random.key(0), x)
+    attended, logits = gam.apply(v, x)
+    assert attended.shape == x.shape
+    assert logits.shape == (2, 4)
+    # attention in (1, 2) x feature: attended / x within those bounds
+    ratio = np.asarray(attended) / np.asarray(x)
+    assert (ratio >= 1.0 - 1e-5).all() and (ratio <= 2.0 + 1e-5).all()
+    assert np.isfinite(float(gam_image_loss(logits, jnp.asarray([[1.0, 0, 0, 1], [0, 1, 0, 0]]))))
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+    cfg.WSL.HAS_GAM = True
+    head = WSDDNROIHeads(
+        **WSDDNROIHeads.from_config(cfg, {"res4": ShapeSpec(channels=16, stride=16)})
+    )
+    rng = np.random.RandomState(1)
+    b, r = 2, 8
+    feats = {"res4": jnp.asarray(rng.rand(b, 4, 4, 16), jnp.float32)}
+    boxes = jnp.asarray(
+        np.concatenate([rng.rand(b, r, 2) * 20, 30 + rng.rand(b, r, 2) * 30], -1),
+        jnp.float32,
+    )
+    scores = jnp.zeros((b, r))
+    sizes = jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1))
+    targets = {
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, 2)), jnp.int32),
+        "gt_valid": jnp.ones((b, 2), bool),
+    }
+    variables = head.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, boxes, scores, sizes, targets, train=True,
+    )
+    _, losses = head.apply(
+        variables, feats, boxes, scores, sizes, targets, train=True,
+        rngs={"dropout": jax.random.key(2)},
+    )
+    assert "loss_gam" in losses and np.isfinite(float(losses["loss_gam"]))
+
+
+def test_aspp_binary_loss_modes():
+    """ASPPHead det->seg supervision (reference seg_heads.py:126-138):
+    per-class weighted BCE by default; MASK_SOFTMAX adds a background
+    channel and switches to softmax CE."""
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.seg_heads import ASPPHead
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 3
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res4"]
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 16
+    shape = {"res4": ShapeSpec(channels=8, stride=16)}
+
+    rng = np.random.RandomState(0)
+    feats = {"res4": jnp.asarray(rng.rand(2, 8, 8, 8), jnp.float32)}
+    bt = jnp.asarray((rng.rand(2, 3, 8, 8) > 0.5), jnp.float32)
+    bw = jnp.asarray(rng.rand(2, 3, 8, 8), jnp.float32)
+
+    for softmax in (False, True):
+        cfg.MODEL.SEM_SEG_HEAD.MASK_SOFTMAX = softmax
+        head = ASPPHead(**ASPPHead.from_config(cfg, shape))
+        v = head.init(
+            {"params": jax.random.key(0)}, feats, None,
+            train=True, binary_targets=bt, binary_weights=bw,
+        )
+        logits, losses = head.apply(
+            v, feats, None, train=True, binary_targets=bt, binary_weights=bw
+        )
+        assert logits.shape[-1] == (4 if softmax else 3)
+        assert np.isfinite(float(losses["loss_sem_seg"]))
+        assert float(losses["loss_sem_seg"]) > 0
+
+
+def test_wsjds_seg_branch_end_to_end():
+    """WSJDS with its own ASPP seg branch (reference wsjds_heads.py:414-469):
+    train adds loss_sem_seg + the 0.1-weighted seg->det feedback CSC pair;
+    inference emits full-image instance masks with no_paste flags."""
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.wsjds import WSJDSROIHeads
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "ASPPHead"
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res4"]
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 16
+    head = WSJDSROIHeads(
+        **WSJDSROIHeads.from_config(cfg, {"res4": ShapeSpec(channels=16, stride=16)})
+    )
+    assert head.sem_seg_head is not None and head.seg_stride == 16
+
+    rng = np.random.RandomState(0)
+    b, r, h, w = 2, 8, 64, 64
+    feats = {"res4": jnp.asarray(rng.rand(b, 4, 4, 16), jnp.float32)}
+    boxes = jnp.asarray(
+        np.concatenate([rng.rand(b, r, 2) * 20, 30 + rng.rand(b, r, 2) * 30], -1),
+        jnp.float32,
+    )
+    scores = jnp.zeros((b, r))
+    sizes = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1))
+    targets = {
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, 2)), jnp.int32),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "cpg": jnp.asarray(rng.rand(b, 4, h, w), jnp.float32),
+    }
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1), "dropout": jax.random.key(2)}
+    variables = head.init(rngs, feats, boxes, scores, sizes, targets, train=True)
+    aux, losses = head.apply(
+        variables, feats, boxes, scores, sizes, targets, train=True,
+        rngs={"sampling": jax.random.key(3), "dropout": jax.random.key(4)},
+    )
+    for k in ("loss_cls_pos", "loss_cls_neg", "loss_sem_seg", "loss_mask_cls_pos", "loss_mask_cls_neg"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+    assert aux["pgt_sem_seg_binary"].shape == (b, 4, h, w)
+
+    det, _ = head.apply(
+        variables, feats, boxes, scores, sizes, train=False,
+        rngs={"dropout": jax.random.key(5)},
+    )
+    d = det["boxes"].shape[1]
+    assert det["masks_full"].shape == (b, d, 64, 64)
+    assert det["no_paste"].shape == (b, d)
+    # each mask is zero outside its detection box window
+    m0 = np.asarray(det["masks_full"][0, 0])
+    x0, y0, x1, y1 = np.asarray(det["boxes"][0, 0])
+    outside = m0.copy()
+    outside[int(np.floor(y0)) : int(np.ceil(y1)), int(np.floor(x0)) : int(np.ceil(x1))] = 0
+    assert outside.max() == 0
+
+
+def test_mrrp_wsddn_and_wsres5_registered():
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+    from jtsm_tpu.wsl.modeling.roi_heads_wsl import MRRPWSDDNROIHeads
+
+    assert ROI_HEADS_REGISTRY.get("WSRes5ROIHeads") is not None
+    assert ROI_HEADS_REGISTRY.get("MRRPWSDDNROIHeads") is MRRPWSDDNROIHeads
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+    cfg.MODEL.MRRP.MRRP_ON = True
+    cfg.MODEL.MRRP.NUM_BRANCH = 3
+    head = MRRPWSDDNROIHeads(
+        **MRRPWSDDNROIHeads.from_config(cfg, {"res4": ShapeSpec(channels=16, stride=16)})
+    )
+    rng = np.random.RandomState(0)
+    b, r = 2, 8
+    # branch-folded features: (B*N, H, W, C)
+    feats = {"res4": jnp.asarray(rng.rand(b * 3, 4, 4, 16), jnp.float32)}
+    boxes = jnp.asarray(
+        np.concatenate([rng.rand(b, r, 2) * 20, 30 + rng.rand(b, r, 2) * 30], -1),
+        jnp.float32,
+    )
+    scores = jnp.zeros((b, r))
+    sizes = jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1))
+    targets = {
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, 2)), jnp.int32),
+        "gt_valid": jnp.ones((b, 2), bool),
+    }
+    variables = head.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, boxes, scores, sizes, targets, train=True,
+    )
+    _, losses = head.apply(
+        variables, feats, boxes, scores, sizes, targets, train=True,
+        rngs={"dropout": jax.random.key(2)},
+    )
+    assert np.isfinite(float(losses["loss_mil"]))
