@@ -2,6 +2,7 @@ from .augmentation import (
     AugInput,
     Augmentation,
     AugmentationList,
+    RandomApply,
     RandomBrightness,
     RandomContrast,
     RandomCrop,

@@ -109,6 +109,28 @@ def _transform_to_aug(tfm_or_aug):
     return _TransformToAug(tfm_or_aug)
 
 
+class RandomApply(Augmentation):
+    """Apply the wrapped transform/augmentation with probability ``prob``
+    (reference augmentation_impl.py:36)."""
+
+    def __init__(self, tfm_or_aug, prob: float = 0.5):
+        self.aug = _transform_to_aug(tfm_or_aug)
+        assert 0.0 <= prob <= 1.0, f"Probablity must be between 0.0 and 1.0 (given: {prob})"
+        self.prob = prob
+
+    def get_transform(self, *args):
+        do = self._rand_range() < self.prob
+        if do:
+            return self.aug.get_transform(*args)
+        return NoOpTransform()
+
+    def __call__(self, aug_input):
+        do = self._rand_range() < self.prob
+        if do:
+            return self.aug(aug_input)
+        return NoOpTransform()
+
+
 class RandomFlip(Augmentation):
     """Reference augmentation_impl.py:70."""
 

@@ -469,7 +469,7 @@ class DefaultTrainer(TrainerBase):
                     )
 
                     np_out = {k: np.asarray(v) for k, v in out.items()}
-                    return panoptic_fusion_postprocess(
+                    out = panoptic_fusion_postprocess(
                         np_out,
                         np.asarray(batch["image_sizes"]),
                         np.asarray(batch.get("orig_sizes", batch["image_sizes"])),
@@ -477,6 +477,7 @@ class DefaultTrainer(TrainerBase):
                         cfg.MODEL.PANOPTIC_FPN.COMBINE.STUFF_AREA_LIMIT,
                         cfg.MODEL.PANOPTIC_FPN.COMBINE.INSTANCES_CONFIDENCE_THRESH,
                     )
+                cls.on_test_outputs(cfg, batch, out, dataset_name)
                 return out
 
             results_i = inference_on_dataset(predict, data_loader, evaluator)
@@ -488,6 +489,13 @@ class DefaultTrainer(TrainerBase):
         if len(results) == 1:
             results = list(results.values())[0]
         return results
+
+    @classmethod
+    def on_test_outputs(cls, cfg, batch, outputs, dataset_name):
+        """Hook called with each inference batch's raw outputs during
+        ``test`` — extension point for test-time visualization (the WSL
+        trainer uses it for cfg.WSL.VIS_TEST, matching the reference heads'
+        ``vis_test`` debug dumps). Default: no-op."""
 
     @staticmethod
     def auto_scale_workers(cfg: CfgNode, num_workers: int) -> CfgNode:

@@ -78,6 +78,13 @@ def add_wsl_config(cfg: CN) -> None:
     _C.WSL.MOI_NONNEG_FEATURES = True
     # padded proposal capacity R is DATASETS.PRECOMPUTED_PROPOSAL_TOPK_*
     _C.WSL.MAX_SUPERPIXELS = 1024  # padded superpixel capacity S
+    # test-time detection visualization dumps (reference roi_heads_*.py
+    # vis_test; wired via Trainer.on_test_outputs -> OUTPUT_DIR/vis_test)
+    _C.WSL.VIS_TEST = False
+    # UWSOD: when True the mined PGT boxes are NOT used as regression
+    # targets — deltas regress to identity (reference roi_heads_uwsod.py
+    # :1292: gt_boxes are left unset so box_reg falls back to the proposal)
+    _C.WSL.CLS_AGNOSTIC_BBOX_KNOWN = False
 
     _C.MODEL.MRRP = CN()
     _C.MODEL.MRRP.MRRP_ON = False

@@ -18,7 +18,7 @@ All static-shape; each head registers in ROI_HEADS_REGISTRY.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -364,16 +364,30 @@ def roi_merge(
 
 @ROI_HEADS_REGISTRY.register()
 class CMILROIHeads(WSDDNROIHeads):
-    """Continuation MIL (reference roi_heads_cmil.py)."""
+    """Continuation MIL (reference roi_heads_cmil.py): the merged-cluster
+    MIL head plus WSL.REFINE_NUM OICR refinement branches whose (label,
+    weight) supervision comes from the ROILabel op (reference :419-445 —
+    S = previous branch scores, U = proposal IoU, L = image labels,
+    CW = predicted image logits; thresholds 0.6/0.4/0.1, top_k 1).
+    Inference ensembles the branch softmaxes (reference :471-478)."""
 
     max_iter: int = 35000
     size_epoch: float = 5000.0
+    refine_num: int = 4
+    refine_reg: Sequence[bool] = (False, False, False, False)
+    # WSL.CMIL (reference fast_rcnn_wsddn.py:567): gates the continuation
+    # roi_merge inside the WSDDN scoring; False degrades to plain WSDDN
+    # scoring with the ROILabel-supervised branches kept
+    continuation_on: bool = True
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape):
         ret = WSDDNROIHeads.from_config(cfg, input_shape)
         ret["max_iter"] = cfg.SOLVER.MAX_ITER
         ret["size_epoch"] = float(cfg.WSL.SIZE_EPOCH)
+        ret["refine_num"] = cfg.WSL.REFINE_NUM
+        ret["refine_reg"] = tuple(cfg.WSL.REFINE_REG[: cfg.WSL.REFINE_NUM])
+        ret["continuation_on"] = cfg.WSL.CMIL
         return ret
 
     @nn.compact
@@ -408,8 +422,8 @@ class CMILROIHeads(WSDDNROIHeads):
                 max(self.max_iter / self.size_epoch, 1.0),
                 self.size_epoch,
             )
-            if cur_iter is not None
-            else jnp.asarray(1.0)  # test time: lambda=1 -> merging is identity
+            if (cur_iter is not None and self.continuation_on)
+            else jnp.asarray(1.0)  # lambda=1 -> merging is identity
         )
 
         def score_one(cl, dl, bx, v):
@@ -431,19 +445,102 @@ class CMILROIHeads(WSDDNROIHeads):
             cls_logit, det_logit, proposals, valid
         )
 
+        branches = []
+        for k in range(self.refine_num):
+            with_reg = bool(self.refine_reg[k]) if k < len(self.refine_reg) else False
+            logits, deltas = OICROutputLayers(
+                num_classes=self.num_classes,
+                with_reg=with_reg,
+                dtype=self.dtype,
+                name=f"refine{k}",
+            )(x)
+            branches.append(
+                (
+                    logits.reshape(b, r, -1),
+                    deltas.reshape(b, r, -1) if deltas is not None else None,
+                )
+            )
+
         if train:
+            from ..ops import roi_label
+
             img_labels = jax.vmap(
                 lambda c, v: image_level_gt(c, v, self.num_classes)
             )(targets["gt_classes"], targets["gt_valid"])
-            return {}, {
+            losses = {
                 "loss_mil": jax.vmap(lambda _m, _l: mil_image_loss(_m, _l, self.mean_loss))(cluster_scores, img_labels).mean()
             }
+            # pred_class_img_logits (reference predict_probs_img): class
+            # weights CW for ROILabel
+            img_preds = jnp.clip(cluster_scores.sum(axis=1), 0.0, 1.0)
+            source = prop_scores
+            for k, (logits, deltas) in enumerate(branches):
+                def one(bx, src, v, lbl, cw, lg, dl):
+                    iou = pairwise_iou(bx, bx)
+                    rl = roi_label(
+                        src,
+                        iou,
+                        lbl,
+                        cw,
+                        fg_threshold=0.6,
+                        bg_threshold_hi=0.4,
+                        bg_threshold_lo=0.1,
+                        top_k=1,
+                    )
+                    w = jnp.where(v, rl["weight"], 0.0)
+                    lc = oicr_branch_loss(lg, rl["label"], w)
+                    nxt = jax.nn.softmax(lg, -1)[:, : self.num_classes]
+                    if dl is None:
+                        return lc, jnp.asarray(0.0), nxt
+                    from ...ops.box_regression import Box2BoxTransform
+                    from ...ops.losses import smooth_l1_loss
+
+                    t = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
+                    mined = bx[jnp.clip(rl["matched_idx"], 0)]
+                    tgt = t.get_deltas(bx, mined)
+                    fg_w = w * (rl["label"] < self.num_classes)
+                    reg = smooth_l1_loss(dl, tgt, 0.0).sum(-1)
+                    lr = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)
+                    return lc, lr, nxt
+
+                lc, lr, source = jax.vmap(one)(
+                    proposals,
+                    jax.lax.stop_gradient(source),
+                    valid,
+                    img_labels,
+                    img_preds,
+                    logits,
+                    branches[k][1],
+                )
+                losses[f"loss_refine_cls{k}"] = lc.mean()
+                if branches[k][1] is not None:
+                    losses[f"loss_refine_reg{k}"] = lr.mean()
+            return {}, losses
+
+        # inference: branch-softmax ensemble (reference :471-478); decode
+        # the last branch's deltas when it regresses
+        if branches:
+            avg = sum(
+                jax.nn.softmax(l, -1)[..., : self.num_classes] for l, _ in branches
+            ) / len(branches)
+            final_boxes = proposals
+            last_deltas = branches[-1][1]
+            if last_deltas is not None:
+                from ...ops.box_regression import Box2BoxTransform
+
+                t = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
+                final_boxes = t.apply_deltas(
+                    last_deltas.reshape(-1, 4), flat
+                ).reshape(b, r, 4)
+            scores_out, boxes_out = avg, final_boxes
+        else:
+            scores_out, boxes_out = prop_scores, proposals
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
                 bx, sc, v, sz, self.score_thresh_test, self.nms_thresh_test, self.detections_per_image
             )
-        )(proposals, prop_scores, valid, image_sizes)
+        )(boxes_out, scores_out, valid, image_sizes)
         return detections, {}
 
 
@@ -619,11 +716,16 @@ class UWSODROIHeads(WSDDNROIHeads):
     meta-arch through `pgt_for_rpn` in the aux output)."""
 
     refine_num: int = 3
+    # WSL.CLS_AGNOSTIC_BBOX_KNOWN (reference roi_heads_uwsod.py:1292): when
+    # True the mined PGT boxes are not attached as regression targets, so
+    # the branch deltas regress toward identity
+    cls_agnostic_bbox_known: bool = False
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape):
         ret = WSDDNROIHeads.from_config(cfg, input_shape)
         ret["refine_num"] = cfg.WSL.REFINE_NUM
+        ret["cls_agnostic_bbox_known"] = cfg.WSL.CLS_AGNOSTIC_BBOX_KNOWN
         return ret
 
     @nn.compact
@@ -676,7 +778,10 @@ class UWSODROIHeads(WSDDNROIHeads):
                     pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
                     sup = label_proposals_by_pgt(bx, v, pgt, self.num_classes)
                     lc = oicr_branch_loss(lg, sup["labels"], sup["weights"])
-                    tgt = t.get_deltas(bx, sup["matched_pgt_boxes"])
+                    if self.cls_agnostic_bbox_known:
+                        tgt = jnp.zeros_like(dl)  # regress to the proposal itself
+                    else:
+                        tgt = t.get_deltas(bx, sup["matched_pgt_boxes"])
                     reg = smooth_l1_loss(dl, tgt, 0.0).sum(-1)
                     fg_w = sup["weights"] * sup["fg"]
                     lr = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)

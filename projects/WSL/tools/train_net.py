@@ -96,6 +96,33 @@ class Trainer(DefaultTrainer):
             evals.append(COCOPanopticEvaluator(dataset_name, output_folder))
         return evals[0] if len(evals) == 1 else DatasetEvaluators(evals)
 
+    _vis_test_dumped = 0
+
+    @classmethod
+    def on_test_outputs(cls, cfg, batch, outputs, dataset_name):
+        """cfg.WSL.VIS_TEST (reference roi_heads_oicr.py:211 etc. — the WSL
+        heads dump per-image detection visualizations at test time): draw
+        the first image of each batch with its predicted boxes and save to
+        OUTPUT_DIR/vis_test/. Capped at 50 images per run."""
+        if not cfg.WSL.VIS_TEST or cls._vis_test_dumped >= 50:
+            return
+        import numpy as np
+
+        from jtsm_tpu.utils.visualizer import Visualizer
+
+        out = {k: np.asarray(v) for k, v in outputs.items() if not isinstance(v, (list, tuple))}
+        if "boxes" not in out:
+            return
+        img = np.asarray(batch["image"][0]).clip(0, 255).astype(np.uint8)
+        vis = Visualizer(img)
+        vis.draw_instance_predictions({k: out[k][0] for k in ("boxes", "scores", "classes", "valid") if k in out})
+        d = os.path.join(cfg.OUTPUT_DIR, "vis_test")
+        os.makedirs(d, exist_ok=True)
+        vis.get_output().save(
+            os.path.join(d, f"{dataset_name}_{cls._vis_test_dumped:04d}.png")
+        )
+        cls._vis_test_dumped += 1
+
     @classmethod
     def test_with_TTA(cls, cfg, model, variables):
         """Reference projects/WSL/tools/train_net.py:219 (test_with_TTA_WSL):

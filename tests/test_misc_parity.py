@@ -155,3 +155,27 @@ def test_random_augmentations_shapes():
     tfm = augs(inp)
     assert inp.image.ndim == 3
     assert inp.boxes.shape == (1, 4)
+
+
+def test_random_apply():
+    """RandomApply (reference augmentation_impl.py:36): prob 1 applies the
+    wrapped transform, prob 0 is a NoOp."""
+    import numpy as np
+
+    from jtsm_tpu.data.transforms import (
+        AugInput,
+        HFlipTransform,
+        NoOpTransform,
+        RandomApply,
+        RandomFlip,
+    )
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    # wraps a raw Transform
+    t = RandomApply(HFlipTransform(2), prob=1.0)(AugInput(img.copy()))
+    assert isinstance(t, HFlipTransform)
+    t = RandomApply(HFlipTransform(2), prob=0.0)(AugInput(img.copy()))
+    assert isinstance(t, NoOpTransform)
+    # wraps an Augmentation
+    t = RandomApply(RandomFlip(prob=1.0), prob=1.0)(AugInput(img.copy()))
+    assert isinstance(t, HFlipTransform)

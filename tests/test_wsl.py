@@ -216,7 +216,9 @@ def test_contextlocnet_pcl_cmil_uwsod_heads():
         losses, out = _run_wsl(cfg, _wsl_batch())
         assert "loss_mil" in losses, heads
         assert "boxes" in out, heads
-        if heads in ("PCLROIHeads", "UWSODROIHeads"):
+        if heads in ("PCLROIHeads", "UWSODROIHeads", "CMILROIHeads"):
+            # CMIL branches are ROILabel-supervised (reference
+            # roi_heads_cmil.py:419-445)
             assert "loss_refine_cls0" in losses, heads
 
 

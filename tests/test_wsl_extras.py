@@ -553,3 +553,89 @@ def test_mrrp_wsddn_and_wsres5_registered():
         rngs={"dropout": jax.random.key(2)},
     )
     assert np.isfinite(float(losses["loss_mil"]))
+
+
+def test_uwsod_cls_agnostic_bbox_known():
+    """WSL.CLS_AGNOSTIC_BBOX_KNOWN (reference roi_heads_uwsod.py:1292):
+    regression targets fall back to the proposal itself (identity deltas)."""
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl.modeling.wsod_zoo import UWSODROIHeads
+
+    def build(known):
+        cfg = get_cfg()
+        add_wsl_config(cfg)
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+        cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+        cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+        cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+        cfg.WSL.CLS_AGNOSTIC_BBOX_KNOWN = known
+        return UWSODROIHeads(
+            **UWSODROIHeads.from_config(cfg, {"res4": ShapeSpec(channels=16, stride=16)})
+        )
+
+    rng = np.random.RandomState(0)
+    b, r = 2, 8
+    feats = {"res4": jnp.asarray(rng.rand(b, 4, 4, 16), jnp.float32)}
+    boxes = jnp.asarray(
+        np.concatenate([rng.rand(b, r, 2) * 20, 30 + rng.rand(b, r, 2) * 30], -1),
+        jnp.float32,
+    )
+    scores = jnp.zeros((b, r))
+    sizes = jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1))
+    targets = {
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (b, 2)), jnp.int32),
+        "gt_valid": jnp.ones((b, 2), bool),
+    }
+    outs = {}
+    for known in (False, True):
+        head = build(known)
+        variables = head.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            feats, boxes, scores, sizes, targets, train=True,
+        )
+        _, losses = head.apply(
+            variables, feats, boxes, scores, sizes, targets, train=True,
+            rngs={"dropout": jax.random.key(2)},
+        )
+        outs[known] = losses
+    # same cls losses (same params/rngs), different reg target
+    np.testing.assert_allclose(
+        float(outs[False]["loss_refine_cls0"]), float(outs[True]["loss_refine_cls0"]), rtol=1e-6
+    )
+    assert float(outs[False]["loss_refine_reg0"]) != float(outs[True]["loss_refine_reg0"])
+
+
+def test_vis_test_dump(tmp_path):
+    """WSL.VIS_TEST: the WSL trainer's on_test_outputs hook dumps detection
+    visualizations to OUTPUT_DIR/vis_test."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    path = _os.path.join(repo, "projects/WSL/tools/train_net.py")
+    spec = importlib.util.spec_from_file_location("wsl_train_net_vis", path)
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["wsl_train_net_vis"] = mod
+    spec.loader.exec_module(mod)
+    Trainer = mod.Trainer
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.WSL.VIS_TEST = True
+    batch = {"image": np.full((1, 32, 32, 3), 128.0, np.float32)}
+    outputs = {
+        "boxes": np.asarray([[[4.0, 4, 20, 20]]]),
+        "scores": np.asarray([[0.9]]),
+        "classes": np.asarray([[0]]),
+        "valid": np.asarray([[True]]),
+    }
+    Trainer._vis_test_dumped = 0
+    Trainer.on_test_outputs(cfg, batch, outputs, "toy_ds")
+    files = _os.listdir(str(tmp_path / "vis_test"))
+    assert files == ["toy_ds_0000.png"]
+    # off: no new dumps
+    cfg.WSL.VIS_TEST = False
+    Trainer.on_test_outputs(cfg, batch, outputs, "toy_ds")
+    assert len(_os.listdir(str(tmp_path / "vis_test"))) == 1
