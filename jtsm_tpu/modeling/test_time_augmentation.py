@@ -209,11 +209,13 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
         topk: int = 100,
         superpixels: np.ndarray = None,  # (H0, W0) int32, original res
         oh_labels: np.ndarray = None,  # (R, S) membership (geometry-free)
+        rerun_masks: bool = True,
     ):
         h0, w0 = image.shape[:2]
         acc = None
         n = 0
         sem_acc = None
+        saw_masks = False
         for batch, flipped in self._augmented_batches(image, (h0, w0)):
             hh, ww = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
             sx, sy = ww / w0, hh / h0
@@ -245,6 +247,7 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
             if oh_labels is not None:
                 batch["oh_labels"] = oh_labels[None]
             out = predict_scores_fn(batch)
+            saw_masks = saw_masks or "masks" in out or "masks_full" in out
             scores = np.asarray(out["proposal_class_scores"])[0]
             acc = scores if acc is None else acc + scores
             if "sem_seg_logits" in out:
@@ -294,6 +297,36 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
             "scores": np.asarray(det["scores"])[dv],
             "classes": np.asarray(det["classes"])[dv],
         }
+
+        if rerun_masks and saw_masks:
+            # re-run the mask branch on the merged boxes in every augmented
+            # view and average the probabilities, flip-corrected (reference
+            # test_time_augmentation_avg.py:405-428 _rescale_detected_boxes
+            # + _reduce_pred_masks)
+            det_boxes = np.asarray(det["boxes"], np.float32)
+            masks_acc, m_n = None, 0
+            for batch, flipped in self._augmented_batches(image, (h0, w0)):
+                hh, ww = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
+                sx, sy = ww / w0, hh / h0
+                p = det_boxes * np.asarray([sx, sy, sx, sy], np.float32)
+                if flipped:
+                    x0 = ww - p[:, 2]
+                    x1 = ww - p[:, 0]
+                    p = np.stack([x0, p[:, 1], x1, p[:, 3]], axis=1)
+                batch["detected_boxes"] = p[None]
+                batch["detected_classes"] = np.asarray(det["classes"])[None]
+                batch["detected_valid"] = dv[None]
+                out = predict_scores_fn(batch)
+                if "masks" not in out:
+                    masks_acc = None
+                    break
+                m = np.asarray(out["masks"])[0]  # (D, S, S) probabilities
+                if flipped:
+                    m = m[..., ::-1]
+                masks_acc = m if masks_acc is None else masks_acc + m
+                m_n += 1
+            if masks_acc is not None and m_n:
+                result["detections"]["masks"] = (masks_acc / m_n)[dv]
         return result
 
 

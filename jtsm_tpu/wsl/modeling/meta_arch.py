@@ -103,6 +103,20 @@ class GeneralizedMCNNWSL(nn.Module):
         std = jnp.asarray(self.pixel_std, jnp.float32)
         images = (batch["image"] - mean) / std
         features = self.backbone(images)
+
+        if not train and "detected_boxes" in batch:
+            # mask-only inference on externally provided boxes (TTA mask
+            # re-run on merged boxes, reference _rescale_detected_boxes +
+            # _reduce_pred_masks); boxes stay in network-input coords
+            b, d = batch["detected_boxes"].shape[:2]
+            detections = {
+                "boxes": batch["detected_boxes"],
+                "classes": batch["detected_classes"],
+                "scores": batch.get("detected_scores", jnp.ones((b, d))),
+                "valid": batch.get("detected_valid", jnp.ones((b, d), bool)),
+            }
+            return self.roi_heads.forward_with_given_boxes(features, detections)
+
         proposals = batch["proposals"]
         prop_scores = batch["proposal_scores"]
         superpixels = batch.get("superpixels")

@@ -625,19 +625,38 @@ class JTSMROIHeads(nn.Module):
             return detections, {}
 
         if self.mask_on and self.mask_head is not None:
-            d = detections["boxes"].shape[1]
-            det_boxes = detections["boxes"].reshape(b * d, 4)
-            det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
-            mask_feats = self.mask_pooler(feats, det_boxes, det_batch, rois_per_image=d)
-            if self.mask_refinery:
-                # reference :952-960: inference averages the REFINERY heads'
-                # logits (the class-agnostic base head only seeds training)
-                mask_logits = _mask_logits(self.mask_refinery[0], mask_feats)
-                for head in self.mask_refinery[1:]:
-                    mask_logits = mask_logits + _mask_logits(head, mask_feats)
-                mask_logits = mask_logits / len(self.mask_refinery)
-            else:
-                mask_logits = _mask_logits(self.mask_head, mask_feats)
-            probs = mask_rcnn_inference(mask_logits, detections["classes"].reshape(-1))
-            detections["masks"] = probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
+            detections["masks"] = self._mask_probs(
+                feats, detections["boxes"], detections["classes"], b
+            )
         return detections, {}
+
+    def _mask_probs(self, feats, boxes, classes, b):
+        """Per-detection mask probabilities from the refinery ensemble
+        (reference :952-960: inference averages the REFINERY heads' logits;
+        the class-agnostic base head only seeds training)."""
+        d = boxes.shape[1]
+        det_boxes = boxes.reshape(b * d, 4)
+        det_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+        mask_feats = self.mask_pooler(feats, det_boxes, det_batch, rois_per_image=d)
+        if self.mask_refinery:
+            mask_logits = _mask_logits(self.mask_refinery[0], mask_feats)
+            for head in self.mask_refinery[1:]:
+                mask_logits = mask_logits + _mask_logits(head, mask_feats)
+            mask_logits = mask_logits / len(self.mask_refinery)
+        else:
+            mask_logits = _mask_logits(self.mask_head, mask_feats)
+        probs = mask_rcnn_inference(mask_logits, classes.reshape(-1))
+        return probs.reshape(b, d, probs.shape[-2], probs.shape[-1])
+
+    def forward_with_given_boxes(self, features, detections):
+        """Run only the mask branch on externally provided detections
+        (TTA mask re-run on merged boxes, reference
+        test_time_augmentation_avg.py:405-428)."""
+        feats = [features[f] for f in self.in_features]
+        b = detections["boxes"].shape[0]
+        if self.mask_on and self.mask_head is not None:
+            detections = dict(detections)
+            detections["masks"] = self._mask_probs(
+                feats, detections["boxes"], detections["classes"], b
+            )
+        return detections

@@ -135,7 +135,7 @@ class Trainer(DefaultTrainer):
 
         import numpy as np
 
-        from jtsm_tpu.data import DatasetCatalog
+        from jtsm_tpu.data import DatasetCatalog, MetadataCatalog
         from jtsm_tpu.data.build import get_detection_dataset_dicts
         from jtsm_tpu.data.detection_utils import read_image
         from jtsm_tpu.modeling.test_time_augmentation import GeneralizedRCNNWithTTAAVG
@@ -231,8 +231,32 @@ class Trainer(DefaultTrainer):
                     "classes": det["classes"][None],
                     "valid": np.ones((1, n), bool),
                 }
+                if "masks" in det:
+                    outputs["masks"] = det["masks"][None]
                 if "sem_seg_logits" in merged:
                     outputs["sem_seg"] = np.argmax(merged["sem_seg_logits"], -1)[None]
+                combine_on = (
+                    cfg.MODEL.PANOPTIC_FPN.COMBINE.ENABLED
+                    and MetadataCatalog.get(dataset_name).get("evaluator_type")
+                    == "coco_panoptic_seg"
+                )
+                if combine_on and "sem_seg_logits" in merged:
+                    # host panoptic fusion on the TTA-merged outputs
+                    # (reference mcnn.py:351-358 runs the combine after TTA
+                    # postprocess too); everything is already at original res
+                    from jtsm_tpu.modeling.meta_arch.panoptic_fpn import (
+                        panoptic_fusion_postprocess,
+                    )
+
+                    sizes = np.asarray([[d["height"], d["width"]]])
+                    outputs = panoptic_fusion_postprocess(
+                        dict(outputs, sem_seg_logits=merged["sem_seg_logits"][None]),
+                        sizes,
+                        sizes,
+                        cfg.MODEL.PANOPTIC_FPN.COMBINE.OVERLAP_THRESH,
+                        cfg.MODEL.PANOPTIC_FPN.COMBINE.STUFF_AREA_LIMIT,
+                        cfg.MODEL.PANOPTIC_FPN.COMBINE.INSTANCES_CONFIDENCE_THRESH,
+                    )
                 inputs = {
                     "image_ids": np.asarray([d.get("image_id", -1)]),
                     "orig_sizes": np.asarray([[d["height"], d["width"]]]),

@@ -240,3 +240,53 @@ def test_tta_avg_threads_superpixels_per_view():
         oh_labels=oh,
     )
     assert sorted(seen) == [3, 7]  # one unflipped + one flipped view
+
+
+def test_tta_avg_mask_rerun():
+    """TTA-AVG re-runs the mask branch on merged boxes per view and averages
+    flip-corrected probabilities (reference test_time_augmentation_avg.py
+    :405-428)."""
+    rng = np.random.RandomState(0)
+    r, c, s = 4, 2, 6
+    proposals = np.asarray(
+        [[10.0, 10, 60, 60], [20.0, 20, 80, 80], [0.0, 0, 30, 30], [5.0, 5, 90, 90]],
+        np.float32,
+    )
+    prop_scores = np.zeros((r,), np.float32)
+
+    # an asymmetric base mask: flipped views return it pre-flipped, so the
+    # average must reconstruct the base exactly
+    base = np.zeros((s, s), np.float32)
+    base[:, : s // 2] = 1.0
+    calls = {"given": 0}
+
+    def predict(batch):
+        d_boxes = batch.get("detected_boxes")
+        hh, ww = [float(v) for v in batch["image_sizes"][0]]
+        if d_boxes is None:
+            p = batch["proposals"][0]
+            area = ((p[:, 2] - p[:, 0]) * (p[:, 3] - p[:, 1])) / (hh * ww)
+            scores = np.stack([area * (k + 1) / c for k in range(c)], axis=1)
+            return {
+                "proposal_class_scores": scores.astype(np.float32)[None],
+                "masks": np.zeros((1, 1, s, s), np.float32),  # advertise masks
+            }
+        calls["given"] += 1
+        d = d_boxes.shape[1]
+        # detect a flipped view: the merged boxes arrive flipped, so x-center
+        # of the FIRST (largest) box moves to the right half
+        flipped = d_boxes[0, 0, 0] + d_boxes[0, 0, 2] > ww
+        m = base[:, ::-1] if flipped else base
+        return {"masks": np.tile(m, (1, d, 1, 1)).astype(np.float32)}
+
+    tta = GeneralizedRCNNWithTTAAVG(
+        predict, min_sizes=(64,), max_size=200, flip=True, buckets=((256, 256),)
+    )
+    img = _make_image()
+    out = tta(img, proposals, prop_scores, predict, score_thresh=1e-6, nms_thresh=0.3, topk=4)
+    det = out["detections"]
+    assert calls["given"] == 2  # one plain + one flipped view
+    assert "masks" in det and det["masks"].shape[1:] == (s, s)
+    # flip-corrected average == the base mask for every detection
+    for m in det["masks"]:
+        np.testing.assert_allclose(m, base, atol=1e-6)

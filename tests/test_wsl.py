@@ -173,6 +173,18 @@ def test_jtsm_mcnn():
     assert "loss_mask_r0" in losses  # self-training mask refinery branch
     assert "sem_seg" in out and "masks" in out and "boxes" in out
 
+    # given-boxes mask-only inference (TTA mask re-run path)
+    model = build_model(cfg)
+    batch = _wsl_batch(with_sp=True)
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1), "dropout": jax.random.key(2)}
+    variables = model.init(rngs, batch, train=True)
+    gb = dict(batch)
+    gb["detected_boxes"] = jnp.asarray([[[4.0, 4, 20, 20], [8.0, 8, 30, 30]]] * batch["image"].shape[0])
+    gb["detected_classes"] = jnp.zeros((batch["image"].shape[0], 2), jnp.int32)
+    det = model.apply(variables, gb, train=False)
+    assert det["masks"].shape[:2] == (batch["image"].shape[0], 2)
+    assert np.isfinite(np.asarray(det["masks"])).all()
+
 
 def test_jtsm_mcnn_mist_mining():
     """WSL.REFINE_MIST routes the refine branches through get_pgt_mist
