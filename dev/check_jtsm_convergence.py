@@ -51,7 +51,6 @@ def main():
     cfg.MODEL.BACKBONE.NAME = "build_wsl_resnet_backbone"
     cfg.WSL.ITER_SIZE = 1
     # small shapes so the run stays minutes-cheap; same code paths
-    cfg.WSL.MAX_PROPOSALS = 256
     cfg.WSL.MAX_SUPERPIXELS = 256
     cfg.WSL.MASK_CAPACITY = 16
     cfg.SOLVER.BASE_LR = float(os.environ.get("LR", "0.002"))

@@ -255,9 +255,10 @@ class COCOProposalEvaluator(DatasetEvaluator):
             )
 
     def evaluate(self):
-        # COCO proposal AR: per-GT best IoU over the top-k proposals, recall
+        # COCO proposal AR: GREEDY one-to-one proposal->GT matching — after a
+        # proposal is consumed by a GT it cannot also cover another — recall
         # averaged over IoU thresholds 0.5:0.05:0.95 pooled across images
-        # (reference coco_evaluation.py _evaluate_box_proposals)
+        # (reference coco_evaluation.py _evaluate_box_proposals:476-490)
         thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
         results = {}
         for limit in self._limits:
@@ -273,8 +274,17 @@ class COCOProposalEvaluator(DatasetEvaluator):
                 if len(boxes) == 0:
                     best_ious.append(np.zeros(len(gts)))
                     continue
-                iou = _iou_np(gts_xyxy, boxes)
-                best_ious.append(iou.max(axis=1))
+                iou = _iou_np(gts_xyxy, boxes)  # (G, D)
+                g = len(gts)
+                gt_ovr = np.zeros(g)
+                for j in range(min(g, len(boxes))):
+                    gt_ind, box_ind = np.unravel_index(np.argmax(iou), iou.shape)
+                    if iou[gt_ind, box_ind] < 0:
+                        break
+                    gt_ovr[j] = iou[gt_ind, box_ind]
+                    iou[gt_ind, :] = -1
+                    iou[:, box_ind] = -1
+                best_ious.append(gt_ovr)
             if best_ious:
                 best = np.concatenate(best_ious)
                 ar = np.mean([np.mean(best >= t) for t in thresholds])

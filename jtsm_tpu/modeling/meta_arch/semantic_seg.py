@@ -127,9 +127,9 @@ class SemSegFPNHead(nn.Module):
             valid = (t != self.ignore_value) & (t >= 0)
             ce = softmax_cross_entropy(logits, jnp.clip(t, 0, self.num_classes - 1))
             if weights is not None:
-                w = weights[:, :: self.common_stride, :: self.common_stride][
-                    :, :th, :tw
-                ]
+                # weights follow the targets' resolution (pre-strided by the
+                # same targets_stride), so stride by the same remainder
+                w = weights[:, ::rs, ::rs][:, :th, :tw]
                 ce = ce * w
             loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
             losses["loss_sem_seg"] = loss * self.loss_weight

@@ -316,7 +316,19 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
                 batch["detected_boxes"] = p[None]
                 batch["detected_classes"] = np.asarray(det["classes"])[None]
                 batch["detected_valid"] = dv[None]
-                out = predict_scores_fn(batch)
+                try:
+                    out = predict_scores_fn(batch)
+                except (KeyError, TypeError) as e:
+                    # model has no given-boxes branch (e.g. WSJDS emits
+                    # masks_full from the seg head): degrade gracefully like
+                    # the base TTA's mask re-run
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "TTA-AVG mask re-run unavailable (%s); keeping merged boxes without masks", e
+                    )
+                    masks_acc = None
+                    break
                 if "masks" not in out:
                     masks_acc = None
                     break

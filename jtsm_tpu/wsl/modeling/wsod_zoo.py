@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ...config import CfgNode
 from ...modeling.roi_heads.roi_heads import ROI_HEADS_REGISTRY
+from ...ops.box_regression import Box2BoxTransform
 from ...structures.boxes import pairwise_iou
 from ..ops import roi_loop_pool
 from .mil_heads import (
@@ -314,11 +315,15 @@ def roi_merge(
     order = jnp.argsort(-objectness)
     top_k = min(top_cap, r)
     w = min(window, top_k)
+    # -inf objectness marks padding rows (the reference never sees padding):
+    # they may neither pivot nor join a clique — they fall through to the
+    # singleton tail so their garbage scores cannot contaminate member means
+    row_valid = jnp.isfinite(objectness)
 
     def pivot_body(t, carry):
         ids, cur_id = carry
         n = order[t]
-        is_new = ids[n] == -1
+        is_new = (ids[n] == -1) & row_valid[n]
         ids = ids.at[n].set(jnp.where(is_new, cur_id, ids[n]))
         win_tts = t + jnp.arange(w)
         win_idx = order[jnp.minimum(win_tts, r - 1)]
@@ -329,7 +334,7 @@ def roi_merge(
             unassigned = ids[i] == -1
             members = (ids[win_idx] == cur_id) & win_in
             ok_clique = jnp.all(jnp.where(members, iou[i, win_idx] >= lam, True))
-            take = is_new & win_in[j] & unassigned & ok_clique
+            take = is_new & win_in[j] & unassigned & ok_clique & row_valid[i]
             return ids.at[i].set(jnp.where(take, cur_id, ids[i]))
 
         ids = jax.lax.fori_loop(0, w, cand_body, ids)
@@ -379,6 +384,7 @@ class CMILROIHeads(WSDDNROIHeads):
     # roi_merge inside the WSDDN scoring; False degrades to plain WSDDN
     # scoring with the ROILabel-supervised branches kept
     continuation_on: bool = True
+    box2box_transform: Optional[Box2BoxTransform] = None
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape):
@@ -388,6 +394,9 @@ class CMILROIHeads(WSDDNROIHeads):
         ret["refine_num"] = cfg.WSL.REFINE_NUM
         ret["refine_reg"] = tuple(cfg.WSL.REFINE_REG[: cfg.WSL.REFINE_NUM])
         ret["continuation_on"] = cfg.WSL.CMIL
+        ret["box2box_transform"] = Box2BoxTransform(
+            weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
+        )
         return ret
 
     @nn.compact
@@ -477,6 +486,9 @@ class CMILROIHeads(WSDDNROIHeads):
             for k, (logits, deltas) in enumerate(branches):
                 def one(bx, src, v, lbl, cw, lg, dl):
                     iou = pairwise_iou(bx, bx)
+                    # padded rows must not be minable as PGT: roi_label's
+                    # per-class argmax sees -inf there (like get_pgt_top_k)
+                    src = jnp.where(v[:, None], src, -jnp.inf)
                     rl = roi_label(
                         src,
                         iou,
@@ -492,10 +504,9 @@ class CMILROIHeads(WSDDNROIHeads):
                     nxt = jax.nn.softmax(lg, -1)[:, : self.num_classes]
                     if dl is None:
                         return lc, jnp.asarray(0.0), nxt
-                    from ...ops.box_regression import Box2BoxTransform
                     from ...ops.losses import smooth_l1_loss
 
-                    t = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
+                    t = self.box2box_transform
                     mined = bx[jnp.clip(rl["matched_idx"], 0)]
                     tgt = t.get_deltas(bx, mined)
                     fg_w = w * (rl["label"] < self.num_classes)
@@ -526,10 +537,7 @@ class CMILROIHeads(WSDDNROIHeads):
             final_boxes = proposals
             last_deltas = branches[-1][1]
             if last_deltas is not None:
-                from ...ops.box_regression import Box2BoxTransform
-
-                t = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
-                final_boxes = t.apply_deltas(
+                final_boxes = self.box2box_transform.apply_deltas(
                     last_deltas.reshape(-1, 4), flat
                 ).reshape(b, r, 4)
             scores_out, boxes_out = avg, final_boxes
@@ -720,12 +728,16 @@ class UWSODROIHeads(WSDDNROIHeads):
     # True the mined PGT boxes are not attached as regression targets, so
     # the branch deltas regress toward identity
     cls_agnostic_bbox_known: bool = False
+    box2box_transform: Optional[Box2BoxTransform] = None
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape):
         ret = WSDDNROIHeads.from_config(cfg, input_shape)
         ret["refine_num"] = cfg.WSL.REFINE_NUM
         ret["cls_agnostic_bbox_known"] = cfg.WSL.CLS_AGNOSTIC_BBOX_KNOWN
+        ret["box2box_transform"] = Box2BoxTransform(
+            weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
+        )
         return ret
 
     @nn.compact
@@ -738,7 +750,6 @@ class UWSODROIHeads(WSDDNROIHeads):
         targets: Optional[Dict[str, Array]] = None,
         train: bool = False,
     ):
-        from ...ops.box_regression import Box2BoxTransform
         from ...ops.losses import smooth_l1_loss
 
         feats = [features[f] for f in self.in_features]
@@ -757,7 +768,7 @@ class UWSODROIHeads(WSDDNROIHeads):
         valid = jnp.isfinite(proposal_scores)
         mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)
 
-        t = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
+        t = self.box2box_transform or Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
         branches = []
         for k in range(self.refine_num):
             logits, deltas = OICROutputLayers(
