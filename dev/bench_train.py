@@ -39,6 +39,12 @@ def main():
             root, "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
         )
     )
+    if os.environ.get("BENCH_REMAT"):
+        # comma-separated scope list, or "1" for the per-block default
+        scopes = os.environ["BENCH_REMAT"]
+        cfg.TPU.REMAT = (
+            ["backbone_blocks"] if scopes == "1" else scopes.split(",")
+        )
     model = build_model(cfg)
 
     b = int(os.environ.get("BENCH_BATCH", "16"))
@@ -111,6 +117,13 @@ def main():
     dt = time.time() - t0
     ips = b * iters / dt
     print(f"{ips:.2f} img/s  ({dt / iters * 1e3:.0f} ms/step of {b})", file=sys.stderr)
+    mem = jax.local_devices()[0].memory_stats() or {}
+    if "peak_bytes_in_use" in mem:
+        print(
+            f"peak HBM: {mem['peak_bytes_in_use'] / 2**30:.2f} GiB"
+            f" (remat={'on' if os.environ.get('BENCH_REMAT') else 'off'})",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

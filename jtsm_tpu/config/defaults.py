@@ -293,6 +293,15 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]
 # FSDP / ZeRO-3: shard large params + optimizer buffers over the data axis
 _C.TPU.FSDP = False
+# Activation rematerialization (jax.checkpoint): module scopes whose
+# intermediates are recomputed on the backward pass instead of stored —
+# the HBM lever for larger per-chip train batches. Valid scopes:
+#   "backbone_blocks"  each trainable residual block (fine-grained)
+#   "backbone"         the whole backbone(+FPN) call — only the output
+#                      feature maps are stored
+#   "rpn_head"         the RPN conv tower (res2-resolution activations)
+#   "box_head" / "mask_head" / "keypoint_head"   per-ROI head stacks
+_C.TPU.REMAT = []
 
 _C.OUTPUT_DIR = "./output"
 _C.SEED = -1

@@ -292,6 +292,12 @@ class ResNet(Backbone):
     deform_modulated: bool = False
     deform_num_groups: int = 1
     stem_type: str = "basic"  # "basic" (7x7) | "deeplab" (3x 3x3) | "wsl" (maxpool variant)
+    # rematerialize each residual block on the backward pass (jax.checkpoint):
+    # block intermediates are recomputed instead of stored, trading ~one extra
+    # forward for activation memory — the backbone dominates activation HBM at
+    # detection image sizes, so this is the lever for larger per-chip batches
+    # (cfg TPU.REMAT scope "backbone_blocks")
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def make_stem(self):
@@ -381,8 +387,14 @@ class ResNet(Backbone):
         if "stem" in self.out_features:
             outputs["stem"] = x
         for i, (name, blocks) in enumerate(zip(self._stage_names, self.stages)):
+            # frozen stages carry no backward pass (stop_gradient below), so
+            # rematting them would only add recompute for nothing
+            use_remat = self.remat and self.freeze_at < i + 2
             for block in blocks:
-                x = block(x)
+                if use_remat:
+                    x = nn.remat(lambda mdl, y: mdl(y))(block, x)
+                else:
+                    x = block(x)
             if self.freeze_at >= i + 2:
                 x = jax.lax.stop_gradient(x)
             if name in self.out_features:
@@ -430,5 +442,6 @@ def build_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> ResNet:
         deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
         deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
         deform_num_groups=cfg.MODEL.RESNETS.DEFORM_NUM_GROUPS,
+        remat="backbone_blocks" in cfg.TPU.REMAT,
         dtype=dtype,
     )

@@ -41,6 +41,10 @@ class GeneralizedRCNN(nn.Module):
     roi_heads: nn.Module
     pixel_mean: Sequence[float]
     pixel_std: Sequence[float]
+    # TPU.REMAT scopes (activation rematerialization); "backbone" wraps the
+    # whole backbone call in jax.checkpoint during training so only the
+    # output feature maps are stored for the backward pass
+    remat_scopes: Sequence[str] = ()
 
     @classmethod
     def from_config(cls, cfg: CfgNode):
@@ -52,6 +56,7 @@ class GeneralizedRCNN(nn.Module):
             roi_heads=build_roi_heads(cfg, output_shape),
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            remat_scopes=tuple(cfg.TPU.REMAT),
         )
 
     def preprocess_image(self, images: Array) -> Array:
@@ -63,7 +68,10 @@ class GeneralizedRCNN(nn.Module):
     def __call__(self, batch: Dict[str, Array], train: bool = False):
         images = self.preprocess_image(batch["image"])
         image_sizes = batch["image_sizes"]
-        features = self.backbone(images)
+        if train and "backbone" in self.remat_scopes:
+            features = nn.remat(lambda mdl, x: mdl(x))(self.backbone, images)
+        else:
+            features = self.backbone(images)
 
         if not train and "detected_boxes" in batch:
             # inference on externally provided boxes (reference rcnn.py

@@ -106,6 +106,9 @@ class RPN(nn.Module):
     box_reg_loss_weight: float = 1.0
     smooth_l1_beta: float = 0.0
     box_reg_loss_type: str = "smooth_l1"
+    # "rpn_head" in TPU.REMAT: recompute the conv tower (finest-level
+    # activations are res2-sized) on the backward pass
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
@@ -145,6 +148,7 @@ class RPN(nn.Module):
             box_reg_loss_weight=cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT,
             smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
             box_reg_loss_type=cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE,
+            remat="rpn_head" in cfg.TPU.REMAT,
         )
 
     @nn.compact
@@ -162,7 +166,12 @@ class RPN(nn.Module):
         images_sizes, gt_boxes, gt_valid = self._adapt_inputs(
             feats[0].shape[0], images_sizes, gt_boxes, gt_valid
         )
-        logits_per_level, deltas_per_level = self.head(feats)
+        if train and self.remat:
+            logits_per_level, deltas_per_level = nn.remat(
+                lambda mdl, fs: mdl(fs)
+            )(self.head, feats)
+        else:
+            logits_per_level, deltas_per_level = self.head(feats)
 
         grid_sizes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors = self.anchor_generator(grid_sizes)  # list of (Ni, 4) constants

@@ -85,6 +85,15 @@ class StandardROIHeads(nn.Module):
     keypoint_head: Optional[nn.Module] = None
     normalize_loss_by_visible_keypoints: bool = True
     keypoint_loss_weight: float = 1.0
+    # TPU.REMAT scopes: "box_head"/"mask_head"/"keypoint_head" recompute the
+    # per-ROI head stack on the backward pass (the mask head's (B*Sm, 28, 28,
+    # 256) conv activations are the largest single train buffers at scale)
+    remat_scopes: Sequence[str] = ()
+
+    def _head_call(self, scope: str, head, feats, train: bool):
+        if train and scope in self.remat_scopes:
+            return nn.remat(lambda mdl, f: mdl(f))(head, feats)
+        return head(feats)
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
@@ -131,6 +140,7 @@ class StandardROIHeads(nn.Module):
             nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
             mask_on=cfg.MODEL.MASK_ON,
+            remat_scopes=tuple(cfg.TPU.REMAT),
         )
         if cfg.MODEL.MASK_ON:
             mask_res = cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION
@@ -214,7 +224,7 @@ class StandardROIHeads(nn.Module):
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), s)
 
             box_feats = self.box_pooler(feats, flat_boxes, batch_idx, rois_per_image=s)
-            box_feats = self.box_head(box_feats)
+            box_feats = self._head_call("box_head", self.box_head, box_feats, True)
             scores, deltas = self.box_predictor(box_feats)
 
             losses = fast_rcnn_losses(
@@ -356,7 +366,7 @@ class StandardROIHeads(nn.Module):
         flat_boxes = mask_boxes.reshape(b * sm, 4)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
         mask_feats = self.mask_pooler(feats, flat_boxes, batch_idx, rois_per_image=sm)
-        mask_logits = self.mask_head(mask_feats)
+        mask_logits = self._head_call("mask_head", self.mask_head, mask_feats, True)
 
         loss = mask_rcnn_loss(
             mask_logits,
@@ -404,7 +414,7 @@ class StandardROIHeads(nn.Module):
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sm)
         kfeats = [features[f] for f in self.box_in_features]
         kp_feats = self.keypoint_pooler(kfeats, flat_boxes, batch_idx, rois_per_image=sm)
-        kp_logits = self.keypoint_head(kp_feats)
+        kp_logits = self._head_call("keypoint_head", self.keypoint_head, kp_feats, True)
         loss = keypoint_rcnn_loss(
             kp_logits,
             gt_kpts.reshape(b * sm, -1, 3),

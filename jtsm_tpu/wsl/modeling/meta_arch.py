@@ -37,6 +37,8 @@ class GeneralizedRCNNWSL(nn.Module):
     roi_heads: nn.Module
     pixel_mean: Sequence[float]
     pixel_std: Sequence[float]
+    # TPU.REMAT scopes ("backbone" = jax.checkpoint the whole backbone call)
+    remat_scopes: Sequence[str] = ()
 
     @classmethod
     def from_config(cls, cfg: CfgNode):
@@ -46,6 +48,7 @@ class GeneralizedRCNNWSL(nn.Module):
             roi_heads=build_roi_heads(cfg, backbone.output_shape()),
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            remat_scopes=tuple(cfg.TPU.REMAT),
         )
 
     @nn.compact
@@ -53,7 +56,10 @@ class GeneralizedRCNNWSL(nn.Module):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
         images = (batch["image"] - mean) / std
-        features = self.backbone(images)
+        if train and "backbone" in self.remat_scopes:
+            features = nn.remat(lambda mdl, x: mdl(x))(self.backbone, images)
+        else:
+            features = self.backbone(images)
         proposals = batch["proposals"]
         prop_scores = batch["proposal_scores"]
         targets = (
@@ -84,6 +90,8 @@ class GeneralizedMCNNWSL(nn.Module):
     sem_seg_head: nn.Module
     pixel_mean: Sequence[float]
     pixel_std: Sequence[float]
+    # TPU.REMAT scopes ("backbone" = jax.checkpoint the whole backbone call)
+    remat_scopes: Sequence[str] = ()
 
     @classmethod
     def from_config(cls, cfg: CfgNode):
@@ -95,6 +103,7 @@ class GeneralizedMCNNWSL(nn.Module):
             sem_seg_head=build_sem_seg_head(cfg, output_shape),
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            remat_scopes=tuple(cfg.TPU.REMAT),
         )
 
     @nn.compact
@@ -102,7 +111,10 @@ class GeneralizedMCNNWSL(nn.Module):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
         images = (batch["image"] - mean) / std
-        features = self.backbone(images)
+        if train and "backbone" in self.remat_scopes:
+            features = nn.remat(lambda mdl, x: mdl(x))(self.backbone, images)
+        else:
+            features = self.backbone(images)
 
         if not train and "detected_boxes" in batch:
             # mask-only inference on externally provided boxes (TTA mask

@@ -69,6 +69,7 @@ def build_wsl_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> WSLResNet
         norm=cfg.MODEL.RESNETS.NORM,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        remat="backbone_blocks" in cfg.TPU.REMAT,
         dtype=dtype,
     )
 
@@ -102,6 +103,17 @@ class MRRPWSLResNet(WSLResNet):
         branched = False
         xs = [x]
         for i, (name, blocks) in enumerate(zip(self._stage_names, self.stages)):
+            use_remat = self.remat and self.freeze_at < i + 2
+
+            def run(block, b, d=None):
+                if use_remat:
+                    if d is None:
+                        return nn.remat(lambda mdl, y: mdl(y))(block, b)
+                    # dilation is a Python static: close over it so only
+                    # arrays cross the remat boundary
+                    return nn.remat(lambda mdl, y: mdl(y, dilation=d))(block, b)
+                return block(b) if d is None else block(b, dilation=d)
+
             if name == self.mrrp_stage and not branched:
                 branched = True
                 if train or self.mrrp_test_branch_idx < 0:
@@ -110,10 +122,10 @@ class MRRPWSLResNet(WSLResNet):
                     dilations = [self.mrrp_dilations[self.mrrp_test_branch_idx]]
                 xs = [xs[0]] * len(dilations)
                 for block in blocks:
-                    xs = [block(b, dilation=d) for b, d in zip(xs, dilations)]
+                    xs = [run(block, b, d) for b, d in zip(xs, dilations)]
             else:
                 for block in blocks:
-                    xs = [block(b) for b in xs]
+                    xs = [run(block, b) for b in xs]
             if self.freeze_at >= i + 2:
                 xs = [jax.lax.stop_gradient(b) for b in xs]
             if name in self.out_features:
@@ -136,6 +148,7 @@ def build_mrrp_wsl_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> MRRP
         norm=cfg.MODEL.RESNETS.NORM,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        remat="backbone_blocks" in cfg.TPU.REMAT,
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         mrrp_dilations=tuple(cfg.MODEL.MRRP.BRANCH_DILATIONS),
         mrrp_stage=cfg.MODEL.MRRP.MRRP_STAGE,
@@ -163,6 +176,7 @@ def build_wsl_resnet_fpn_backbone(cfg: CfgNode, input_shape: ShapeSpec):
         norm=cfg.MODEL.RESNETS.NORM,
         out_features=("res2", "res3", "res4", "res5"),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        remat="backbone_blocks" in cfg.TPU.REMAT,
         dtype=dtype,
     )
     return FPN(

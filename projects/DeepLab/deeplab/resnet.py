@@ -73,5 +73,6 @@ def build_resnet_deeplab_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> DeepL
         norm=cfg.MODEL.RESNETS.NORM,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        remat="backbone_blocks" in cfg.TPU.REMAT,
         dtype=dtype,
     )
