@@ -265,6 +265,11 @@ _C.SOLVER.AMP.ENABLED = True  # bf16 compute path on TPU
 _C.TEST = CN()
 _C.TEST.EXPECTED_RESULTS = []
 _C.TEST.EVAL_PERIOD = 0
+# Eval images per step. >1 is the TPU-native analog of the reference's
+# 1-image-per-GPU distributed eval: the batch is sharded over the data mesh
+# when its size divides the device count (the final partial batch is padded
+# on device and trimmed host-side before the evaluators see it).
+_C.TEST.IMS_PER_BATCH = 1
 _C.TEST.KEYPOINT_OKS_SIGMAS = []
 _C.TEST.DETECTIONS_PER_IMAGE = 100
 _C.TEST.AUG = CN()

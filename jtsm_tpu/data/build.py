@@ -148,6 +148,7 @@ class StaticBatchLoader:
         aspect_ratio_grouping: bool = True,
         prefetch: int = 2,
         infinite: bool = True,
+        pad_final: bool = False,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -159,6 +160,7 @@ class StaticBatchLoader:
         self.aspect_ratio_grouping = aspect_ratio_grouping
         self.prefetch = prefetch
         self.infinite = infinite
+        self.pad_final = pad_final
 
     def _mapped_stream(self):
         for idx in self.sampler:
@@ -175,7 +177,16 @@ class StaticBatchLoader:
                 group = list(itertools.islice(it, self.batch_size))
                 if not group:
                     return
-                yield self._collate(group)
+                real = len(group)
+                if self.pad_final and real < self.batch_size:
+                    # keep the compiled batch shape static: repeat the last
+                    # image; image_ids keeps only the real entries so the
+                    # caller can trim outputs before the evaluators see them
+                    group = group + [group[-1]] * (self.batch_size - real)
+                batch = self._collate(group)
+                if real < len(group):
+                    batch["image_ids"] = batch["image_ids"][:real]
+                yield batch
 
     def _collate(self, group: List[dict]) -> dict:
         batch = build_static_batch(
@@ -304,4 +315,5 @@ def build_detection_test_loader(
         else 0,
         aspect_ratio_grouping=False,
         infinite=False,
+        pad_final=batch_size > 1,
     )

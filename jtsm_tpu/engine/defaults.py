@@ -226,7 +226,9 @@ class DefaultTrainer(TrainerBase):
 
     @classmethod
     def build_test_loader(cls, cfg, dataset_name):
-        return build_detection_test_loader(cfg, dataset_name)
+        return build_detection_test_loader(
+            cfg, dataset_name, batch_size=max(1, cfg.TEST.IMS_PER_BATCH)
+        )
 
     @classmethod
     def build_evaluator(cls, cfg, dataset_name, output_folder=None):
@@ -434,7 +436,31 @@ class DefaultTrainer(TrainerBase):
         if cfg.TEST.AUG.ENABLED:
             return cls.test_with_TTA(cfg, model, variables)
         results = OrderedDict()
-        jitted = jax.jit(lambda v, b: model.apply(v, b, train=False))
+        eval_bs = max(1, cfg.TEST.IMS_PER_BATCH)
+        # shard the eval batch over the data mesh when it divides across
+        # devices (TPU-native analog of the reference's 1-image-per-GPU
+        # distributed eval; 1 device => plain jit)
+        n_dev = 1
+        for d in range(min(eval_bs, jax.device_count()), 0, -1):
+            if eval_bs % d == 0:
+                n_dev = d
+                break
+        fn = lambda v, b: model.apply(v, b, train=False)  # noqa: E731
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = build_mesh(
+                devices=jax.devices()[:n_dev], axis_names=("data",), shape=(n_dev,)
+            )
+            jitted = jax.jit(
+                fn,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P("data")),
+                ),
+            )
+        else:
+            jitted = jax.jit(fn)
 
         for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
             data_loader = cls.build_test_loader(cfg, dataset_name)
@@ -461,6 +487,15 @@ class DefaultTrainer(TrainerBase):
                     if k not in ("image_ids",)
                 }
                 out = jitted(variables, device_batch)
+                nreal = len(batch["image_ids"])
+                if nreal < batch["image"].shape[0]:
+                    # final partial batch was padded (loader pad_final):
+                    # trim the duplicate rows before the evaluators see them
+                    out = {k: v[:nreal] for k, v in out.items()}
+                    batch = {
+                        k: (v[:nreal] if getattr(v, "ndim", 0) else v)
+                        for k, v in batch.items()
+                    }
                 if combine_on and "sem_seg_logits" in out and "boxes" in out:
                     # host-side panoptic fusion (reference PanopticFPN
                     # .inference :109-130 / MCNN._postprocess_ps)

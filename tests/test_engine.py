@@ -239,3 +239,28 @@ def test_vis_period_puts_training_images(tiny_coco_train, tmp_path):
     assert len(seen) == 2
     name, shape = seen[0]
     assert name == "training_samples" and shape[0] == 3  # CHW
+
+
+def test_sharded_eval_matches_single_device(tiny_coco_train, tmp_path):
+    """TEST.IMS_PER_BATCH > 1 shards the eval batch over the data mesh
+    (4 of the 8 virtual devices here) and pads/trims the final partial
+    batch (6 images -> 4 + 2-padded-to-4); results must match the plain
+    one-image-per-step eval."""
+    cfg = _tiny_train_cfg(tiny_coco_train, str(tmp_path / "out_shard"))
+    trainer = DefaultTrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    variables = trainer._trainer.state_variables()
+
+    res1 = DefaultTrainer.test(cfg, trainer.model, variables=variables)
+
+    cfg4 = cfg.clone()
+    cfg4.TEST.IMS_PER_BATCH = 4
+    res4 = DefaultTrainer.test(cfg4, trainer.model, variables=variables)
+
+    assert set(res1) == set(res4)
+    for task in res1:
+        for k, v in res1[task].items():
+            v4 = res4[task][k]
+            if np.isnan(v) and np.isnan(v4):
+                continue
+            np.testing.assert_allclose(v4, v, rtol=1e-3, atol=1e-3, err_msg=(task, k))
