@@ -3,6 +3,7 @@ from .build import (
     build_detection_train_loader,
     get_detection_dataset_dicts,
     load_proposals_into_dataset,
+    print_instances_class_histogram,
 )
 from .catalog import DatasetCatalog, Metadata, MetadataCatalog
 from .common import AspectRatioGroupedDataset, DatasetFromList, MapDataset

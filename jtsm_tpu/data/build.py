@@ -129,7 +129,54 @@ def get_detection_dataset_dicts(
         dataset_dicts = filter_images_with_only_crowd_annotations(dataset_dicts)
     if min_keypoints > 0 and has_instances:
         dataset_dicts = filter_images_with_few_keypoints(dataset_dicts, min_keypoints)
+
+    if has_instances:
+        try:
+            class_names = MetadataCatalog.get(names[0]).thing_classes
+            print_instances_class_histogram(dataset_dicts, class_names)
+        except AttributeError:  # class names are not available for this dataset
+            pass
     return dataset_dicts
+
+
+def print_instances_class_histogram(dataset_dicts, class_names) -> None:
+    """Log a per-class instance-count table for the training set (reference
+    build.py:157 — same table, minus the tabulate/termcolor dependency)."""
+    num_classes = len(class_names)
+    histogram = np.zeros((num_classes,), dtype=np.int64)
+    for entry in dataset_dicts:
+        classes = np.asarray(
+            [
+                x["category_id"]
+                for x in entry.get("annotations", [])
+                if not x.get("iscrowd", 0)
+            ],
+            dtype=np.int64,
+        )
+        if len(classes):
+            assert classes.min() >= 0, f"Got an invalid category_id={classes.min()}"
+            assert classes.max() < num_classes, (
+                f"Got an invalid category_id={classes.max()} "
+                f"for a dataset of {num_classes} classes"
+            )
+        histogram += np.bincount(classes, minlength=num_classes)
+
+    def short_name(x):
+        return x[:11] + ".." if len(x) > 13 else x
+
+    rows = [
+        f"| {short_name(class_names[i]):>13s} | {int(v):<10d} "
+        for i, v in enumerate(histogram)
+    ]
+    n_cols = min(3, max(1, num_classes))
+    lines = [
+        "".join(rows[i : i + n_cols]) + "|" for i in range(0, len(rows), n_cols)
+    ]
+    total = int(histogram.sum())
+    logger.info(
+        f"Distribution of instances among all {num_classes} categories "
+        f"(total {total}):\n" + "\n".join(lines)
+    )
 
 
 class StaticBatchLoader:

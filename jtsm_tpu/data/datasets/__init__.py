@@ -3,7 +3,19 @@ from .cityscapes import (
     load_cityscapes_semantic,
     register_cityscapes,
 )
-from .coco import convert_to_coco_dict, load_coco_json, load_sem_seg, register_coco_instances
+from .coco import (
+    convert_to_coco_dict,
+    convert_to_coco_json,
+    load_coco_json,
+    load_sem_seg,
+    register_coco_instances,
+)
+from .builtin import (
+    load_coco_panoptic_json,
+    merge_to_panoptic,
+    register_coco_panoptic,
+    register_coco_panoptic_separated,
+)
 from .lvis import load_lvis_json, register_lvis_instances
 
 __all__ = [
@@ -11,6 +23,11 @@ __all__ = [
     "load_sem_seg",
     "register_coco_instances",
     "convert_to_coco_dict",
+    "convert_to_coco_json",
+    "load_coco_panoptic_json",
+    "merge_to_panoptic",
+    "register_coco_panoptic",
+    "register_coco_panoptic_separated",
     "load_lvis_json",
     "register_lvis_instances",
     "load_cityscapes_instances",

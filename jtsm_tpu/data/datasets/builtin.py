@@ -140,6 +140,96 @@ def register_coco_panoptic_separated(
     MetadataCatalog.get(stuff_name).set(**stuff_meta)
 
 
+def load_coco_panoptic_json(
+    json_file: str, image_dir: str, gt_dir: str, meta: dict
+) -> list:
+    """Standard-format panoptic dicts: ``pan_seg_file_name`` (id-encoded PNG)
+    + ``segments_info`` with contiguous category ids (reference
+    datasets/coco_panoptic.py:14-64)."""
+    import json
+
+    def _convert_category_id(segment_info):
+        cid = segment_info["category_id"]
+        if cid in meta["thing_dataset_id_to_contiguous_id"]:
+            segment_info = dict(
+                segment_info,
+                category_id=meta["thing_dataset_id_to_contiguous_id"][cid],
+                isthing=True,
+            )
+        else:
+            segment_info = dict(
+                segment_info,
+                category_id=meta["stuff_dataset_id_to_contiguous_id"][cid],
+                isthing=False,
+            )
+        return segment_info
+
+    with open(json_file) as f:
+        json_info = json.load(f)
+    ret = []
+    for ann in json_info["annotations"]:
+        image_id = int(ann["image_id"])
+        image_file = os.path.join(
+            image_dir, os.path.splitext(ann["file_name"])[0] + ".jpg"
+        )
+        ret.append(
+            {
+                "file_name": image_file,
+                "image_id": image_id,
+                "pan_seg_file_name": os.path.join(gt_dir, ann["file_name"]),
+                "segments_info": [
+                    _convert_category_id(x) for x in ann["segments_info"]
+                ],
+            }
+        )
+    assert ret, f"No images found in {image_dir}!"
+    return ret
+
+
+def register_coco_panoptic(
+    name: str,
+    metadata: dict,
+    image_root: str,
+    panoptic_root: str,
+    panoptic_json: str,
+    instances_json: str | None = None,
+) -> None:
+    """Register a 'standard' panoptic dataset (id-encoded panoptic PNGs, one
+    dict per image with segments_info) — the format Panoptic-DeepLab trains
+    on (reference datasets/coco_panoptic.py:67)."""
+    DatasetCatalog.register(
+        name,
+        lambda: load_coco_panoptic_json(
+            panoptic_json, image_root, panoptic_root, metadata
+        ),
+    )
+    MetadataCatalog.get(name).set(
+        panoptic_root=panoptic_root,
+        image_root=image_root,
+        panoptic_json=panoptic_json,
+        json_file=instances_json,
+        evaluator_type="coco_panoptic_seg",
+        ignore_label=255,
+        label_divisor=1000,
+        **metadata,
+    )
+
+
+def merge_to_panoptic(detection_dicts: list, sem_seg_dicts: list) -> list:
+    """Merge detection and sem-seg dataset dicts on ``file_name`` (reference
+    datasets/coco_panoptic.py:169)."""
+    import copy
+
+    sem_seg_file_to_entry = {x["file_name"]: x for x in sem_seg_dicts}
+    assert len(sem_seg_file_to_entry) > 0
+    results = []
+    for det_dict in detection_dicts:
+        dic = copy.copy(det_dict)
+        dic.update(sem_seg_file_to_entry[dic["file_name"]])
+        results.append(dic)
+    return results
+
+
 def register_all_coco_panoptic(root: str) -> None:
     for prefix, (panoptic_root, panoptic_json, semantic_root) in _PREDEFINED_SPLITS_COCO_PANOPTIC.items():
         prefix_instances = prefix[: -len("_panoptic")]
@@ -154,6 +244,16 @@ def register_all_coco_panoptic(root: str) -> None:
             os.path.join(root, panoptic_root),
             os.path.join(root, panoptic_json),
             os.path.join(root, semantic_root),
+            os.path.join(root, instances_json),
+        )
+        # the 'standard' variant, e.g. used by Panoptic-DeepLab
+        # (reference builtin.py:137)
+        register_coco_panoptic(
+            prefix,
+            _get_builtin_metadata("coco_panoptic_standard"),
+            os.path.join(root, image_root),
+            os.path.join(root, panoptic_root),
+            os.path.join(root, panoptic_json),
             os.path.join(root, instances_json),
         )
 

@@ -222,6 +222,22 @@ def _get_builtin_metadata(dataset_name: str):
         return _get_coco_instances_meta()
     if dataset_name == "coco_panoptic_separated":
         return _get_coco_panoptic_separated_meta()
+    if dataset_name == "coco_panoptic_standard":
+        # Standard-format panoptic metadata (reference builtin_meta.py:288):
+        # one contiguous id space over ALL 133 categories; thing_* and stuff_*
+        # duplicate the full list so existing visualization code works.
+        meta = {
+            "thing_classes": [k["name"] for k in COCO_CATEGORIES],
+            "thing_colors": [k["color"] for k in COCO_CATEGORIES],
+            "stuff_classes": [k["name"] for k in COCO_CATEGORIES],
+            "stuff_colors": [k["color"] for k in COCO_CATEGORIES],
+        }
+        thing_map, stuff_map = {}, {}
+        for i, cat in enumerate(COCO_CATEGORIES):
+            (thing_map if cat["isthing"] else stuff_map)[cat["id"]] = i
+        meta["thing_dataset_id_to_contiguous_id"] = thing_map
+        meta["stuff_dataset_id_to_contiguous_id"] = stuff_map
+        return meta
     if dataset_name == "coco_person":
         return {
             "thing_classes": ["person"],

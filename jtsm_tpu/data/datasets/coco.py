@@ -196,3 +196,24 @@ def convert_to_coco_dict(dataset_name: str) -> dict:
         "categories": categories,
         "licenses": None,
     }
+
+
+def convert_to_coco_json(dataset_name: str, output_file: str, allow_cached: bool = True):
+    """Convert a registered dataset to COCO format and cache it as json
+    (reference coco.py:415 — lets COCOEvaluator run on any standard-format
+    dataset that has no native json)."""
+    d = os.path.dirname(output_file)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    if os.path.exists(output_file) and allow_cached:
+        logger.warning(
+            f"Using previously cached COCO format annotations at '{output_file}'. "
+            "You need to clear the cache file if your dataset has been modified."
+        )
+        return
+    logger.info(f"Converting annotations of dataset '{dataset_name}' to COCO format ...")
+    coco_dict = convert_to_coco_dict(dataset_name)
+    tmp_file = output_file + ".tmp"
+    with open(tmp_file, "w") as f:
+        json.dump(coco_dict, f)
+    os.replace(tmp_file, output_file)

@@ -1,6 +1,7 @@
-"""Pascal VOC detection AP (reference:
+"""Pascal VOC detection AP + CorLoc (reference:
 detectron2/evaluation/pascal_voc_evaluation.py:21 — 11-point '07 metric or
-all-point '12 metric, per-class AP@0.5)."""
+all-point '12 metric; the fork evaluates AP and CorLoc over IoU 0.5:0.05:0.95,
+reporting AP/AP50/AP75 and CL/CL50/CL75, reference :118-170,:358-452)."""
 
 from __future__ import annotations
 
@@ -94,6 +95,58 @@ def voc_eval_class(
     return rec, prec, voc_ap(rec, prec, use_07_metric)
 
 
+def voc_eval_corloc_class(
+    dets: List[dict], gts_by_image: Dict, ovthresh: float = 0.5
+) -> float:
+    """Correct-localization rate: per image, only the single highest-scoring
+    detection of the class is judged; CorLoc = (#images whose top detection
+    overlaps a GT of the class at >= ovthresh) / (#images that contain at
+    least one non-difficult GT of the class). Images whose GT for the class
+    is entirely difficult (or absent) are excluded from both counts
+    (reference pascal_voc_evaluation.py:358-452)."""
+    npos_im = 0
+    class_recs = {}
+    for image_id, rec in gts_by_image.items():
+        difficult = np.asarray(rec["difficult"], dtype=bool)
+        bbox = np.asarray(rec["bbox"], dtype=np.float64).reshape(-1, 4)
+        class_recs[image_id] = {"bbox": bbox, "difficult": difficult}
+        if len(difficult) > 0:
+            npos_im += min(1, int((~difficult).sum()))
+    if npos_im == 0:
+        return 0.0
+
+    dets = sorted(dets, key=lambda d: -d["score"])
+    seen = set()
+    n_correct = 0
+    for det in dets:
+        image_id = det["image_id"]
+        if image_id in seen:
+            continue
+        r = class_recs.get(image_id)
+        if r is None or len(r["difficult"]) == 0 or bool(r["difficult"].all()):
+            # no (non-difficult) GT of this class in the image: skipped, like
+            # the reference's all_difficult guard
+            continue
+        seen.add(image_id)
+        bb = np.asarray(det["bbox"], dtype=np.float64)
+        bbgt = r["bbox"]
+        ixmin = np.maximum(bbgt[:, 0], bb[0])
+        iymin = np.maximum(bbgt[:, 1], bb[1])
+        ixmax = np.minimum(bbgt[:, 2], bb[2])
+        iymax = np.minimum(bbgt[:, 3], bb[3])
+        iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
+        ih = np.maximum(iymax - iymin + 1.0, 0.0)
+        inters = iw * ih
+        uni = (
+            (bb[2] - bb[0] + 1.0) * (bb[3] - bb[1] + 1.0)
+            + (bbgt[:, 2] - bbgt[:, 0] + 1.0) * (bbgt[:, 3] - bbgt[:, 1] + 1.0)
+            - inters
+        )
+        if np.max(inters / uni) > ovthresh:
+            n_correct += 1
+    return n_correct / npos_im
+
+
 class PascalVOCDetectionEvaluator(DatasetEvaluator):
     def __init__(self, dataset_name: str):
         self._dataset_name = dataset_name
@@ -157,16 +210,42 @@ class PascalVOCDetectionEvaluator(DatasetEvaluator):
             for clsid, lines in predictions_per_rank.items():
                 predictions[clsid].extend(lines)
 
-        aps = {}
+        # AP and CorLoc over IoU 0.5:0.05:0.95 per the fork's protocol
+        # (reference pascal_voc_evaluation.py:118-170)
+        aps = defaultdict(list)  # thresh -> per-class AP
+        corlocs = defaultdict(list)
+        ap50_per_class = {}
         for cls_idx, cls_name in enumerate(self._class_names):
             gts = self.gt_for_class(cls_idx)
-            _, _, ap = voc_eval_class(
-                predictions.get(cls_idx, []), gts, 0.5, self._is_2007
-            )
-            aps[cls_name] = ap * 100
+            dets = predictions.get(cls_idx, [])
+            for thresh in range(50, 100, 5):
+                _, _, ap = voc_eval_class(dets, gts, thresh / 100.0, self._is_2007)
+                aps[thresh].append(ap * 100)
+                corlocs[thresh].append(
+                    voc_eval_corloc_class(dets, gts, thresh / 100.0) * 100
+                )
+            ap50_per_class[cls_name] = aps[50][-1]
 
-        m_ap = np.mean(list(aps.values())) if aps else 0.0
+        m_ap = {t: float(np.mean(x)) for t, x in aps.items()}
+        m_cl = {t: float(np.mean(x)) for t, x in corlocs.items()}
         ret = OrderedDict()
-        ret["bbox"] = {"AP50": float(m_ap), "AP": float(m_ap)}
-        logger.info(f"VOC AP50: {m_ap:.2f}")
+        ret["bbox"] = {
+            "AP": float(np.mean(list(m_ap.values()))),
+            "AP50": m_ap[50],
+            "AP75": m_ap[75],
+        }
+        ret["bbox CorLoc"] = {
+            "CL": float(np.mean(list(m_cl.values()))),
+            "CL50": m_cl[50],
+            "CL75": m_cl[75],
+        }
+        logger.info(
+            "VOC AP50: {:.2f}  AP: {:.2f}  CorLoc50: {:.2f}".format(
+                m_ap[50], ret["bbox"]["AP"], m_cl[50]
+            )
+        )
+        logger.info(
+            "per-class AP50: "
+            + " ".join(f"{n}={v:.1f}" for n, v in ap50_per_class.items())
+        )
         return ret

@@ -243,3 +243,93 @@ def test_collate_keypoints_and_optional_field_union():
     assert (batch["gt_keypoints"][0, :2, :, 0] == 7.0).all()
     assert (batch["gt_keypoints"][0, 2:] == 0).all()  # padding rows zeroed
     assert batch["gt_valid"][0, :2].all() and not batch["gt_valid"][0, 2:].any()
+
+
+def test_standard_panoptic_registration_and_json_cache(tmp_path):
+    """load_coco_panoptic_json produces standard-format dicts with contiguous
+    segment category ids (reference datasets/coco_panoptic.py:14-67);
+    merge_to_panoptic joins on file_name; convert_to_coco_json caches."""
+    import json
+
+    from PIL import Image
+
+    from jtsm_tpu.data import DatasetCatalog, MetadataCatalog
+    from jtsm_tpu.data.datasets import (
+        convert_to_coco_json,
+        load_coco_panoptic_json,
+        merge_to_panoptic,
+        register_coco_panoptic,
+    )
+
+    img_dir = tmp_path / "images"
+    pan_dir = tmp_path / "panoptic"
+    img_dir.mkdir()
+    pan_dir.mkdir()
+    Image.new("RGB", (16, 16)).save(img_dir / "000001.jpg")
+    Image.new("RGB", (16, 16)).save(pan_dir / "000001.png")
+    pan_json = tmp_path / "panoptic.json"
+    pan_json.write_text(
+        json.dumps(
+            {
+                "annotations": [
+                    {
+                        "image_id": 1,
+                        "file_name": "000001.png",
+                        "segments_info": [
+                            {"id": 3, "category_id": 10, "area": 9},  # thing
+                            {"id": 4, "category_id": 7, "area": 5},  # stuff
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    meta = {
+        "thing_dataset_id_to_contiguous_id": {10: 0},
+        "stuff_dataset_id_to_contiguous_id": {7: 1},
+    }
+    dicts = load_coco_panoptic_json(str(pan_json), str(img_dir), str(pan_dir), meta)
+    assert dicts[0]["segments_info"][0] == {
+        "id": 3, "category_id": 0, "area": 9, "isthing": True,
+    }
+    assert dicts[0]["segments_info"][1]["isthing"] is False
+    assert dicts[0]["segments_info"][1]["category_id"] == 1
+    assert dicts[0]["pan_seg_file_name"].endswith("000001.png")
+
+    name = "std_panoptic_test_ds"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    register_coco_panoptic(name, meta, str(img_dir), str(pan_dir), str(pan_json))
+    assert MetadataCatalog.get(name).label_divisor == 1000
+    assert DatasetCatalog.get(name)[0]["image_id"] == 1
+
+    # merge_to_panoptic keys on file_name
+    det = [{"file_name": str(img_dir / "000001.jpg"), "annotations": []}]
+    sem = [{"file_name": str(img_dir / "000001.jpg"), "sem_seg_file_name": "x.png"}]
+    merged = merge_to_panoptic(det, sem)
+    assert merged[0]["sem_seg_file_name"] == "x.png"
+
+    # convert_to_coco_json writes + caches
+    name2 = "std_panoptic_det_ds"
+    if name2 in DatasetCatalog:
+        DatasetCatalog.remove(name2)
+    DatasetCatalog.register(
+        name2,
+        lambda: [
+            {
+                "file_name": "a.jpg", "image_id": 1, "height": 16, "width": 16,
+                "annotations": [
+                    {"bbox": [0, 0, 8, 8], "bbox_mode": 0, "category_id": 0}
+                ],
+            }
+        ],
+    )
+    MetadataCatalog.get(name2).thing_classes = ["cat"]
+    out = tmp_path / "cache" / "anno.json"
+    convert_to_coco_json(name2, str(out))
+    blob = json.loads(out.read_text())
+    assert blob["annotations"][0]["bbox"] == [0.0, 0.0, 8.0, 8.0]
+    # cached: a second call with allow_cached must not rewrite
+    mtime = out.stat().st_mtime_ns
+    convert_to_coco_json(name2, str(out))
+    assert out.stat().st_mtime_ns == mtime

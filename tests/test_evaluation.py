@@ -423,6 +423,39 @@ def test_pascal_voc_evaluator_e2e():
     # class 0: the non-difficult GT is recalled; the difficult-GT det is
     # ignored. class 1: perfect. VOC07 metric -> 100 each.
     np.testing.assert_allclose(res["bbox"]["AP50"], 100.0)
+    # CorLoc: top-scoring det per image hits a GT for both classes -> 100
+    np.testing.assert_allclose(res["bbox CorLoc"]["CL50"], 100.0)
+
+
+def test_pascal_voc_corloc_top_det_only():
+    """CorLoc judges only the single highest-scoring detection per image: a
+    mislocalized top det makes the image wrong even when a lower-scoring det
+    hits the GT (reference pascal_voc_evaluation.py:358-452, T/F sets keyed
+    by image)."""
+    from jtsm_tpu.evaluation.pascal_voc_evaluation import (
+        voc_eval_class,
+        voc_eval_corloc_class,
+    )
+
+    gts = {"im1": {"bbox": [[10, 10, 30, 30]], "difficult": [False]}}
+    dets = [
+        {"image_id": "im1", "bbox": [50, 50, 70, 70], "score": 0.9},  # miss
+        {"image_id": "im1", "bbox": [10, 10, 30, 30], "score": 0.5},  # hit
+    ]
+    assert voc_eval_corloc_class(dets, gts, 0.5) == 0.0
+    # ...while AP still credits the lower-scoring hit
+    _, _, ap = voc_eval_class(dets, gts, 0.5, use_07_metric=False)
+    assert ap > 0.0
+    # all-difficult images are excluded from both numerator and denominator
+    gts2 = {
+        "im1": {"bbox": [[10, 10, 30, 30]], "difficult": [True]},
+        "im2": {"bbox": [[10, 10, 30, 30]], "difficult": [False]},
+    }
+    dets2 = [
+        {"image_id": "im1", "bbox": [10, 10, 30, 30], "score": 0.9},
+        {"image_id": "im2", "bbox": [10, 10, 30, 30], "score": 0.8},
+    ]
+    assert voc_eval_corloc_class(dets2, gts2, 0.5) == 1.0
 
 
 def test_keypoint_oks_sigmas_plumbed():
