@@ -16,14 +16,15 @@ import numpy as np
 
 from jtsm_tpu.data.catalog import MetadataCatalog
 from jtsm_tpu.engine import DefaultPredictor
-from jtsm_tpu.utils.visualizer import Visualizer
+from jtsm_tpu.utils.visualizer import ColorMode, Visualizer
 
 
 class VisualizationDemo:
-    def __init__(self, cfg, instance_mode=None, parallel: bool = False):
+    def __init__(self, cfg, instance_mode: ColorMode = ColorMode.IMAGE, parallel: bool = False):
         self.metadata = MetadataCatalog.get(
             cfg.DATASETS.TEST[0] if len(cfg.DATASETS.TEST) else "__unused"
         )
+        self.instance_mode = instance_mode
         self.parallel = parallel
         if parallel:
             self.predictor = AsyncPredictor(cfg)
@@ -33,7 +34,7 @@ class VisualizationDemo:
     def run_on_image(self, image_bgr: np.ndarray):
         predictions = self.predictor(image_bgr)
         image_rgb = image_bgr[:, :, ::-1]
-        visualizer = Visualizer(image_rgb, self.metadata)
+        visualizer = Visualizer(image_rgb, self.metadata, instance_mode=self.instance_mode)
         if "panoptic_seg" in predictions:
             pan, infos = predictions["panoptic_seg"]
             vis_output = visualizer.draw_panoptic_seg(pan, infos)

@@ -267,6 +267,49 @@ def create_keypoint_hflip_indices(dataset_names) -> np.ndarray:
     return np.asarray([names.index(i) for i in flipped_names])
 
 
+def convert_image_to_rgb(image: np.ndarray, format: str) -> np.ndarray:
+    """Convert an image from the given format to an RGB uint8 array
+    (reference detection_utils.py:120 — used by visualization paths)."""
+    image = np.asarray(image)
+    if format == "BGR":
+        image = image[:, :, [2, 1, 0]]
+    elif format == "YUV-BT.601":
+        image = np.dot(image, np.linalg.inv(_M_YUV_BT601.T)) * 255.0
+    elif format == "L":
+        image = image[:, :, 0] if image.ndim == 3 else image
+        image = np.stack([image] * 3, axis=-1)
+    return np.clip(image, 0, 255).astype(np.uint8)
+
+
+_M_YUV_BT601 = np.array(
+    [[0.299, 0.587, 0.114], [-0.14713, -0.28886, 0.436], [0.615, -0.51499, -0.10001]]
+)
+
+
+def check_metadata_consistency(key: str, dataset_names) -> None:
+    """Assert that all datasets agree on a metadata key (reference
+    detection_utils.py:543 — catches e.g. training on datasets with
+    different class lists)."""
+    if len(dataset_names) == 0:
+        return
+    entries_per_dataset = [
+        getattr(MetadataCatalog.get(d), key) for d in dataset_names
+    ]
+    for idx, entry in enumerate(entries_per_dataset):
+        if entry != entries_per_dataset[0]:
+            logger = logging.getLogger(__name__)
+            logger.error(
+                f"Metadata '{key}' for dataset '{dataset_names[idx]}' is '{entry}'"
+            )
+            logger.error(
+                f"Metadata '{key}' for dataset '{dataset_names[0]}' is "
+                f"'{entries_per_dataset[0]}'"
+            )
+            raise ValueError(
+                f"Datasets have different metadata '{key}'!"
+            )
+
+
 def gen_crop_transform_with_instance(crop_size, image_size, instance) -> T.CropTransform:
     """Generate a CropTransform whose window contains the center of the given
     instance annotation (reference detection_utils.py:512)."""

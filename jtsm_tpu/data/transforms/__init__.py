@@ -17,6 +17,8 @@ from .augmentation import (
 )
 from .transform import (
     BlendTransform,
+    ColorTransform,
+    PILColorTransform,
     CropTransform,
     ExtentTransform,
     HFlipTransform,

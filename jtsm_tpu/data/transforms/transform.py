@@ -206,6 +206,38 @@ class PadTransform(Transform):
         return coords
 
 
+class ColorTransform(Transform):
+    """Generic wrapper for photometric-only ops: coordinates are unchanged
+    (reference transforms/transform.py:250)."""
+
+    def __init__(self, op):
+        if not callable(op):
+            raise ValueError("op parameter should be callable")
+        self.op = op
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        return self.op(img)
+
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        return coords
+
+    def apply_segmentation(self, segmentation: np.ndarray) -> np.ndarray:
+        return segmentation
+
+    def inverse(self) -> "Transform":
+        return NoOpTransform()
+
+
+class PILColorTransform(ColorTransform):
+    """ColorTransform whose op maps PIL.Image -> PIL.Image (reference
+    transforms/transform.py:283)."""
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        return np.asarray(self.op(Image.fromarray(np.asarray(img))))
+
+
 class BlendTransform(Transform):
     """For photometric aug: dst = src_weight * src + dst_weight * img."""
 

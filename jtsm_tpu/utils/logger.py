@@ -80,6 +80,30 @@ def log_first_n(lvl, msg, n=1, *, name=None, key="caller"):
         logging.getLogger(name or "jtsm_tpu").log(lvl, msg)
 
 
+def log_every_n(lvl, msg, n=1, *, name=None):
+    """Log once per n calls from the same call site (reference
+    utils/logger.py:162)."""
+    caller_frame = sys._getframe(1)
+    key = (caller_frame.f_code.co_filename, caller_frame.f_lineno)
+    _LOG_COUNTER[key] += 1
+    if n == 1 or _LOG_COUNTER[key] % n == 1:
+        logging.getLogger(name or "jtsm_tpu").log(lvl, msg)
+
+
+def create_small_table(small_dict) -> str:
+    """Render a {name: scalar} dict as a two-row table string (reference
+    utils/logger.py:196 — used by evaluators to pretty-print results)."""
+    keys = [str(k) for k in small_dict.keys()]
+    values = [
+        f"{v:.4f}" if isinstance(v, float) else str(v) for v in small_dict.values()
+    ]
+    widths = [max(len(k), len(v)) for k, v in zip(keys, values)]
+    header = "| " + " | ".join(k.center(w) for k, w in zip(keys, widths)) + " |"
+    sep = "|:" + ":|:".join("-" * w for w in widths) + ":|"
+    row = "| " + " | ".join(v.center(w) for v, w in zip(values, widths)) + " |"
+    return "\n".join([header, sep, row])
+
+
 def log_every_n_seconds(lvl, msg, n=1, *, name=None):
     caller_frame = sys._getframe(1)
     key = (caller_frame.f_code.co_filename, caller_frame.f_lineno)

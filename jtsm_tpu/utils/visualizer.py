@@ -6,7 +6,8 @@ re-implementation of the drawing surface (the reference uses matplotlib)."""
 from __future__ import annotations
 
 import colorsys
-from typing import Dict, List, Optional, Sequence
+from enum import Enum
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
@@ -15,6 +16,74 @@ from ..data.catalog import MetadataCatalog
 from .colormap import colormap
 
 _COLORS = colormap(rgb=True).astype(np.uint8)
+
+
+class ColorMode(Enum):
+    """Instance-visualization color policy (reference visualizer.py:37).
+
+    IMAGE: a random (jittered) color per instance. SEGMENTATION: instances of
+    the same category share similar colors from ``metadata.thing_colors``.
+    IMAGE_BW: draw on a grayscale copy of the image, keeping color only
+    inside instance masks."""
+
+    IMAGE = 0
+    SEGMENTATION = 1
+    IMAGE_BW = 2
+
+
+class GenericMask:
+    """Unified view over a mask given as polygons, COCO RLE dict, or a binary
+    array (reference visualizer.py ``GenericMask``) — converts lazily between
+    representations."""
+
+    def __init__(self, mask_or_polygons, height: int, width: int):
+        self._mask = self._polygons = None
+        self.height, self.width = height, width
+        m = mask_or_polygons
+        if isinstance(m, dict):  # COCO RLE
+            from ..data.rle import decode_segmentation
+
+            self._mask = decode_segmentation(m, height, width).astype(np.uint8)
+        elif isinstance(m, list):  # list of flat polygons
+            self._polygons = [np.asarray(p, np.float64).reshape(-1) for p in m]
+        elif isinstance(m, np.ndarray):
+            assert m.shape[1] != 2, m.shape
+            assert m.shape == (height, width), m.shape
+            self._mask = (np.asarray(m) > 0.5).astype(np.uint8)
+        else:
+            raise ValueError(f"GenericMask cannot handle object {m} of type {type(m)}")
+
+    @property
+    def mask(self) -> np.ndarray:
+        if self._mask is None:
+            self._mask = self.polygons_to_mask(self._polygons)
+        return self._mask
+
+    @property
+    def polygons(self) -> List[np.ndarray]:
+        if self._polygons is None:
+            self._polygons = [
+                p.reshape(-1) for p in mask_to_polygons(self._mask.astype(bool))
+            ]
+        return self._polygons
+
+    def polygons_to_mask(self, polygons) -> np.ndarray:
+        from ..structures.masks import polygons_to_bitmask
+
+        return polygons_to_bitmask(
+            [np.asarray(p, np.float64) for p in polygons], self.height, self.width
+        ).astype(np.uint8)
+
+    def area(self) -> float:
+        return float(self.mask.sum())
+
+    def bbox(self) -> np.ndarray:
+        ys, xs = np.nonzero(self.mask)
+        if len(ys) == 0:
+            return np.zeros(4)
+        return np.asarray(
+            [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], np.float64
+        )
 
 _KEYPOINT_EDGES = [  # COCO person skeleton (reference visualizer draws lines)
     (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
@@ -59,12 +128,36 @@ class VisImage:
 
 
 class Visualizer:
-    def __init__(self, img_rgb: np.ndarray, metadata=None, scale: float = 1.0):
+    def __init__(
+        self,
+        img_rgb: np.ndarray,
+        metadata=None,
+        scale: float = 1.0,
+        instance_mode: ColorMode = ColorMode.IMAGE,
+    ):
         self.img = np.asarray(img_rgb).clip(0, 255).astype(np.uint8)
         if self.img.ndim == 2:
             self.img = np.stack([self.img] * 3, axis=-1)
         self.metadata = metadata if metadata is not None else MetadataCatalog.get("__nonexist__")
+        self._instance_mode = instance_mode
         self.output = VisImage(self.img)
+
+    def _create_grayscale_image(self, mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Grayscale copy of the original image, keeping color inside ``mask``
+        (reference visualizer.py:1125)."""
+        img_bw = self.img.astype(np.float32).mean(axis=2)
+        img_bw = np.stack([img_bw] * 3, axis=2)
+        if mask is not None:
+            img_bw[mask] = self.img[mask]
+        return img_bw.astype(np.uint8)
+
+    def _instance_color(self, cls_id: int, idx: int) -> tuple:
+        """Per-instance color under the active ColorMode."""
+        thing_colors = self.metadata.get("thing_colors")
+        if self._instance_mode == ColorMode.SEGMENTATION and thing_colors:
+            base = thing_colors[cls_id % len(thing_colors)]
+            return _jitter(base, seed=idx)
+        return _jitter(_COLORS[cls_id % len(_COLORS)], seed=idx)
 
     def _class_name(self, cls_id: int, kind: str = "thing") -> str:
         names = self.metadata.get(f"{kind}_classes")
@@ -205,11 +298,18 @@ class Visualizer:
         masks = predictions.get("masks")
         h, w = self.img.shape[:2]
 
+        if self._instance_mode == ColorMode.IMAGE_BW:
+            keep_color = np.zeros((h, w), bool)
+            if masks is not None:
+                for i in range(len(boxes)):
+                    if valid[i] and np.asarray(masks[i]).shape == (h, w):
+                        keep_color |= np.asarray(masks[i]) > 0.5
+            self.output = VisImage(self._create_grayscale_image(keep_color))
+
         for i in range(len(boxes)):
             if not valid[i]:
                 continue
-            base = _COLORS[classes[i] % len(_COLORS)]
-            color = _jitter(base, seed=i)  # per-instance jitter (reference)
+            color = self._instance_color(int(classes[i]), i)
             if boxes.shape[-1] == 5:
                 self.draw_rotated_box_with_label(
                     boxes[i],

@@ -110,3 +110,77 @@ def test_flop_count_analytic_known_values():
     res2 = flop_count_analytic(lambda a: conv.apply(vars_, a), xi)
     assert res2["conv_gflops"] * 1e9 == pytest.approx(2 * 16 * 16 * 8 * 3 * 3 * 4)
     assert parameter_count(vars_["params"]) == 3 * 3 * 4 * 8 + 8
+
+
+def test_colormode_and_genericmask():
+    """ColorMode.IMAGE_BW grayscales outside instance masks;
+    ColorMode.SEGMENTATION colors by metadata.thing_colors; GenericMask
+    round-trips polygons <-> bitmask (reference visualizer.py:37,88)."""
+    import numpy as np
+
+    from jtsm_tpu.data.catalog import MetadataCatalog
+    from jtsm_tpu.utils.visualizer import ColorMode, GenericMask, Visualizer
+
+    gm = GenericMask([[0.0, 0.0, 6.0, 0.0, 6.0, 6.0, 0.0, 6.0]], 10, 10)
+    assert gm.mask.shape == (10, 10) and gm.area() > 0
+    assert (GenericMask(gm.mask, 10, 10).polygons[0].reshape(-1, 2) >= 0).all()
+    assert gm.bbox()[2] >= 6
+
+    img = np.full((16, 16, 3), 200, np.uint8)
+    img[:, :, 0] = 10  # strong color cast so grayscale is detectable
+    preds = {
+        "boxes": np.asarray([[2, 2, 10, 10]], np.float32),
+        "scores": np.asarray([0.9], np.float32),
+        "classes": np.asarray([0], np.int64),
+        "valid": np.asarray([True]),
+        "masks": np.asarray([np.pad(np.ones((4, 4)), ((2, 10), (2, 10)))]),
+    }
+    out = Visualizer(img, instance_mode=ColorMode.IMAGE_BW).draw_instance_predictions(
+        dict(preds)
+    ).get_image()
+    assert out[15, 15, 0] == out[15, 15, 1] == out[15, 15, 2]  # grayscale outside
+
+    meta = MetadataCatalog.get("colormode_test_meta")
+    meta.thing_classes = ["a"]
+    meta.thing_colors = [[250, 5, 5]]
+    out2 = Visualizer(img, meta, instance_mode=ColorMode.SEGMENTATION)
+    c = out2._instance_color(0, 0)
+    assert c[0] > c[2]  # red-dominant, from thing_colors not the global map
+
+
+def test_color_transforms_and_misc_utils():
+    """ColorTransform/PILColorTransform keep coordinates fixed; log_every_n /
+    create_small_table / convert_image_to_rgb / check_metadata_consistency
+    behave per reference."""
+    import numpy as np
+    import pytest
+
+    from jtsm_tpu.data import MetadataCatalog
+    from jtsm_tpu.data import transforms as T
+    from jtsm_tpu.data.detection_utils import (
+        check_metadata_consistency,
+        convert_image_to_rgb,
+    )
+    from jtsm_tpu.utils.logger import create_small_table
+
+    t = T.ColorTransform(lambda im: im * 2)
+    img = np.ones((4, 4, 3), np.uint8)
+    assert (t.apply_image(img) == 2).all()
+    assert (t.apply_coords(np.ones((2, 2))) == 1).all()
+    assert (t.apply_segmentation(img) == 1).all()
+    assert isinstance(t.inverse(), T.NoOpTransform)
+    p = T.PILColorTransform(lambda im: im.point(lambda v: v + 3))
+    assert (p.apply_image(img) == 4).all()
+
+    bgr = np.zeros((2, 2, 3), np.uint8)
+    bgr[..., 0] = 255
+    assert convert_image_to_rgb(bgr, "BGR")[0, 0, 2] == 255
+
+    MetadataCatalog.get("cmc_t_a").thing_classes = ["x"]
+    MetadataCatalog.get("cmc_t_b").thing_classes = ["y"]
+    with pytest.raises(ValueError):
+        check_metadata_consistency("thing_classes", ["cmc_t_a", "cmc_t_b"])
+    check_metadata_consistency("thing_classes", ["cmc_t_a", "cmc_t_a"])
+
+    table = create_small_table({"AP": 1.0, "AP50": 2.0})
+    assert "AP50" in table and table.count("\n") == 2
