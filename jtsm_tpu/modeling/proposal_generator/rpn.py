@@ -159,6 +159,7 @@ class RPN(nn.Module):
         gt_boxes: Optional[Array] = None,  # (B, G, 4)
         gt_valid: Optional[Array] = None,  # (B, G)
         train: bool = False,
+        defer_losses: bool = False,
     ):
         feats = [features[f] for f in self.in_features]
         # subclass hook: TridentRPN tiles sizes/GT when branches are folded
@@ -188,7 +189,19 @@ class RPN(nn.Module):
         ]
 
         losses = {}
-        if train:
+        if train and defer_losses:
+            # UWSOD mode (reference wsl rcnn.py:169-178): the ground truth is
+            # PGT mined downstream by the roi heads, so the caller computes
+            # losses later via get_losses() on this aux.
+            losses = {
+                "_deferred": {
+                    "anchors": jnp.concatenate(anchors, axis=0),
+                    "logits": jnp.concatenate(logits_flat, axis=1),
+                    "deltas": jnp.concatenate(deltas_flat, axis=1),
+                    "image_sizes": images_sizes,
+                }
+            }
+        elif train:
             assert gt_boxes is not None and gt_valid is not None
             rng = self.make_rng("sampling")
             losses = self._losses(
@@ -208,6 +221,27 @@ class RPN(nn.Module):
 
     def _adapt_inputs(self, feature_batch, image_sizes, gt_boxes, gt_valid):
         return image_sizes, gt_boxes, gt_valid
+
+    def get_losses(self, rng, deferred, gt_boxes, gt_valid):
+        """Compute the RPN losses from a ``_deferred`` aux (see ``defer_losses``)
+        against ground truth that only became available after the forward —
+        UWSOD's PGT mined by the roi heads (reference
+        wsl/modeling/meta_arch/rcnn.py:178 ``proposal_generator.get_losses``)."""
+        _, gt_boxes, gt_valid = self._adapt_inputs(
+            deferred["logits"].shape[0],
+            deferred["image_sizes"],
+            gt_boxes,
+            gt_valid,
+        )
+        return self._losses(
+            rng,
+            deferred["anchors"],
+            deferred["logits"],
+            deferred["deltas"],
+            gt_boxes,
+            gt_valid,
+            deferred["image_sizes"],
+        )
 
     def _losses(self, rng, anchors, logits, deltas, gt_boxes, gt_valid, image_sizes):
         """anchors (N, 4); logits (B, N); deltas (B, N, 4); image_sizes (B, 2)."""

@@ -9,6 +9,10 @@ from ..config import CfgNode as CN
 def add_wsl_config(cfg: CN) -> None:
     _C = cfg
 
+    # the WSL plane defaults to precomputed (MCG/SS) proposals; UWSOD yamls
+    # opt back into a learned RPN with PROPOSAL_GENERATOR.NAME = "RPNWSL"
+    _C.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
+
     _C.WSL = CN()
     _C.WSL.ITER_SIZE = 1
     # mean-vs-sum reduction of the MIL image BCE (reference defaults.py:22;

@@ -24,6 +24,7 @@ from ...modeling.backbone.build import build_backbone
 from ...modeling.meta_arch.build import META_ARCH_REGISTRY
 from ...modeling.meta_arch.semantic_seg import build_sem_seg_head
 from ...modeling.postprocessing import detector_postprocess_batched
+from ...modeling.proposal_generator.rpn import build_proposal_generator
 from ...modeling.roi_heads.roi_heads import build_roi_heads
 
 Array = jax.Array
@@ -31,12 +32,18 @@ Array = jax.Array
 
 @META_ARCH_REGISTRY.register()
 class GeneralizedRCNNWSL(nn.Module):
-    """WSOD umbrella: precomputed proposals -> WSL roi heads."""
+    """WSOD umbrella: precomputed proposals -> WSL roi heads.
+
+    With a learned ``proposal_generator`` (UWSOD's RPNWSL, reference
+    wsl/modeling/meta_arch/rcnn.py:169-178), the RPN produces the proposals
+    and its losses are computed AFTER the roi heads run, against the PGT
+    the heads mined (``pgt_boxes``/``pgt_valid`` in their train aux)."""
 
     backbone: nn.Module
     roi_heads: nn.Module
     pixel_mean: Sequence[float]
     pixel_std: Sequence[float]
+    proposal_generator: Optional[nn.Module] = None
     # TPU.REMAT scopes ("backbone" = jax.checkpoint the whole backbone call)
     remat_scopes: Sequence[str] = ()
 
@@ -48,6 +55,7 @@ class GeneralizedRCNNWSL(nn.Module):
             roi_heads=build_roi_heads(cfg, backbone.output_shape()),
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            proposal_generator=build_proposal_generator(cfg, backbone.output_shape()),
             remat_scopes=tuple(cfg.TPU.REMAT),
         )
 
@@ -60,8 +68,17 @@ class GeneralizedRCNNWSL(nn.Module):
             features = nn.remat(lambda mdl, x: mdl(x))(self.backbone, images)
         else:
             features = self.backbone(images)
-        proposals = batch["proposals"]
-        prop_scores = batch["proposal_scores"]
+        deferred = None
+        if self.proposal_generator is not None:
+            proposals, prop_scores, rpn_out = self.proposal_generator(
+                batch["image_sizes"], features, train=train, defer_losses=True
+            )
+            deferred = rpn_out.get("_deferred") if train else None
+            proposals = jax.lax.stop_gradient(proposals)
+            prop_scores = jax.lax.stop_gradient(prop_scores)
+        else:
+            proposals = batch["proposals"]
+            prop_scores = batch["proposal_scores"]
         targets = (
             {
                 k: batch[k]
@@ -75,6 +92,18 @@ class GeneralizedRCNNWSL(nn.Module):
             features, proposals, prop_scores, batch["image_sizes"], targets, train=train
         )
         if train:
+            if deferred is not None:
+                aux = detections if isinstance(detections, dict) else {}
+                pgt_boxes = aux.get("pgt_boxes")
+                if pgt_boxes is not None:
+                    losses.update(
+                        self.proposal_generator.get_losses(
+                            self.make_rng("sampling"),
+                            deferred,
+                            jax.lax.stop_gradient(pgt_boxes),
+                            aux["pgt_valid"],
+                        )
+                    )
             return losses
         return detector_postprocess_batched(
             detections, batch["image_sizes"], batch.get("orig_sizes", batch["image_sizes"])

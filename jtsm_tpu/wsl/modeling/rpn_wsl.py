@@ -66,6 +66,7 @@ class RPNWSL(nn.Module):
         gt_boxes: Optional[Array] = None,
         gt_valid: Optional[Array] = None,
         train: bool = False,
+        defer_losses: bool = False,
     ):
         if self.mrrp_num_branch > 1:
             expanded = {}
@@ -80,4 +81,9 @@ class RPNWSL(nn.Module):
                 for i in range(nb, self.mrrp_num_branch):
                     expanded[f"{f}/mrrp{i}"] = chunks[0]
             features = expanded
-        return self.rpn(image_sizes, features, gt_boxes, gt_valid, train=train)
+        return self.rpn(
+            image_sizes, features, gt_boxes, gt_valid, train=train, defer_losses=defer_losses
+        )
+
+    def get_losses(self, rng, deferred, gt_boxes, gt_valid):
+        return self.rpn.get_losses(rng, deferred, gt_boxes, gt_valid)

@@ -96,6 +96,97 @@ def build_vgg_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> VGG:
     )
 
 
+class MRRPVGG(VGG):
+    """VGG whose ``mrrp_stage`` (plain5) runs as a Multi-Rate Region Pyramid:
+    the stage's convs share ONE set of weights across ``mrrp_num_branch``
+    branches with different dilations; branch outputs are folded into the
+    batch axis like MRRPWSLResNet (reference vgg_mrrp.py:13
+    ``build_mrrp_vgg_backbone``, config MODEL.MRRP.*)."""
+
+    mrrp_num_branch: int = 3
+    mrrp_dilations: Sequence[int] = (1, 2, 4)
+    mrrp_stage: str = "plain5"
+    mrrp_test_branch_idx: int = -1  # -1 = keep all branches at test time
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Dict[str, Array]:
+        cfg_list = _VGG_CFGS[self.depth]
+        outputs = {}
+        stage = 1
+        conv_idx = 1
+        num_pools = 0
+        if train or self.mrrp_test_branch_idx < 0:
+            dils = list(self.mrrp_dilations)[: self.mrrp_num_branch]
+        else:
+            dils = [self.mrrp_dilations[self.mrrp_test_branch_idx]]
+        xs = [x] * len(dils) if self.mrrp_stage == "plain1" else [x]
+        for v in cfg_list:
+            if v == "M":
+                if num_pools < 3 or (num_pools == 3 and self.conv5_dilation == 1):
+                    xs = [nn.max_pool(b, (2, 2), strides=(2, 2)) for b in xs]
+                num_pools += 1
+                outputs[f"plain{stage}"] = xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0)
+                stage += 1
+                conv_idx = 1
+                if f"plain{stage}" == self.mrrp_stage:
+                    xs = xs * len(dils)
+            else:
+                if f"plain{stage}" == self.mrrp_stage:
+                    # shared-weight multi-dilation conv over the branch list;
+                    # the stage's base dilation (conv5_dilation) multiplies
+                    # the per-branch rates like the reference's trident convs
+                    base = self.conv5_dilation if stage == 5 else 1
+                    xs = MRRPConv(
+                        features=v,
+                        kernel_size=3,
+                        num_branch=len(xs),
+                        dilations=tuple(base * d for d in dils),
+                        test_branch_idx=-1,  # branch selection handled above
+                        use_bias=True,
+                        dtype=self.dtype,
+                        name=f"conv{stage}_{conv_idx}",
+                    )(xs, train=True)
+                    xs = [nn.relu(b) for b in xs]
+                else:
+                    dilation = self.conv5_dilation if stage == 5 else 1
+                    xs = [
+                        Conv2d(
+                            features=v,
+                            kernel_size=3,
+                            padding=dilation,
+                            dilation=dilation,
+                            activation=nn.relu,
+                            dtype=self.dtype,
+                            name=f"conv{stage}_{conv_idx}",
+                        )(b)
+                        for b in xs
+                    ]
+                conv_idx += 1
+        outputs[f"plain{stage}"] = xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0)
+        if self.freeze_at > 0:
+            for k in list(outputs):
+                if int(k[-1]) <= self.freeze_at:
+                    outputs[k] = jax.lax.stop_gradient(outputs[k])
+        return {k: v for k, v in outputs.items() if k in self.out_features}
+
+
+@BACKBONE_REGISTRY.register()
+def build_mrrp_vgg_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> MRRPVGG:
+    """Reference wsl/modeling/backbone/vgg_mrrp.py (config MODEL.MRRP.*)."""
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    return MRRPVGG(
+        depth=cfg.MODEL.VGG.DEPTH,
+        conv5_dilation=cfg.MODEL.VGG.CONV5_DILATION,
+        out_features=tuple(cfg.MODEL.VGG.OUT_FEATURES),
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        dtype=dtype,
+        mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
+        mrrp_dilations=tuple(cfg.MODEL.MRRP.BRANCH_DILATIONS),
+        mrrp_stage=cfg.MODEL.MRRP.MRRP_STAGE,
+        mrrp_test_branch_idx=cfg.MODEL.MRRP.TEST_BRANCH_IDX,
+    )
+
+
 class MRRPConv(nn.Module):
     """Multi-Rate Region Pyramid conv: ONE weight shared across branches
     with different dilations (reference mrrp_conv.py:10). Input/output are

@@ -721,7 +721,10 @@ def compute_cpg(apply_fn, variables, batch, class_idx: Array) -> Array:
 class UWSODROIHeads(WSDDNROIHeads):
     """Unified WSOD (reference roi_heads_uwsod.py): MIL head + refinement
     with box regression; mined PGT also supervises an RPN (wired by the
-    meta-arch through `pgt_for_rpn` in the aux output)."""
+    meta-arch through ``pgt_boxes``/``pgt_valid`` in the train aux).
+    MRRP branch-folded features are averaged over branches before pooling
+    like MRRPOICRROIHeads (reference uwsod_* yamls pair this head with the
+    mrrp backbones)."""
 
     refine_num: int = 3
     # WSL.CLS_AGNOSTIC_BBOX_KNOWN (reference roi_heads_uwsod.py:1292): when
@@ -729,6 +732,7 @@ class UWSODROIHeads(WSDDNROIHeads):
     # the branch deltas regress toward identity
     cls_agnostic_bbox_known: bool = False
     box2box_transform: Optional[Box2BoxTransform] = None
+    mrrp_num_branch: int = 1
 
     @classmethod
     def from_config(cls, cfg: CfgNode, input_shape):
@@ -738,7 +742,20 @@ class UWSODROIHeads(WSDDNROIHeads):
         ret["box2box_transform"] = Box2BoxTransform(
             weights=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
         )
+        ret["mrrp_num_branch"] = (
+            cfg.MODEL.MRRP.NUM_BRANCH if cfg.MODEL.MRRP.MRRP_ON else 1
+        )
         return ret
+
+    def _prepare_features(self, feats, b):
+        if self.mrrp_num_branch <= 1:
+            return feats
+        return [
+            jnp.mean(f.reshape(f.shape[0] // b, b, *f.shape[1:]), axis=0)
+            if f.shape[0] > b
+            else f
+            for f in feats
+        ]
 
     @nn.compact
     def __call__(
@@ -752,8 +769,8 @@ class UWSODROIHeads(WSDDNROIHeads):
     ):
         from ...ops.losses import smooth_l1_loss
 
-        feats = [features[f] for f in self.in_features]
         b, r = proposals.shape[:2]
+        feats = self._prepare_features([features[f] for f in self.in_features], b)
         flat = proposals.reshape(b * r, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
         pooled = self.pooler(feats, flat, bidx, rois_per_image=r)

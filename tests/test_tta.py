@@ -55,6 +55,76 @@ def test_tta_union_maps_boxes_back_to_original_coords():
     assert out["classes"][0] == 2
 
 
+def test_tta_union_equals_bruteforce_union_then_nms():
+    """Pin GeneralizedRCNNWithTTAUNION (= the base TTA) against a brute-force
+    reference: concatenate every view's inverse-transformed detections, then
+    greedy per-class NMS by descending score (reference
+    test_time_augmentation_union.py:246-261 _merge_detections)."""
+    from jtsm_tpu.modeling.test_time_augmentation import GeneralizedRCNNWithTTAUNION
+
+    h0, w0 = 40, 60
+    img = np.zeros((h0, w0, 3), np.float32)
+    img[0, 0, 0] = 255.0  # flip marker: view is unflipped iff pixel (0,0) hot
+
+    # per-view detections in VIEW coordinates (min_size 40 on a 40x60 image
+    # is the identity resize, so view coords == original coords modulo flip)
+    unflipped = (
+        np.asarray([[0, 0, 10, 10], [20, 5, 30, 15]], np.float32),
+        np.asarray([0.9, 0.8], np.float32),
+        np.asarray([0, 1], np.int64),
+    )
+    flipped_view = (
+        # original-coords [2,0,12,10] and [40,20,50,30], expressed flipped
+        np.asarray([[w0 - 12, 0, w0 - 2, 10], [w0 - 50, 20, w0 - 40, 30]], np.float32),
+        np.asarray([0.85, 0.7], np.float32),
+        np.asarray([0, 0], np.int64),
+    )
+
+    def predict(batch):
+        is_unflipped = batch["image"][0, 0, 0, 0] > 128
+        b, s, c = unflipped if is_unflipped else flipped_view
+        return {
+            "boxes": b[None],
+            "scores": s[None],
+            "classes": c[None],
+            "valid": np.ones((1, len(b)), bool),
+        }
+
+    tta = GeneralizedRCNNWithTTAUNION(
+        predict, min_sizes=(40,), max_size=100, flip=True, buckets=((64, 64),)
+    )
+    out = tta(img, topk=10, nms_thresh=0.5)
+
+    # brute-force reference: union in original coords + greedy per-class NMS
+    def unflip(b):
+        return np.stack([w0 - b[:, 2], b[:, 1], w0 - b[:, 0], b[:, 3]], axis=1)
+
+    ub = np.concatenate([unflipped[0], unflip(flipped_view[0])])
+    us = np.concatenate([unflipped[1], flipped_view[1]])
+    uc = np.concatenate([unflipped[2], flipped_view[2]])
+
+    def iou(a, b):
+        x0 = max(a[0], b[0]); y0 = max(a[1], b[1])
+        x1 = min(a[2], b[2]); y1 = min(a[3], b[3])
+        inter = max(0.0, x1 - x0) * max(0.0, y1 - y0)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua
+
+    keep = []
+    for i in np.argsort(-us):
+        if all(uc[i] != uc[j] or iou(ub[i], ub[j]) <= 0.5 for j in keep):
+            keep.append(int(i))
+    exp_boxes, exp_scores, exp_classes = ub[keep], us[keep], uc[keep]
+
+    order = np.argsort(-out["scores"])
+    np.testing.assert_allclose(out["boxes"][order], exp_boxes, atol=1e-4)
+    np.testing.assert_allclose(out["scores"][order], exp_scores, atol=1e-6)
+    np.testing.assert_array_equal(out["classes"][order], exp_classes)
+    # the flipped view's near-duplicate of box A (IoU 0.67, same class) must
+    # have been suppressed by the union NMS
+    assert len(out["boxes"]) == 3
+
+
 def test_tta_avg_scores_and_detections():
     """A fake WSOD head that scores each (view-space) proposal by its
     normalized area is augmentation-invariant, so the TTA average must equal

@@ -222,6 +222,28 @@ def test_jtsm_mcnn_grabcut_evidence():
     assert "loss_mask" in losses and "loss_mask_r0" in losses
 
 
+def test_uwsod_learned_rpn_end_to_end():
+    """UWSOD with PROPOSAL_GENERATOR=RPNWSL: proposals come from the learned
+    RPN and the RPN losses are computed against the PGT mined by the roi
+    heads AFTER the forward (reference wsl/modeling/meta_arch/rcnn.py:169-178
+    — deferred proposal_generator.get_losses(roi_heads.proposal_targets))."""
+    cfg = _wsl_cfg("UWSODROIHeads")
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "RPNWSL"
+    cfg.MODEL.RPN.IN_FEATURES = ["plain5"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    batch = _wsl_batch()
+    del batch["proposals"], batch["proposal_scores"]  # no precomputed input
+    losses, out = _run_wsl(cfg, batch)
+    assert "loss_rpn_cls" in losses and "loss_rpn_loc" in losses
+    assert "loss_mil" in losses and "loss_refine_cls0" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert "boxes" in out
+
+
 def test_contextlocnet_pcl_cmil_uwsod_heads():
     for heads in ["ContextLocNetROIHeads", "PCLROIHeads", "CMILROIHeads", "UWSODROIHeads"]:
         cfg = _wsl_cfg(heads)

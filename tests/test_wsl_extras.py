@@ -225,6 +225,42 @@ def test_mrrp_wsl_resnet_backbone():
     assert out_eval["res5"].shape[0] == 2
 
 
+def test_mrrp_vgg_backbone():
+    """MRRP VGG: plain5 convs share one weight across dilated branches,
+    branch outputs batch-folded (reference vgg_mrrp.py, uwsod_V_16_DC5_1x)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.wsl import add_wsl_config
+    from jtsm_tpu.wsl.modeling.vgg import build_mrrp_vgg_backbone
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.VGG.CONV5_DILATION = 2
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.MRRP.MRRP_ON = True
+    cfg.MODEL.MRRP.NUM_BRANCH = 3
+    cfg.MODEL.MRRP.BRANCH_DILATIONS = [1, 2, 4]
+    cfg.MODEL.MRRP.MRRP_STAGE = "plain5"
+    cfg.MODEL.MRRP.TEST_BRANCH_IDX = 1
+    net = build_mrrp_vgg_backbone(cfg, ShapeSpec(channels=3))
+    x = jnp.ones((2, 64, 64, 3))
+    variables = net.init(jax.random.key(0), x, train=True)
+    out = net.apply(variables, x, train=True)
+    assert out["plain5"].shape[0] == 6  # 2 images x 3 branches, batch-folded
+    # dilated-stage weights are shared: exactly one conv5 kernel param set
+    p5 = [k for k in variables["params"] if k.startswith("conv5_")]
+    assert len(p5) == 3  # conv5_1..conv5_3, each one shared kernel
+    # branches differ numerically (different dilations)
+    b0, b1 = np.asarray(out["plain5"][:2]), np.asarray(out["plain5"][2:4])
+    assert not np.allclose(b0, b1)
+    # eval keeps only TEST_BRANCH_IDX
+    out_eval = net.apply(variables, x, train=False)
+    assert out_eval["plain5"].shape[0] == 2
+
+
 def test_wsl_config_zoo_loads():
     """Every shipped WSL yaml merges cleanly and its head / backbone /
     proposal-generator names resolve (mirrors the reference's
