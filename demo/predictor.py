@@ -45,14 +45,27 @@ class VisualizationDemo:
         return predictions, vis_output
 
     def run_on_video(self, video):
-        """Yields visualized frames from a cv2.VideoCapture."""
+        """Yields visualized frames from a cv2.VideoCapture. Uses ONE
+        VideoVisualizer across frames so instance colors are tracked and
+        stable (reference demo/predictor.py:89-116)."""
         import cv2
 
+        from jtsm_tpu.utils.video_visualizer import VideoVisualizer
+
+        video_vis = VideoVisualizer(self.metadata)
         while video.isOpened():
             success, frame = video.read()
             if not success:
                 break
-            _, vis = self.run_on_image(frame)
+            predictions = self.predictor(frame)
+            frame_rgb = frame[:, :, ::-1]
+            if "panoptic_seg" in predictions:
+                pan, infos = predictions["panoptic_seg"]
+                vis = video_vis.draw_panoptic_seg_predictions(frame_rgb, pan, infos)
+            elif "sem_seg" in predictions and "boxes" not in predictions:
+                vis = video_vis.draw_sem_seg(frame_rgb, predictions["sem_seg"])
+            else:
+                vis = video_vis.draw_instance_predictions(frame_rgb, predictions)
             yield cv2.cvtColor(vis.get_image(), cv2.COLOR_RGB2BGR)
 
 

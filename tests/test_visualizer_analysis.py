@@ -81,12 +81,55 @@ def test_video_visualizer_identity_and_masks():
         "masks": np.ones((2, 28, 28), np.float32),
     }
     vv.draw_instance_predictions(_img(), preds1)
-    colors1 = vv._prev_colors.copy()
+    colors1 = [i.color for i in vv._old_instances]
     # frame 2: same objects shifted slightly -> colors must persist
     preds2 = {k: v.copy() for k, v in preds1.items()}
     preds2["boxes"] = preds2["boxes"] + 1.0
     vv.draw_instance_predictions(_img(), preds2)
-    np.testing.assert_array_equal(vv._prev_colors, colors1)
+    assert [i.color for i in vv._old_instances[:2]] == colors1
+
+
+def test_video_visualizer_label_gate_and_ttl():
+    """Color transfer requires SAME label (reference video_visualizer.py:208);
+    a missed detection survives as a ttl ghost and reclaims its color when it
+    reappears (reference :223-227)."""
+    vv = VideoVisualizer(ttl=3)
+    box_a = np.asarray([[5.0, 5.0, 20.0, 20.0]])
+    frame = {
+        "boxes": box_a,
+        "scores": np.asarray([0.9]),
+        "classes": np.asarray([0]),
+        "valid": np.asarray([True]),
+    }
+    vv.draw_instance_predictions(_img(), frame)
+    color_a = vv._old_instances[0].color
+    # same box, DIFFERENT label -> must get a new color
+    frame2 = dict(frame, classes=np.asarray([1]))
+    vv.draw_instance_predictions(_img(), frame2)
+    assert vv._old_instances[0].color != color_a
+    # the class-0 ghost is still alive (ttl): class-0 box reappears -> color_a
+    frame3 = dict(frame, classes=np.asarray([0]))
+    vv.draw_instance_predictions(_img(), frame3)
+    assert vv._old_instances[0].color == color_a
+
+
+def test_video_visualizer_panoptic_tracking():
+    """Thing segments in panoptic video keep their color across frames via
+    mask-bbox IoU tracking (reference draw_panoptic_seg_predictions :124)."""
+    vv = VideoVisualizer()
+    pan = np.zeros((64, 64), np.int64)
+    pan[5:20, 5:20] = 7  # thing
+    pan[40:60, 40:60] = 3  # stuff
+    info = [
+        {"id": 7, "isthing": True, "category_id": 0},
+        {"id": 3, "isthing": False, "category_id": 0},
+    ]
+    out1 = vv.draw_panoptic_seg_predictions(_img(), pan, info)
+    assert out1.get_image().shape == (64, 64, 3)
+    color1 = vv._old_instances[0].color
+    pan2 = np.roll(pan, 2, axis=1)  # slight motion
+    vv.draw_panoptic_seg_predictions(_img(), pan2, info)
+    assert vv._old_instances[0].color == color1
 
 
 def test_flop_count_analytic_known_values():
