@@ -1,4 +1,5 @@
 from .build import (
+    build_batch_data_loader,
     build_detection_test_loader,
     build_detection_train_loader,
     get_detection_dataset_dicts,

@@ -196,6 +196,7 @@ class StaticBatchLoader:
         prefetch: int = 2,
         infinite: bool = True,
         pad_final: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -208,10 +209,35 @@ class StaticBatchLoader:
         self.prefetch = prefetch
         self.infinite = infinite
         self.pad_final = pad_final
+        self.num_workers = num_workers
 
     def _mapped_stream(self):
-        for idx in self.sampler:
-            yield self.dataset[idx]
+        if self.num_workers <= 0:
+            for idx in self.sampler:
+                yield self.dataset[idx]
+            return
+        # DATALOADER.NUM_WORKERS > 0: map with a thread pool (reference uses
+        # torch DataLoader worker PROCESSES; here the mapper's hot work —
+        # PIL/cv2 decode, numpy resize — releases the GIL, so threads
+        # parallelize it without pickling the dataset). A bounded in-flight
+        # deque keeps ordering deterministic (identical batches to the
+        # sequential path) and memory bounded.
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = max(self.num_workers * 2, self.batch_size)
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending: "collections.deque" = collections.deque()
+            try:
+                for idx in self.sampler:
+                    pending.append(ex.submit(self.dataset.__getitem__, idx))
+                    if len(pending) >= depth:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
 
     def _batches(self) -> Iterator[dict]:
         if self.aspect_ratio_grouping and self.infinite:
@@ -277,6 +303,41 @@ class StaticBatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
 
+def build_batch_data_loader(
+    dataset,
+    sampler,
+    total_batch_size: int,
+    *,
+    aspect_ratio_grouping: bool = True,
+    buckets=((800, 1344), (1344, 800), (1024, 1024)),
+    max_instances: int = 100,
+    mask_crop_size: int = 0,
+    proposal_topk: int = 0,
+    infinite: bool = True,
+    num_workers: int = 0,
+):
+    """Reference data/build.py:261 ``build_batch_data_loader``: batch a
+    mapped dataset with a per-host share of ``total_batch_size``. TPU form:
+    a StaticBatchLoader producing shape-bucketed padded batches instead of
+    torch collation (aspect-ratio grouping keyed on the bucket list)."""
+    world = comm.get_world_size()
+    assert total_batch_size % world == 0, (
+        f"Total batch size {total_batch_size} must be divisible by world size {world}"
+    )
+    return StaticBatchLoader(
+        dataset,
+        sampler,
+        total_batch_size // world,
+        buckets,
+        max_instances,
+        mask_crop_size=mask_crop_size,
+        proposal_topk=proposal_topk,
+        aspect_ratio_grouping=aspect_ratio_grouping,
+        infinite=infinite,
+        num_workers=num_workers,
+    )
+
+
 def build_detection_train_loader(
     cfg: CfgNode,
     mapper: Optional[Callable] = None,
@@ -325,6 +386,7 @@ def build_detection_train_loader(
         else 0,
         aspect_ratio_grouping=cfg.DATALOADER.ASPECT_RATIO_GROUPING,
         infinite=True,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
     )
 
 
@@ -363,4 +425,5 @@ def build_detection_test_loader(
         aspect_ratio_grouping=False,
         infinite=False,
         pad_final=batch_size > 1,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
     )

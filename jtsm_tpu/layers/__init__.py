@@ -6,6 +6,10 @@ from .batch_norm import (
     get_norm,
 )
 from .blocks import CNNBlockBase, DepthwiseSeparableConv2d
+
+# deprecated reference alias (detectron2/modeling/backbone/resnet.py keeps
+# ResNetBlockBase = CNNBlockBase for backward compatibility)
+ResNetBlockBase = CNNBlockBase
 from .deform_conv import DeformConv, ModulatedDeformConv, deform_conv2d
 from .shape_spec import ShapeSpec
 from .wrappers import (

@@ -445,3 +445,22 @@ def build_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> ResNet:
         remat="backbone_blocks" in cfg.TPU.REMAT,
         dtype=dtype,
     )
+
+
+def make_stage(block_class, num_blocks, *, in_channels, out_channels, first_stride=1, name_prefix="block", **kwargs):
+    """Reference resnet.py ``ResNet.make_stage``: a list of ``num_blocks``
+    blocks where the first carries ``first_stride`` and the rest stride 1,
+    channels chained in -> out. For custom backbones composing their own
+    stages (the built-in ResNet builds stages in ``setup``)."""
+    blocks = []
+    for b in range(num_blocks):
+        blocks.append(
+            block_class(
+                in_channels=in_channels if b == 0 else out_channels,
+                out_channels=out_channels,
+                stride=first_stride if b == 0 else 1,
+                name=f"{name_prefix}{b}",
+                **kwargs,
+            )
+        )
+    return blocks

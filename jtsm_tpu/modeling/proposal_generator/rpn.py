@@ -342,6 +342,20 @@ class RPN(nn.Module):
         )
 
 
+def build_rpn_head(cfg: CfgNode, input_shape: List[ShapeSpec]):
+    """Reference proposal_generator/rpn.py:34 ``build_rpn_head`` — construct
+    the RPN head named by MODEL.RPN.HEAD_NAME over the given level shapes."""
+    anchor_generator = build_anchor_generator(cfg, input_shape)
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    return RPN_HEAD_REGISTRY.get(cfg.MODEL.RPN.HEAD_NAME)(
+        in_channels=input_shape[0].channels,
+        num_anchors=anchor_generator.num_anchors[0],
+        box_dim=anchor_generator.box_dim,
+        conv_dims=tuple(cfg.MODEL.RPN.CONV_DIMS),
+        dtype=dtype,
+    )
+
+
 def build_proposal_generator(cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
     name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
     if name == "PrecomputedProposals":

@@ -27,6 +27,12 @@ ROI_MASK_HEAD_REGISTRY = Registry("ROI_MASK_HEAD")
 
 Array = jax.Array
 
+# reference mask_head.py ``BaseMaskRCNNHead``: the subclassing base for
+# custom mask heads. Here custom heads are plain flax modules registered in
+# ROI_MASK_HEAD_REGISTRY; the name is kept so reference-style code
+# (``class MyHead(BaseMaskRCNNHead)``) ports directly.
+BaseMaskRCNNHead = nn.Module
+
 
 @ROI_MASK_HEAD_REGISTRY.register()
 class MaskRCNNConvUpsampleHead(nn.Module):

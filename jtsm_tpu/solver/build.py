@@ -70,6 +70,30 @@ def build_lr_schedule(cfg: CfgNode) -> Callable:
     return schedule
 
 
+def get_default_optimizer_params(
+    params,
+    base_lr: float = 0.001,
+    weight_decay: float = 1e-4,
+    weight_decay_norm: float = 0.0,
+    bias_lr_factor: float = 1.0,
+    weight_decay_bias: float = None,
+):
+    """Reference solver/build.py:127 ``get_default_optimizer_params``: the
+    per-parameter lr/weight-decay grouping rules (norm params skip wd, biases
+    get a lr factor). JAX form: a labels pytree (``regular``/``bias``/``norm``,
+    the same labels build_optimizer feeds optax.multi_transform) plus the
+    per-group hyperparameters."""
+    if weight_decay_bias is None:
+        weight_decay_bias = weight_decay
+    labels = jax.tree_util.tree_map_with_path(_param_label_fn, params)
+    groups = {
+        "regular": {"lr": base_lr, "weight_decay": weight_decay},
+        "bias": {"lr": base_lr * bias_lr_factor, "weight_decay": weight_decay_bias},
+        "norm": {"lr": base_lr, "weight_decay": weight_decay_norm},
+    }
+    return labels, groups
+
+
 def _param_label_fn(path: tuple, leaf) -> str:
     """Classify a parameter for per-group overrides: bias / norm / regular.
 
@@ -161,3 +185,8 @@ def clip_per_param_norm(max_norm: float, norm_type: float = 2.0):
         return jax.tree_util.tree_map(clip_leaf, updates), state
 
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
+# reference name (solver/build.py:198 ``build_lr_scheduler``); the schedule
+# is a pure step -> lr function folded into the optax chain here
+build_lr_scheduler = build_lr_schedule

@@ -47,3 +47,34 @@ def collect_env_info() -> str:
     except ImportError:
         pass
     return "\n".join(lines)
+
+
+_ENV_SETUP_DONE = False
+
+
+def setup_environment() -> None:
+    """Perform environment setup work, honoring a user-supplied hook module
+    (reference detectron2/utils/env.py:40 ``setup_environment`` +
+    ``setup_custom_environment``): if ``$JTSM_ENV_MODULE`` names an importable
+    module or a .py file path, import it and call its ``setup_environment()``."""
+    global _ENV_SETUP_DONE
+    if _ENV_SETUP_DONE:
+        return
+    _ENV_SETUP_DONE = True
+    custom = os.environ.get("JTSM_ENV_MODULE")
+    if not custom:
+        return
+    if custom.endswith(".py"):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("jtsm_tpu.utils._custom_env", custom)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+    else:
+        import importlib
+
+        module = importlib.import_module(custom)
+    assert hasattr(module, "setup_environment") and callable(module.setup_environment), (
+        f"Custom environment module {custom} must define setup_environment()"
+    )
+    module.setup_environment()
