@@ -5,7 +5,12 @@ from .c2_model_loading import (
 )
 from .detection_checkpoint import DetectionCheckpointer, PeriodicCheckpointer
 
+# reference exposes the generic fvcore ``Checkpointer`` under this package;
+# DetectionCheckpointer carries the full generic save/load surface here.
+Checkpointer = DetectionCheckpointer
+
 __all__ = [
+    "Checkpointer",
     "DetectionCheckpointer",
     "PeriodicCheckpointer",
     "align_and_update_state_dict",

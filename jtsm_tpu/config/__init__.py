@@ -1,4 +1,5 @@
 from .cfgnode import CfgNode, configurable
+from .compat import downgrade_config, upgrade_config
 from .defaults import get_cfg
 
 # A global config object that downstream code can read without threading cfg
@@ -15,4 +16,12 @@ def set_global_cfg(cfg: CfgNode) -> None:
     global_cfg.update(cfg)
 
 
-__all__ = ["CfgNode", "configurable", "get_cfg", "global_cfg", "set_global_cfg"]
+__all__ = [
+    "CfgNode",
+    "configurable",
+    "downgrade_config",
+    "get_cfg",
+    "global_cfg",
+    "set_global_cfg",
+    "upgrade_config",
+]

@@ -10,6 +10,8 @@ from .catalog import DatasetCatalog, Metadata, MetadataCatalog
 from .common import AspectRatioGroupedDataset, DatasetFromList, MapDataset
 from .dataset_mapper import DatasetMapper
 from . import detection_utils
+from . import samplers
+from . import transforms
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]
 

@@ -16,9 +16,13 @@ from .builtin import (
     register_coco_panoptic,
     register_coco_panoptic_separated,
 )
-from .lvis import load_lvis_json, register_lvis_instances
+from .lvis import get_lvis_instances_meta, load_lvis_json, register_lvis_instances
+from .pascal_voc import load_voc_instances, register_pascal_voc
 
 __all__ = [
+    "get_lvis_instances_meta",
+    "load_voc_instances",
+    "register_pascal_voc",
     "load_coco_json",
     "load_sem_seg",
     "register_coco_instances",

@@ -132,3 +132,10 @@ def get_norm(norm: str | Callable | None, out_channels: int, name: str | None = 
             raise KeyError(f"Unknown norm type: {norm}")
         return norm_map[norm](out_channels, name)
     return norm(out_channels)
+
+
+# Reference wrappers.py re-exports ``BatchNorm2d`` (= torch.nn.BatchNorm2d).
+# Here plain BN *is* NaiveSyncBatchNorm: jnp.mean over the batch axis is the
+# local-batch mean on one device and the global mean under a data-sharded
+# pjit mesh (XLA inserts the all-reduce) — the sync/non-sync split dissolves.
+BatchNorm2d = NaiveSyncBatchNorm

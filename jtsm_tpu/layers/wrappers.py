@@ -161,3 +161,25 @@ def nonzero_tuple(x: Array):
 
 def shapes_to_tensor(x, device=None):
     return jnp.asarray(x)
+
+
+def interpolate(x: Array, size=None, scale_factor=None, mode: str = "nearest", align_corners: bool = False) -> Array:
+    """torch ``F.interpolate``-shaped dispatcher (reference wrappers.py re-export)
+    over :func:`interpolate_nearest` / :func:`interpolate_bilinear` for NHWC maps."""
+    if mode == "nearest":
+        if scale_factor is not None:
+            return interpolate_nearest(x, int(scale_factor))
+        oh, ow = (size, size) if isinstance(size, int) else size
+        h, w = x.shape[1:3]
+        if oh % h == 0 and ow % w == 0 and oh // h == ow // w:
+            return interpolate_nearest(x, oh // h)
+        ys = (jnp.arange(oh) * h // oh).astype(jnp.int32)
+        xs = (jnp.arange(ow) * w // ow).astype(jnp.int32)
+        return x[:, ys][:, :, xs]
+    if mode in ("bilinear", "linear"):
+        if size is None:
+            h, w = x.shape[1:3]
+            size = (int(h * scale_factor), int(w * scale_factor))
+        oh, ow = (size, size) if isinstance(size, int) else size
+        return interpolate_bilinear(x, (int(oh), int(ow)), align_corners=align_corners)
+    raise ValueError(f"unsupported interpolate mode: {mode}")

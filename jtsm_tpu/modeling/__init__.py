@@ -19,25 +19,48 @@ from .meta_arch.semantic_seg import (
     build_sem_seg_head,
 )
 from .poolers import ROIPooler, assign_boxes_to_levels
-from .postprocessing import detector_postprocess_batched, sem_seg_postprocess
+from .postprocessing import (
+    detector_postprocess,
+    detector_postprocess_batched,
+    sem_seg_postprocess,
+)
+from .test_time_augmentation import (
+    DatasetMapperTTA,
+    GeneralizedRCNNWithTTA,
+    GeneralizedRCNNWithTTAAVG,
+)
 from .proposal_generator.rpn import (
     PROPOSAL_GENERATOR_REGISTRY,
     RPN,
     RPN_HEAD_REGISTRY,
     StandardRPNHead,
     build_proposal_generator,
+    build_rpn_head,
 )
+from .backbone.resnet import make_stage
 from .roi_heads.box_head import ROI_BOX_HEAD_REGISTRY, FastRCNNConvFCHead, build_box_head
 from .roi_heads.fast_rcnn import FastRCNNOutputLayers
-from .roi_heads.mask_head import ROI_MASK_HEAD_REGISTRY, MaskRCNNConvUpsampleHead, build_mask_head
+from .roi_heads.mask_head import (
+    ROI_MASK_HEAD_REGISTRY,
+    BaseMaskRCNNHead,
+    MaskRCNNConvUpsampleHead,
+    build_mask_head,
+)
 from .roi_heads.keypoint_head import (
     ROI_KEYPOINT_HEAD_REGISTRY,
+    BaseKeypointRCNNHead,
     KRCNNConvDeconvUpsampleHead,
     build_keypoint_head,
 )
 from .roi_heads.cascade_rcnn import CascadeROIHeads
 from .roi_heads.res5_roi_heads import Res5ROIHeads
-from .roi_heads.roi_heads import ROI_HEADS_REGISTRY, StandardROIHeads, build_roi_heads
+from .roi_heads.roi_heads import (
+    ROI_HEADS_REGISTRY,
+    ROIHeads,
+    StandardROIHeads,
+    build_roi_heads,
+    select_foreground_proposals,
+)
 from .roi_heads.rotated_fast_rcnn import RROIHeads
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

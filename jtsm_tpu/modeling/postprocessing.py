@@ -78,3 +78,26 @@ def sem_seg_postprocess(result: Array, img_size, output_height, output_width) ->
 
     result = result[: img_size[0], : img_size[1], :]
     return interpolate_bilinear(result[None], (output_height, output_width))[0]
+
+
+def detector_postprocess(
+    detections: Dict[str, Array],
+    output_height: int,
+    output_width: int,
+    image_size=None,
+) -> Dict[str, Array]:
+    """Per-image parity wrapper over :func:`detector_postprocess_batched`
+    (reference postprocessing.py ``detector_postprocess(results, H, W)``).
+    ``image_size`` is the network-input true size; defaults to
+    ``detections["image_size"]``."""
+    if image_size is None:
+        image_size = detections["image_size"]
+    batched = {
+        k: v[None] for k, v in detections.items() if k != "image_size"
+    }
+    out = detector_postprocess_batched(
+        batched,
+        jnp.asarray([image_size], jnp.int32),
+        jnp.asarray([[output_height, output_width]], jnp.int32),
+    )
+    return {k: v[0] for k, v in out.items()}

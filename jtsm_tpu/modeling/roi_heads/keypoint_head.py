@@ -88,3 +88,8 @@ def keypoint_rcnn_inference(keypoint_logits: Array, pred_boxes: Array) -> Array:
     """(N, S, S, K) -> (N, K, 4) image-space keypoints (x, y, logit, prob)."""
     maps = keypoint_logits.transpose(0, 3, 1, 2)  # (N, K, S, S)
     return heatmaps_to_keypoints(maps, pred_boxes)
+
+
+# reference keypoint_head.py:135 ``BaseKeypointRCNNHead`` — subclassing base;
+# flax modules need no shared base beyond nn.Module (same as BaseMaskRCNNHead).
+BaseKeypointRCNNHead = nn.Module

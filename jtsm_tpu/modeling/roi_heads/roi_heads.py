@@ -423,3 +423,19 @@ class StandardROIHeads(nn.Module):
             self.normalize_loss_by_visible_keypoints,
         )
         return {"loss_keypoint": loss * self.keypoint_loss_weight}
+
+
+def select_foreground_proposals(proposals, bg_label: int):
+    """Static-shape analog of reference roi_heads.py:46: instead of filtering
+    to a dynamic-length foreground list, return the (unchanged) padded
+    proposals plus a boolean foreground mask over the proposal axis
+    (``gt_classes != -1 and != bg_label``). Heads gate their losses on it."""
+    gt = proposals["gt_classes"]
+    fg = (gt >= 0) & (gt != bg_label)
+    return proposals, fg
+
+
+# reference roi_heads.py:123 ``ROIHeads`` — the subclassing/registry base.
+# Here StandardROIHeads carries the shared label-and-sample machinery that the
+# reference keeps in the base class, so the reference name points at it.
+ROIHeads = StandardROIHeads

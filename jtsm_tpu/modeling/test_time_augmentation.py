@@ -345,3 +345,41 @@ class GeneralizedRCNNWithTTAAVG(TTAWrapperBase):
 # the WSL UNION TTA (test_time_augmentation_union.py) is flow-identical to
 # the base detectron2 TTA: union boxes -> NMS -> mask re-run on merged boxes
 GeneralizedRCNNWithTTAUNION = GeneralizedRCNNWithTTA
+
+
+class DatasetMapperTTA:
+    """Standalone augmented-view mapper (reference test_time_augmentation.py:27
+    ``DatasetMapperTTA``): maps one dataset dict to the list of multi-scale /
+    flip variants the TTA wrappers consume. The wrappers above inline the same
+    augmentation enumeration; this class is the reference-shaped public entry
+    for users composing their own TTA loop."""
+
+    def __init__(self, cfg=None, *, min_sizes=None, max_size=None, flip=None):
+        if cfg is not None:
+            min_sizes = list(cfg.TEST.AUG.MIN_SIZES) if min_sizes is None else min_sizes
+            max_size = cfg.TEST.AUG.MAX_SIZE if max_size is None else max_size
+            flip = cfg.TEST.AUG.FLIP if flip is None else flip
+        self.min_sizes = list(min_sizes if min_sizes is not None else (400, 500, 600, 700, 800))
+        self.max_size = max_size if max_size is not None else 1333
+        self.flip = True if flip is None else bool(flip)
+
+    def __call__(self, dataset_dict: Dict) -> List[Dict]:
+        from ..data.transforms import ResizeShortestEdge
+
+        image = np.asarray(dataset_dict["image"])
+        h0, w0 = image.shape[:2]
+        out = []
+        for ms in self.min_sizes:
+            tfm = ResizeShortestEdge([ms, ms], self.max_size).get_transform(image)
+            img = tfm.apply_image(image)
+            variants = [(img, False)]
+            if self.flip:
+                variants.append((img[:, ::-1], True))
+            for im, flipped in variants:
+                d = dict(dataset_dict)
+                d["image"] = im
+                d["flipped"] = flipped
+                d["scale_x"] = im.shape[1] / w0
+                d["scale_y"] = im.shape[0] / h0
+                out.append(d)
+        return out

@@ -236,3 +236,32 @@ def batched_nms_rotated_mask(
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes.at[:, :2].add(offsets[:, None])
     return nms_rotated_mask(shifted, scores, iou_threshold)
+
+
+def nms_rotated(boxes: Array, scores: Array, iou_threshold: float, max_out: int | None = None):
+    """API-parity wrapper (reference layers/nms.py:35 ``nms_rotated``):
+    indices of kept rotated boxes sorted by score, -1-padded to ``max_out``."""
+    n = boxes.shape[0]
+    keep = nms_rotated_mask(boxes, scores, iou_threshold)
+    k = n if max_out is None else max_out
+    masked_scores = jnp.where(keep, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, min(k, n))
+    out = jnp.where(jnp.isfinite(top_scores), top_idx, -1)
+    if k > n:
+        out = jnp.concatenate([out, jnp.full((k - n,), -1, out.dtype)])
+    return out
+
+
+def batched_nms_rotated(
+    boxes: Array, scores: Array, idxs: Array, iou_threshold: float, max_out: int | None = None
+):
+    """API-parity wrapper (reference layers/nms.py:103)."""
+    n = boxes.shape[0]
+    keep = batched_nms_rotated_mask(boxes, scores, idxs, iou_threshold)
+    k = n if max_out is None else max_out
+    masked_scores = jnp.where(keep, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, min(k, n))
+    out = jnp.where(jnp.isfinite(top_scores), top_idx, -1)
+    if k > n:
+        out = jnp.concatenate([out, jnp.full((k - n,), -1, out.dtype)])
+    return out

@@ -249,3 +249,32 @@ def roi_align_multilevel(
     return _gather_interpolate(
         flat, row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, roi_w, r, ph, pw, s
     )
+
+
+class ROIAlign:
+    """Module-style wrapper over :func:`roi_align_batched` (reference
+    layers/roi_align.py:31 ``ROIAlign``). Rois use the reference's
+    (batch_idx, x0, y0, x1, y1) layout."""
+
+    def __init__(self, output_size, spatial_scale: float, sampling_ratio: int = 2, aligned: bool = True):
+        self.output_size = output_size
+        self.spatial_scale = float(spatial_scale)
+        self.sampling_ratio = int(sampling_ratio)
+        self.aligned = bool(aligned)
+
+    def __call__(self, features: Array, rois: Array) -> Array:
+        return roi_align_batched(
+            features,
+            rois[:, 1:5],
+            rois[:, 0].astype(jnp.int32),
+            self.output_size,
+            self.spatial_scale,
+            self.sampling_ratio,
+            self.aligned,
+        )
+
+    def __repr__(self):
+        return (
+            f"ROIAlign(output_size={self.output_size}, spatial_scale={self.spatial_scale}, "
+            f"sampling_ratio={self.sampling_ratio}, aligned={self.aligned})"
+        )

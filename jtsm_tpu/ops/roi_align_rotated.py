@@ -96,3 +96,38 @@ def roi_align_rotated_batched(
     val = jnp.where(zero[..., None], jnp.asarray(0.0, dt), val)
     val = val.reshape(r, p, s, p, s, c)
     return val.mean(axis=(2, 4))
+
+
+# reference layers/roi_align_rotated.py — functional + module-style aliases
+def roi_align_rotated(features, boxes, batch_indices, output_size, spatial_scale=1.0, sampling_ratio=2):
+    """Alias of :func:`roi_align_rotated_batched` under the reference's
+    public name (layers/roi_align_rotated.py:19)."""
+    return roi_align_rotated_batched(
+        features, boxes, batch_indices, output_size, spatial_scale, sampling_ratio
+    )
+
+
+class ROIAlignRotated:
+    """Module-style wrapper (reference layers/roi_align_rotated.py:50). Rois
+    use the (batch_idx, cx, cy, w, h, angle_deg) layout."""
+
+    def __init__(self, output_size, spatial_scale: float, sampling_ratio: int = 2):
+        self.output_size = output_size if isinstance(output_size, int) else output_size[0]
+        self.spatial_scale = float(spatial_scale)
+        self.sampling_ratio = int(sampling_ratio)
+
+    def __call__(self, features: Array, rois: Array) -> Array:
+        return roi_align_rotated_batched(
+            features,
+            rois[:, 1:6],
+            rois[:, 0].astype(jnp.int32),
+            self.output_size,
+            self.spatial_scale,
+            self.sampling_ratio,
+        )
+
+    def __repr__(self):
+        return (
+            f"ROIAlignRotated(output_size={self.output_size}, "
+            f"spatial_scale={self.spatial_scale}, sampling_ratio={self.sampling_ratio})"
+        )

@@ -1,3 +1,4 @@
+from .lr_scheduler import WarmupCosineLR, WarmupMultiStepLR, WarmupPolyLR
 from .build import (
     build_lr_schedule,
     build_lr_scheduler,
@@ -6,6 +7,9 @@ from .build import (
 )
 
 __all__ = [
+    "WarmupCosineLR",
+    "WarmupMultiStepLR",
+    "WarmupPolyLR",
     "build_lr_schedule",
     "build_lr_scheduler",
     "build_optimizer",
