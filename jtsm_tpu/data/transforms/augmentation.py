@@ -381,3 +381,22 @@ class RandomExtent(Augmentation):
             src_rect=(src_rect[0], src_rect[1], src_rect[2], src_rect[3]),
             output_size=(int(src_rect[3] - src_rect[1]), int(src_rect[2] - src_rect[0])),
         )
+
+
+def apply_augmentations(augmentations, inputs):
+    """Apply a list of augmentations/transforms to an image array or an
+    :class:`AugInput` (reference augmentation.py:350). Returns
+    ``(image_or_inputs, TransformList)``."""
+    if isinstance(inputs, np.ndarray):
+        image_only = True
+        inputs = AugInput(inputs)
+    else:
+        image_only = False
+    tfms = inputs.apply_augmentations(augmentations)
+    return inputs.image if image_only else inputs, tfms
+
+
+# reference backward-compat aliases (augmentation.py:364-383)
+apply_transform_gens = apply_augmentations
+TransformGen = Augmentation
+StandardAugInput = AugInput

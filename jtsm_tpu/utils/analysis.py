@@ -134,3 +134,66 @@ def activation_count(fn, *args) -> float:
         return float(analysis.get("bytes accessed", -1)) / 1e9
     except Exception:
         return -1.0
+
+
+def _init_variables(model, inputs, train=False):
+    rng = jax.random.key(0)
+    return jax.jit(
+        lambda r: model.init({"params": r, "sampling": r}, inputs, train=train)
+    )(rng)
+
+
+def flop_count_operators(model, inputs, variables=None, train: bool = False):
+    """Per-operator GFLOP counts of a built model on one batch (reference
+    utils/analysis.py:53 ``flop_count_operators``). ``model`` is a flax
+    meta-arch module; ``inputs`` the batch dict; ``variables`` initialized
+    with a fixed seed when not given. Keys: ``conv``, ``dot`` (the reference
+    reports conv/addmm/einsum etc. — on TPU everything lowers to these two)."""
+    import collections
+
+    if variables is None:
+        variables = _init_variables(model, inputs, train=train)
+    counts = flop_count_analytic(
+        lambda v, b: model.apply(v, b, train=train), variables, inputs
+    )
+    return collections.defaultdict(
+        float, {"conv": counts["conv_gflops"], "dot": counts["dot_gflops"]}
+    )
+
+
+def activation_count_operators(model, inputs, variables=None, train: bool = False):
+    """Per-operator activation counts in mega-elements (reference
+    utils/analysis.py:76): number of output elements produced by each
+    conv / matmul in the traced program."""
+    import collections
+
+    if variables is None:
+        variables = _init_variables(model, inputs, train=train)
+    jaxpr = jax.make_jaxpr(
+        lambda v, b: model.apply(v, b, train=train)
+    )(variables, inputs)
+
+    totals = {"conv": 0.0, "dot": 0.0}
+
+    def visit(jxp, mult=1.0):
+        for eqn in jxp.eqns:
+            name = eqn.primitive.name
+            if name == "conv_general_dilated":
+                totals["conv"] += mult * float(np.prod(eqn.outvars[0].aval.shape))
+            elif name == "dot_general":
+                totals["dot"] += mult * float(np.prod(eqn.outvars[0].aval.shape))
+            elif name == "scan":
+                visit(eqn.params["jaxpr"].jaxpr, mult * float(eqn.params["length"]))
+            else:
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        visit(v.jaxpr, mult)
+                    elif isinstance(v, (list, tuple)):
+                        for vv in v:
+                            if hasattr(vv, "jaxpr"):
+                                visit(vv.jaxpr, mult)
+
+    visit(jaxpr.jaxpr)
+    return collections.defaultdict(
+        float, {k: v / 1e6 for k, v in totals.items()}
+    )

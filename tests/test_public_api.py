@@ -157,3 +157,52 @@ def test_dataset_mapper_tta_views():
     assert views[0]["image"].shape[0] == 100  # short edge resized
     assert views[1]["flipped"] and not views[0]["flipped"]
     assert np.allclose(views[1]["image"], views[0]["image"][:, ::-1])
+
+
+def test_transforms_aliases_and_apply_augmentations():
+    from jtsm_tpu.data.transforms import (
+        Augmentation,
+        AugInput,
+        ResizeShortestEdge,
+        StandardAugInput,
+        TransformGen,
+        apply_augmentations,
+        apply_transform_gens,
+    )
+
+    assert TransformGen is Augmentation and StandardAugInput is AugInput
+    assert apply_transform_gens is apply_augmentations
+    img = np.zeros((64, 80, 3), np.uint8)
+    out, tfms = apply_augmentations([ResizeShortestEdge([32, 32], 64)], img)
+    assert out.shape[0] == 32
+    inp = AugInput(img, boxes=np.asarray([[0.0, 0.0, 10.0, 10.0]]))
+    inp2, _ = apply_augmentations([ResizeShortestEdge([32, 32], 64)], inp)
+    assert inp2 is inp and inp.image.shape[0] == 32 and inp.boxes[0, 2] == 5.0
+
+
+def test_operator_count_wrappers():
+    from jtsm_tpu.utils.analysis import (
+        activation_count_operators,
+        flop_count_operators,
+    )
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            x = nn.Conv(4, (3, 3))(batch["image"])
+            return nn.Dense(2)(x.mean(axis=(1, 2)))
+
+        def init(self, rngs, batch, train=False):
+            return nn.Module.init(self, rngs["params"], batch, train=train)
+
+        def apply(self, variables, batch, train=False):
+            return nn.Module.apply(self, variables, batch, train=train)
+
+    batch = {"image": jnp.zeros((1, 8, 8, 3), jnp.float32)}
+    f = flop_count_operators(Tiny(), batch)
+    a = activation_count_operators(Tiny(), batch)
+    # conv: 2 * (1*8*8*4) * (3*3*3) MACs; dense: 2 * (1*2) * 4
+    assert abs(f["conv"] - 2 * 8 * 8 * 4 * 27 / 1e9) < 1e-12
+    assert abs(f["dot"] - 2 * 2 * 4 / 1e9) < 1e-12
+    assert a["conv"] > 0 and a["dot"] > 0
