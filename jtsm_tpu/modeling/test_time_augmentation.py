@@ -383,3 +383,42 @@ class DatasetMapperTTA:
                 d["scale_y"] = im.shape[0] / h0
                 out.append(d)
         return out
+
+
+class DatasetMapperTTAAVG(DatasetMapperTTA):
+    """WSOD TTA view mapper (reference wsl/test_time_augmentation_avg.py:126
+    ``DatasetMapperTTAAVG``): like :class:`DatasetMapperTTA` but re-transforms
+    the FIXED precomputed ``proposals`` (original-image coords) and the
+    ``superpixels`` label map into every augmented view's geometry, the way
+    the AVG/UNION wrappers do internally."""
+
+    def __call__(self, dataset_dict: Dict) -> List[Dict]:
+        views = super().__call__(dataset_dict)
+        proposals = dataset_dict.get("proposals")
+        superpixels = dataset_dict.get("superpixels")
+        for d in views:
+            hh, ww = d["image"].shape[:2]
+            if proposals is not None:
+                p = np.asarray(proposals, np.float32) * np.asarray(
+                    [d["scale_x"], d["scale_y"], d["scale_x"], d["scale_y"]],
+                    np.float32,
+                )
+                if d["flipped"]:
+                    p = np.stack([ww - p[:, 2], p[:, 1], ww - p[:, 0], p[:, 3]], axis=1)
+                d["proposals"] = p
+            if superpixels is not None:
+                from PIL import Image as _Image
+
+                sp = np.asarray(
+                    _Image.fromarray(
+                        np.asarray(superpixels, np.int32), mode="I"
+                    ).resize((ww, hh), _Image.NEAREST),
+                    np.int32,
+                )
+                d["superpixels"] = sp[:, ::-1] if d["flipped"] else sp
+        return views
+
+
+# the reference UNION mapper transforms views identically (union happens in
+# the wrapper, not the mapper)
+DatasetMapperTTAUNION = DatasetMapperTTAAVG

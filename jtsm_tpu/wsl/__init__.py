@@ -23,4 +23,20 @@ from . import builtin as _builtin  # noqa: E402
 
 _builtin.register_all()
 
-__all__ = ["add_wsl_config"]
+# reference wsl/__init__.py exports the backbone builders at package level
+from .modeling import (  # noqa: E402
+    build_mrrp_vgg_backbone,
+    build_mrrp_wsl_resnet_backbone,
+    build_vgg_backbone,
+    build_wsl_resnet_backbone,
+    build_wsl_resnet_v2_backbone,
+)
+
+__all__ = [
+    "add_wsl_config",
+    "build_mrrp_vgg_backbone",
+    "build_mrrp_wsl_resnet_backbone",
+    "build_vgg_backbone",
+    "build_wsl_resnet_backbone",
+    "build_wsl_resnet_v2_backbone",
+]

@@ -644,3 +644,22 @@ def moi_pool_exact(
         return out, valid
 
     return jax.vmap(one)(boxes, oh_labels)
+
+
+# ---------------------------------------------------------------------------
+# Reference wsl/layers/__init__.py public names. ``crf``/``pcl_loss`` are
+# direct aliases; ``csc``/``roi_merge``/``compute_cpg`` live in
+# modeling.wsod_zoo (they need model machinery) and resolve lazily to avoid
+# a circular import.
+# ---------------------------------------------------------------------------
+
+crf = crf_mean_field
+pcl_loss = pcl_losses
+
+
+def __getattr__(name):
+    if name in ("csc", "csc_full", "roi_merge", "roi_merge_lambda", "compute_cpg"):
+        from .modeling import wsod_zoo
+
+        return getattr(wsod_zoo, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

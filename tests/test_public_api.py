@@ -206,3 +206,55 @@ def test_operator_count_wrappers():
     assert abs(f["conv"] - 2 * 8 * 8 * 4 * 27 / 1e9) < 1e-12
     assert abs(f["dot"] - 2 * 2 * 4 / 1e9) < 1e-12
     assert a["conv"] > 0 and a["dot"] > 0
+
+
+def test_wsl_surface():
+    import jtsm_tpu.wsl as wsl
+
+    for n in (
+        "build_mrrp_vgg_backbone",
+        "build_mrrp_wsl_resnet_backbone",
+        "build_vgg_backbone",
+        "build_wsl_resnet_backbone",
+        "build_wsl_resnet_v2_backbone",
+    ):
+        assert hasattr(wsl, n), n
+    from jtsm_tpu.wsl.modeling import (  # noqa: F401
+        CSCROIHeads,
+        DatasetMapperTTAAVG,
+        DatasetMapperTTAUNION,
+        GeneralizedRCNNWithTTAAVG,
+        GeneralizedRCNNWithTTAUNION,
+        JTSMROIHeads,
+        OICRROIHeads,
+        PCLROIHeads,
+        RPNWSL,
+        TwoClassHead,
+        WSDDNROIHeads,
+        WSJDSROIHeads,
+        detector_postprocess,
+    )
+    from jtsm_tpu.wsl import ops
+
+    assert ops.crf is ops.crf_mean_field
+    assert ops.pcl_loss is ops.pcl_losses
+    assert callable(ops.csc) and callable(ops.roi_merge)
+
+
+def test_dataset_mapper_tta_avg_proposals():
+    from jtsm_tpu.wsl.modeling import DatasetMapperTTAAVG
+
+    mapper = DatasetMapperTTAAVG(min_sizes=(100,), max_size=400, flip=True)
+    img = np.zeros((50, 80, 3), np.float32)
+    props = np.asarray([[0.0, 0.0, 40.0, 25.0]], np.float32)
+    sp = np.arange(50 * 80, dtype=np.int32).reshape(50, 80)
+    views = mapper({"image": img, "proposals": props, "superpixels": sp})
+    assert len(views) == 2
+    v0, v1 = views
+    sx = v0["image"].shape[1] / 80.0
+    sy = v0["image"].shape[0] / 50.0
+    assert np.allclose(v0["proposals"][0], [0, 0, 40 * sx, 25 * sy])
+    ww = v1["image"].shape[1]
+    assert np.allclose(v1["proposals"][0], [ww - 40 * sx, 0, ww, 25 * sy])
+    assert v0["superpixels"].shape == v0["image"].shape[:2]
+    assert np.array_equal(v1["superpixels"], v0["superpixels"][:, ::-1])
