@@ -310,6 +310,8 @@ _C.TPU.REMAT = []
 
 _C.OUTPUT_DIR = "./output"
 _C.SEED = -1
+# reference-compat key (torch concept): accepted so reference yamls load,
+# intentionally inert on TPU — like MODEL.DEVICE and GLOBAL.HACK below.
 _C.CUDNN_BENCHMARK = False
 _C.VIS_PERIOD = 0
 

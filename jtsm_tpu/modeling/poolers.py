@@ -60,6 +60,13 @@ class ROIPooler:
         # reference semantics: sampling_ratio=0 means adaptive; static graphs
         # need a fixed ratio — 2 matches zoo numerics within noise.
         self.sampling_ratio = int(sampling_ratio) if sampling_ratio > 0 else 2
+        # "" is the reference PointRend convention (projects/PointRend
+        # Base-PointRend-RCNN-FPN.yaml POOLER_TYPE: "" — the torch head reads
+        # image features directly); this redesign pools for the coarse head
+        # and point-samples image features in the refinement, so "" maps to
+        # the aligned pooler.
+        if not pooler_type:
+            pooler_type = "ROIAlignV2"
         assert pooler_type in ("ROIAlign", "ROIAlignV2"), pooler_type
         self.aligned = pooler_type == "ROIAlignV2"
         self.min_level = -int(math.log2(self.scales[0]))

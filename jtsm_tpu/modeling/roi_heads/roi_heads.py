@@ -48,6 +48,19 @@ Array = jax.Array
 
 def build_roi_heads(cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
     name = cfg.MODEL.ROI_HEADS.NAME
+    # A mask head may require a coupled ROI-heads implementation (e.g. the
+    # reference's PointRendMaskHead runs point subdivision inside the head;
+    # here that logic needs image-level features, so the head class declares
+    # ROI_HEADS_OVERRIDE = "PointRendROIHeads" and reference yamls — which
+    # leave ROI_HEADS.NAME at StandardROIHeads — build the right heads).
+    if name == "StandardROIHeads" and cfg.MODEL.MASK_ON:
+        try:
+            from .mask_head import ROI_MASK_HEAD_REGISTRY
+
+            mh_cls = ROI_MASK_HEAD_REGISTRY.get(cfg.MODEL.ROI_MASK_HEAD.NAME)
+            name = getattr(mh_cls, "ROI_HEADS_OVERRIDE", name)
+        except KeyError:
+            pass
     cls_ = ROI_HEADS_REGISTRY.get(name)
     return cls_(**cls_.from_config(cfg, input_shape))
 

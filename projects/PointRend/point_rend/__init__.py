@@ -9,7 +9,7 @@ from .point_features import (
     point_sample,
 )
 from .point_head import StandardPointHead
-from .roi_heads import PointRendROIHeads
+from .roi_heads import CoarseMaskHead, PointRendMaskHead, PointRendROIHeads
 from .semantic_seg import PointRendSemSegHead
 from .color_augmentation import ColorAugSSDTransform
 
@@ -22,5 +22,7 @@ __all__ = [
     "get_uncertain_point_coords_on_grid",
     "get_uncertain_point_coords_with_randomness",
     "StandardPointHead",
+    "CoarseMaskHead",
+    "PointRendMaskHead",
     "PointRendROIHeads",
 ]

@@ -41,6 +41,21 @@ class CoarseMaskHead(nn.Module):
     output_side_resolution: int = 7
     dtype: Any = jnp.float32
 
+    @classmethod
+    def from_config(cls, cfg: CfgNode, input_shape: ShapeSpec):
+        mh = cfg.MODEL.ROI_MASK_HEAD
+        return dict(
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            fc_dim=mh.FC_DIM,
+            num_fc=int(mh.NUM_FC),
+            output_side_resolution=mh.OUTPUT_SIDE_RESOLUTION
+            if "OUTPUT_SIDE_RESOLUTION" in mh
+            else 7,
+            dtype=jnp.bfloat16
+            if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+            else jnp.float32,
+        )
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from jtsm_tpu.layers import Conv2d
@@ -68,6 +83,20 @@ class CoarseMaskHead(nn.Module):
         return x.reshape(-1, s, s, self.num_classes).astype(jnp.float32)
 
 
+@ROI_MASK_HEAD_REGISTRY.register()
+class PointRendMaskHead(CoarseMaskHead):
+    """Reference name (projects/PointRend/point_rend/mask_head.py:133).
+
+    In the reference the point-subdivision refinement lives inside this mask
+    head; in this redesign it lives in :class:`PointRendROIHeads` (which
+    needs the image-level features the pooled-head interface doesn't carry),
+    so the registered head is the coarse predictor and declares the coupled
+    ROI-heads implementation; reference yamls — which leave ROI_HEADS.NAME
+    at StandardROIHeads — then build the full subdivision model verbatim."""
+
+    ROI_HEADS_OVERRIDE = "PointRendROIHeads"
+
+
 @ROI_HEADS_REGISTRY.register()
 class PointRendROIHeads(StandardROIHeads):
     """StandardROIHeads with the mask branch replaced by coarse+point heads."""
@@ -84,14 +113,12 @@ class PointRendROIHeads(StandardROIHeads):
     def from_config(cls, cfg: CfgNode, input_shape: Dict[str, ShapeSpec]):
         ret = StandardROIHeads.from_config(cfg, input_shape)
         if cfg.MODEL.MASK_ON:
-            dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
-            ret["mask_head"] = CoarseMaskHead(
-                num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
-                output_side_resolution=cfg.MODEL.ROI_MASK_HEAD.OUTPUT_SIDE_RESOLUTION
-                if "OUTPUT_SIDE_RESOLUTION" in cfg.MODEL.ROI_MASK_HEAD
-                else 7,
-                dtype=dtype,
-            )
+            # honor NAME (CoarseMaskHead or the reference's PointRendMaskHead
+            # alias) and the FC_DIM/NUM_FC/OUTPUT_SIDE_RESOLUTION knobs
+            head_cls = ROI_MASK_HEAD_REGISTRY.get(cfg.MODEL.ROI_MASK_HEAD.NAME)
+            if not issubclass(head_cls, CoarseMaskHead):
+                head_cls = CoarseMaskHead
+            ret["mask_head"] = head_cls(**head_cls.from_config(cfg, None))
             ret["mask_size"] = 28
         if "POINT_HEAD" in cfg.MODEL:
             ret.update(

@@ -102,6 +102,51 @@ def test_pointrend_roi_heads():
     assert out["masks"].shape[-1] == 28
 
 
+def test_pointrend_reference_yaml_verbatim():
+    """The reference-shaped Base yaml (StandardROIHeads default +
+    ROI_MASK_HEAD.NAME: PointRendMaskHead + POOLER_TYPE: "") builds the
+    subdivision model (reference Base-PointRend-RCNN-FPN.yaml)."""
+    from point_rend import add_pointrend_config
+
+    import point_rend.roi_heads  # noqa: F401 (registers)
+
+    cfg = get_cfg()
+    add_pointrend_config(cfg)
+    cfg.merge_from_file(
+        "projects/PointRend/configs/InstanceSegmentation/Base-PointRend-RCNN-FPN.yaml"
+    )
+    assert cfg.MODEL.ROI_MASK_HEAD.NAME == "PointRendMaskHead"
+    assert cfg.MODEL.ROI_MASK_HEAD.POOLER_TYPE == ""
+    # tiny shrink
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 32
+    cfg.MODEL.POINT_HEAD.FC_DIM = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    assert type(model.roi_heads).__name__ == "PointRendROIHeads"
+    assert type(model.roi_heads.mask_head).__name__ == "PointRendMaskHead"
+    assert model.roi_heads.mask_head.fc_dim == 1024
+    assert model.roi_heads.mask_head.num_fc == 2
+    b = 1
+    batch = {
+        "image": jnp.zeros((b, 64, 64, 3), jnp.float32),
+        "image_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+        "orig_sizes": jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+    }
+    vs = model.init({"params": jax.random.key(0), "sampling": jax.random.key(1)}, batch, train=False)
+    out = model.apply(vs, batch, train=False)
+    assert out["masks"].shape[-1] == 28
+
+
 def test_deeplab_heads():
     from deeplab import DeepLabCE, add_deeplab_config
 
