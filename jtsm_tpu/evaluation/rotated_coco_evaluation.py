@@ -43,6 +43,12 @@ def rotated_box_corners_np(boxes: np.ndarray) -> np.ndarray:
     return np.stack([x, y], axis=2)
 
 
+def _cross2(a: np.ndarray, b: np.ndarray) -> float:
+    # z-component of the 2-D cross product (np.cross on 2-D vectors is
+    # deprecated since NumPy 2.0)
+    return a[0] * b[1] - a[1] * b[0]
+
+
 def _polygon_clip(subject: List[np.ndarray], clip: np.ndarray) -> List[np.ndarray]:
     """Sutherland–Hodgman: clip a convex polygon by another convex polygon."""
     out = subject
@@ -54,15 +60,15 @@ def _polygon_clip(subject: List[np.ndarray], clip: np.ndarray) -> List[np.ndarra
         if not inp:
             break
         prev = inp[-1]
-        prev_in = np.cross(edge, prev - p0) >= 0
+        prev_in = _cross2(edge, prev - p0) >= 0
         for cur in inp:
-            cur_in = np.cross(edge, cur - p0) >= 0
+            cur_in = _cross2(edge, cur - p0) >= 0
             if cur_in != prev_in:
                 # intersection of segment prev->cur with the clip edge line
                 d = cur - prev
-                denom = np.cross(edge, d)
+                denom = _cross2(edge, d)
                 if abs(denom) > 1e-12:
-                    t = np.cross(edge, p0 - prev) / denom
+                    t = _cross2(edge, p0 - prev) / denom
                     out.append(prev + t * d)
             if cur_in:
                 out.append(cur)
