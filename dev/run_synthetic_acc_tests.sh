@@ -4,10 +4,13 @@
 # config, then eval and verify TEST.EXPECTED_RESULTS via verify_results
 # (which exits nonzero on mismatch). No downloads, no pretrained weights.
 #
-# The pinned numbers were recorded on CPU (JAX_PLATFORMS=cpu); run the gates
-# on CPU for reproducibility.
+# The pinned numbers were recorded on CPU (JAX_PLATFORMS=cpu); ALWAYS run
+# the gates on CPU for reproducibility — the containers export
+# JAX_PLATFORMS=axon globally, so a ':-cpu' default would silently run the
+# gates on the TPU where tiny-model training noise shifts the numbers.
+# Set JTSM_GATE_PLATFORM to override deliberately.
 set -e  # the shebang's -e is ignored when invoked as `bash <script>`
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+export JAX_PLATFORMS=${JTSM_GATE_PLATFORM:-cpu}
 ROOT=$(dirname "$0")/..
 DATA=${JTSM_DATASETS:-/tmp/jtsm_synth_datasets}
 export JTSM_DATASETS="$DATA"
