@@ -188,3 +188,23 @@ def build_wsl_resnet_fpn_backbone(cfg: CfgNode, input_shape: ShapeSpec):
         fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
         dtype=dtype,
     )
+
+
+# Two shipped reference yamls name backbone builders the reference never
+# defines, so they crash upstream: PascalVOC-Detection/wsddn_R_18_DC5_1x.yaml
+# asks for "build_resnet_18_backbone" (no such symbol anywhere; DEPTH: 18 is
+# already in the config, so the plain builder is what was meant) and
+# reg_all/oicr_TRD_WSR_50_DC5_1x.yaml asks for "build_wsl_mrrp_resnet_backbone"
+# (a transposition of resnet_wsl_mrrp.py:906 build_mrrp_wsl_resnet_backbone).
+# Register both intended targets under the literal yaml names so those
+# configs load here verbatim.
+@BACKBONE_REGISTRY.register()
+def build_resnet_18_backbone(cfg: CfgNode, input_shape: ShapeSpec):
+    from ...modeling.backbone.resnet import build_resnet_backbone
+
+    return build_resnet_backbone(cfg, input_shape)
+
+
+@BACKBONE_REGISTRY.register()
+def build_wsl_mrrp_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> MRRPWSLResNet:
+    return build_mrrp_wsl_resnet_backbone(cfg, input_shape)

@@ -289,6 +289,32 @@ def test_wsl_config_zoo_loads():
     assert n >= 40, n
 
 
+def test_reference_literal_backbone_names_resolve():
+    """The reference tree ships two yamls whose BACKBONE.NAME is never
+    defined upstream (wsddn_R_18_DC5_1x.yaml -> build_resnet_18_backbone,
+    reg_all/oicr_TRD_WSR_50_DC5_1x.yaml -> build_wsl_mrrp_resnet_backbone,
+    a transposition of build_mrrp_wsl_resnet_backbone); here the literal
+    names resolve to the intended builders so those configs load verbatim."""
+    import jtsm_tpu.wsl  # noqa: F401
+    from jtsm_tpu.layers import ShapeSpec
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.modeling.backbone.build import BACKBONE_REGISTRY, build_backbone
+    from jtsm_tpu.wsl import add_wsl_config
+
+    for name in ("build_resnet_18_backbone", "build_wsl_mrrp_resnet_backbone"):
+        BACKBONE_REGISTRY.get(name)
+
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_18_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.RES5_DILATION = 2
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res5"]
+    bb = build_backbone(cfg, ShapeSpec(channels=3))
+    assert bb.depth == 18
+
+
 def test_csc_oicr_heads():
     """CSCOICRROIHeads: CSC-weighted MIL base loss + OICR refinement
     (reference roi_heads_csc.py)."""
