@@ -64,6 +64,21 @@ def build_fwd():
     jax.block_until_ready(variables)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    if os.environ.get("BENCH_INT8_SCOPES"):
+        # opt-in post-training int8 for the named scopes (e.g. "backbone"):
+        # calibrate activation scales on one random batch, then bench the
+        # quantized graph (driver runs stay bf16 — this measures the int8
+        # deployment mode, see docs/notes/benchmarks.md)
+        from jtsm_tpu.export.quantize import calibrate_int8
+
+        scopes = tuple(os.environ["BENCH_INT8_SCOPES"].split(","))
+        cal = dict(
+            batch0, image=jax.random.uniform(jax.random.key(7), (b, h, w, 3)) * 255.0
+        )
+        quant = calibrate_int8(model, variables, [cal], scopes=scopes)
+        variables = {**variables, "quant": quant}
+        print(f"int8 scopes calibrated: {scopes}", file=sys.stderr)
+
     def step(v, seed):
         img = jax.random.uniform(jax.random.key(seed), (b, h, w, 3)) * 255.0
         out = model.apply(v, dict(batch0, image=img), train=False)

@@ -307,6 +307,17 @@ _C.TPU.FSDP = False
 #   "rpn_head"         the RPN conv tower (res2-resolution activations)
 #   "box_head" / "mask_head" / "keypoint_head"   per-ROI head stacks
 _C.TPU.REMAT = []
+# Post-training int8 inference (jtsm_tpu/export/quantize.py): top-level
+# module scopes whose convs run s8 x s8 -> s32 on the MXU after activation
+# calibration, e.g. ["backbone"]. Empty = full bf16/f32 inference.
+# DefaultPredictor calibrates lazily on the first image; evaluation via
+# DefaultTrainer.test calibrates on the first test batch.
+_C.TPU.INT8_SCOPES = []
+# Persistent XLA compilation cache: compiled programs are keyed by HLO and
+# reused across process invocations, so a second `train_net.py`/demo run on
+# the same config skips the 20-40s TPU compile. "" disables; the
+# JTSM_XLA_CACHE_DIR environment variable overrides the config value.
+_C.TPU.COMPILATION_CACHE_DIR = "/tmp/jtsm_xla_cache"
 
 _C.OUTPUT_DIR = "./output"
 _C.SEED = -1

@@ -92,6 +92,18 @@ def default_setup(cfg: CfgNode, args) -> None:
     seed = cfg.SEED
     seed_all_rng(None if seed < 0 else seed + rank)
 
+    cache_dir = os.environ.get(
+        "JTSM_XLA_CACHE_DIR", cfg.TPU.get("COMPILATION_CACHE_DIR", "")
+    )
+    if cache_dir:
+        # persistent XLA compilation cache: a second invocation on the same
+        # config skips the 20-40s TPU compile (programs keyed by HLO)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        logger.info(f"Persistent XLA compilation cache: {cache_dir}")
+
 
 class DefaultPredictor:
     """Reference defaults.py:161. Takes ONE BGR image (numpy HWC uint8) and
@@ -123,6 +135,8 @@ class DefaultPredictor:
         checkpointer.load(cfg.MODEL.WEIGHTS)
         self.variables = checkpointer.variables
         self._jitted = jax.jit(lambda v, b: self.model.apply(v, b, train=False))
+        self._int8_scopes = tuple(cfg.TPU.get("INT8_SCOPES", []))
+        self._calibrated = not self._int8_scopes
 
     def __call__(self, original_image: np.ndarray) -> Dict[str, np.ndarray]:
         if self.input_format == "RGB":
@@ -138,6 +152,17 @@ class DefaultPredictor:
             "image_sizes": jnp.asarray([[h, w]], jnp.int32),
             "orig_sizes": jnp.asarray([[height, width]], jnp.int32),
         }
+        if not self._calibrated:
+            # lazy int8 calibration (cfg.TPU.INT8_SCOPES) on the first
+            # real image; subsequent calls run the quantized convs
+            from ..export.quantize import calibrate_int8
+
+            quant = calibrate_int8(
+                self.model, self.variables, [batch], scopes=self._int8_scopes
+            )
+            self.variables = {**self.variables, "quant": quant}
+            logger.info(f"int8 conv scopes calibrated: {self._int8_scopes}")
+            self._calibrated = True
         out = self._jitted(self.variables, batch)
         result = {k: np.asarray(v)[0] for k, v in out.items()}
         if "boxes" in result:  # reference API parity: Instances view
@@ -462,6 +487,14 @@ class DefaultTrainer(TrainerBase):
         else:
             jitted = jax.jit(fn)
 
+        # optional post-training int8 (cfg.TPU.INT8_SCOPES): calibrate the
+        # conv activation scales on the first eval batch, then every later
+        # batch runs the quantized convs
+        int8_state = {
+            "variables": variables,
+            "todo": tuple(cfg.TPU.get("INT8_SCOPES", [])) if variables is not None else (),
+        }
+
         for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
             data_loader = cls.build_test_loader(cfg, dataset_name)
             if evaluators is not None:
@@ -486,7 +519,22 @@ class DefaultTrainer(TrainerBase):
                     for k, v in batch.items()
                     if k not in ("image_ids",)
                 }
-                out = jitted(variables, device_batch)
+                if int8_state["todo"]:
+                    from ..export.quantize import calibrate_int8
+
+                    quant = calibrate_int8(
+                        model,
+                        int8_state["variables"],
+                        [device_batch],
+                        scopes=int8_state["todo"],
+                    )
+                    int8_state["variables"] = {
+                        **int8_state["variables"],
+                        "quant": quant,
+                    }
+                    logger.info(f"int8 conv scopes calibrated: {int8_state['todo']}")
+                    int8_state["todo"] = ()
+                out = jitted(int8_state["variables"], device_batch)
                 nreal = len(batch["image_ids"])
                 if nreal < batch["image"].shape[0]:
                     # final partial batch was padded (loader pad_final):

@@ -26,6 +26,96 @@ def _pair(x) -> Tuple[int, int]:
     return (x, x)
 
 
+class QuantableConv(nn.Module):
+    """2-D conv with the EXACT parameter tree of ``flax.linen.Conv``
+    (``kernel`` HWIO + optional ``bias``, f32 params, compute in ``dtype``)
+    plus an optional int8 inference path for the MXU's double-rate s8 mode:
+
+    * **calibration**: when the ``quant_calib`` collection is mutable (and
+      not initializing), the running activation abs-max is recorded as
+      ``quant_calib/act_absmax`` while the normal-precision conv runs;
+    * **int8 inference**: when a ``quant`` collection provides
+      ``act_scale`` for this conv, activations are quantized per-tensor and
+      weights per-output-channel (symmetric, zero-point 0 so zero padding
+      stays exact) and the conv runs s8 x s8 -> s32, dequantized into
+      ``dtype`` before bias/norm.
+
+    See :mod:`jtsm_tpu.export.quantize` for the calibration driver.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "VALID"  # lax-style: string or ((ph, ph), (pw, pw))
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kshape = (
+            *self.kernel_size,
+            x.shape[-1] // self.feature_group_count,
+            self.features,
+        )
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        calibrating = self.is_mutable_collection("quant_calib") and not self.is_initializing()
+        if calibrating:
+            absmax = self.variable(
+                "quant_calib", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            absmax.value = jnp.maximum(
+                absmax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        act_scale = (
+            self.get_variable("quant", "act_scale", None)
+            if self.has_variable("quant", "act_scale")
+            else None
+        )
+        if act_scale is not None and not calibrating:
+            s_a = jnp.maximum(act_scale.astype(jnp.float32), 1e-8)
+            s_w = jnp.maximum(
+                jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0, 1e-12
+            )  # (Cout,)
+            x_q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s_a), -127.0, 127.0
+            ).astype(jnp.int8)
+            w_q = jnp.clip(jnp.round(kernel / s_w), -127.0, 127.0).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                x_q,
+                w_q,
+                window_strides=self.strides,
+                padding=self.padding,
+                rhs_dilation=self.kernel_dilation,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (s_a * s_w)).astype(self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding=self.padding,
+                rhs_dilation=self.kernel_dilation,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=dn,
+            )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv2d(nn.Module):
     """``norm`` may be a norm-type string (see ``get_norm``) — constructed
     inside this module under the stable name "norm" (stable names matter for
@@ -56,7 +146,7 @@ class Conv2d(nn.Module):
         else:
             p = _pair(self.padding)
             padding = ((p[0], p[0]), (p[1], p[1]))
-        y = nn.Conv(
+        y = QuantableConv(
             features=self.features,
             kernel_size=k,
             strides=s,
@@ -65,7 +155,6 @@ class Conv2d(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
             name="conv",
@@ -98,6 +187,62 @@ class ConvTranspose2d(nn.Module):
         )(x)
 
 
+class QuantableDense(nn.Module):
+    """Dense with the exact parameter tree of ``flax.linen.Dense`` plus the
+    same optional int8 path as :class:`QuantableConv` (per-output-channel
+    weight scales, per-tensor activation scale via the ``quant`` /
+    ``quant_calib`` collections)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        calibrating = self.is_mutable_collection("quant_calib") and not self.is_initializing()
+        if calibrating:
+            absmax = self.variable(
+                "quant_calib", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            absmax.value = jnp.maximum(
+                absmax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        act_scale = (
+            self.get_variable("quant", "act_scale", None)
+            if self.has_variable("quant", "act_scale")
+            else None
+        )
+        if act_scale is not None and not calibrating:
+            s_a = jnp.maximum(act_scale.astype(jnp.float32), 1e-8)
+            s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0) / 127.0, 1e-12)
+            x_q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s_a), -127.0, 127.0
+            ).astype(jnp.int8)
+            w_q = jnp.clip(jnp.round(kernel / s_w), -127.0, 127.0).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x_q,
+                w_q,
+                (((x_q.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (s_a * s_w)).astype(self.dtype)
+        else:
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Linear(nn.Module):
     features: int
     use_bias: bool = True
@@ -106,11 +251,10 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.Dense(
+        return QuantableDense(
             features=self.features,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
             name="dense",
         )(x)

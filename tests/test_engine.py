@@ -264,3 +264,37 @@ def test_sharded_eval_matches_single_device(tiny_coco_train, tmp_path):
             if np.isnan(v) and np.isnan(v4):
                 continue
             np.testing.assert_allclose(v4, v, rtol=1e-3, atol=1e-3, err_msg=(task, k))
+
+
+def test_compilation_cache_knob(tmp_path):
+    """TPU.COMPILATION_CACHE_DIR wires the persistent XLA compilation cache
+    in default_setup (JTSM_XLA_CACHE_DIR env overrides; '' disables)."""
+    import types
+
+    import jax
+
+    from jtsm_tpu.engine.defaults import default_setup
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cfg = get_cfg()
+        cfg.OUTPUT_DIR = str(tmp_path / "out")
+        cache = str(tmp_path / "xla_cache")
+        cfg.TPU.COMPILATION_CACHE_DIR = cache
+        default_setup(cfg, types.SimpleNamespace())
+        assert jax.config.jax_compilation_cache_dir == cache
+
+        env_cache = str(tmp_path / "env_cache")
+        os.environ["JTSM_XLA_CACHE_DIR"] = env_cache
+        try:
+            default_setup(cfg, types.SimpleNamespace())
+            assert jax.config.jax_compilation_cache_dir == env_cache
+        finally:
+            del os.environ["JTSM_XLA_CACHE_DIR"]
+
+        # empty string disables (leaves the current value untouched)
+        cfg.TPU.COMPILATION_CACHE_DIR = ""
+        default_setup(cfg, types.SimpleNamespace())
+        assert jax.config.jax_compilation_cache_dir == env_cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
