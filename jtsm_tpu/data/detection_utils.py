@@ -23,6 +23,7 @@ from ..structures import (
     Instances,
     Keypoints,
     PolygonMasks,
+    RotatedBoxes,
     polygons_to_bitmask,
     rasterize_polygons_within_box,
 )
@@ -135,12 +136,19 @@ def transform_instance_annotations(
     """Reference detection_utils.py:260."""
     if isinstance(transforms, (tuple, list)):
         transforms = T.TransformList(transforms)
-    bbox = BoxMode.convert(annotation["bbox"], annotation["bbox_mode"], BoxMode.XYXY_ABS)
-    bbox = transforms.apply_box(np.array([bbox]))[0]
-    bbox = np.minimum(bbox, list(image_size + image_size)[::-1])
-    bbox = np.maximum(bbox, 0)
-    annotation["bbox"] = bbox
-    annotation["bbox_mode"] = BoxMode.XYXY_ABS
+    if annotation["bbox_mode"] == BoxMode.XYWHA_ABS:
+        # rotated boxes go through the rotated-rect transform action instead
+        # of being axis-aligned (reference detection_utils.py:271-273)
+        annotation["bbox"] = transforms.apply_rotated_box(
+            np.asarray([annotation["bbox"]], dtype=np.float64)
+        )[0]
+    else:
+        bbox = BoxMode.convert(annotation["bbox"], annotation["bbox_mode"], BoxMode.XYXY_ABS)
+        bbox = transforms.apply_box(np.array([bbox]))[0]
+        bbox = np.minimum(bbox, list(image_size + image_size)[::-1])
+        bbox = np.maximum(bbox, 0)
+        annotation["bbox"] = bbox
+        annotation["bbox_mode"] = BoxMode.XYXY_ABS
 
     if "segmentation" in annotation:
         segm = annotation["segmentation"]
@@ -223,6 +231,26 @@ def annotations_to_instances(
             [np.asarray(obj.get("keypoints", np.zeros(0))).reshape(-1, 3) for obj in annos]
         ).astype(np.float32)
 
+    return target
+
+
+def annotations_to_instances_rotated(
+    annos: List[dict], image_size: Tuple[int, int]
+) -> Instances:
+    """Reference detection_utils.py:431 — rotated (N, 5) XYWHA GT, clipped
+    with the nearly-axis-aligned-only rule of RotatedBoxes.clip. Host-side;
+    fields are numpy."""
+    boxes = (
+        np.stack([np.asarray(obj["bbox"], dtype=np.float32) for obj in annos])
+        if len(annos)
+        else np.zeros((0, 5), np.float32)
+    )
+    boxes = np.asarray(RotatedBoxes(boxes).clip(image_size).tensor, dtype=np.float32)
+    target = Instances(image_size)
+    target.gt_boxes = boxes
+    target.gt_classes = np.asarray(
+        [int(obj["category_id"]) for obj in annos], dtype=np.int64
+    )
     return target
 
 

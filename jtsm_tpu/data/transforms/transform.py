@@ -34,6 +34,15 @@ class Transform:
     def apply_polygons(self, polygons: List[np.ndarray]) -> List[np.ndarray]:
         return [self.apply_coords(np.asarray(p).reshape(-1, 2)).reshape(-1) for p in polygons]
 
+    def apply_rotated_box(self, rotated_boxes: np.ndarray) -> np.ndarray:
+        """(N, 5) XYWHA. Only transforms with a well-defined action on rotated
+        rects implement this (HFlip/Resize/NoOp), mirroring the reference's
+        per-type registration (reference transform.py:307,323); anything else
+        raises, like an unregistered fvcore type would."""
+        raise NotImplementedError(
+            f"apply_rotated_box is not defined for {type(self).__name__}"
+        )
+
     def apply_segmentation(self, segmentation: np.ndarray) -> np.ndarray:
         return self.apply_image(segmentation)
 
@@ -66,6 +75,11 @@ class TransformList(Transform):
             seg = t.apply_segmentation(seg)
         return seg
 
+    def apply_rotated_box(self, rotated_boxes):
+        for t in self.transforms:
+            rotated_boxes = t.apply_rotated_box(rotated_boxes)
+        return rotated_boxes
+
     def inverse(self) -> "TransformList":
         return TransformList([t.inverse() for t in reversed(self.transforms)])
 
@@ -86,6 +100,9 @@ class NoOpTransform(Transform):
 
     def apply_coords(self, coords):
         return coords
+
+    def apply_rotated_box(self, rotated_boxes):
+        return rotated_boxes
 
     def inverse(self):
         return self
@@ -133,6 +150,22 @@ class ResizeTransform(Transform):
             )
         return self.apply_image(seg, interp=Image.NEAREST)
 
+    def apply_rotated_box(self, rotated_boxes):
+        """Anisotropic scaling refits the rotated rect (reference
+        transform.py:323 / RotatedBoxes.scale — same math as
+        structures.RotatedBoxes.scale, host-side numpy)."""
+        rb = np.asarray(rotated_boxes, dtype=np.float64).reshape(-1, 5).copy()
+        sx = self.new_w * 1.0 / self.w
+        sy = self.new_h * 1.0 / self.h
+        theta = rb[:, 4] * np.pi / 180.0
+        c, s = np.cos(theta), np.sin(theta)
+        rb[:, 0] *= sx
+        rb[:, 1] *= sy
+        rb[:, 2] *= np.sqrt((sx * c) ** 2 + (sy * s) ** 2)
+        rb[:, 3] *= np.sqrt((sx * s) ** 2 + (sy * c) ** 2)
+        rb[:, 4] = np.arctan2(sx * s, sy * c) * 180.0 / np.pi
+        return rb
+
     def inverse(self):
         return ResizeTransform(self.new_h, self.new_w, self.h, self.w, self.interp)
 
@@ -155,6 +188,13 @@ class HFlipTransform(Transform):
         x1 = self.width - box[:, 0]
         box[:, 0], box[:, 2] = x0, x1
         return box
+
+    def apply_rotated_box(self, rotated_boxes):
+        """Mirror the center x and negate the angle (reference transform.py:307)."""
+        rb = np.asarray(rotated_boxes, dtype=np.float64).reshape(-1, 5).copy()
+        rb[:, 0] = self.width - rb[:, 0]
+        rb[:, 4] = -rb[:, 4]
+        return rb
 
     def inverse(self):
         return self
