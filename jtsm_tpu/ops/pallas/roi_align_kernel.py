@@ -384,7 +384,7 @@ def _pallas_call_resident(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec(
             (group, p, p, c), lambda bi, j, *_: (bi * rb + j, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -540,7 +540,7 @@ def _pallas_call_resident_bwd(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)
         ],
         scratch_shapes=[
             pltpu.VMEM((h_sizes[l], w_pads[l], c), dtype)
@@ -587,7 +587,7 @@ def _pallas_call(levels3d, lvl_idx, row0, ox_div, ybkt, wy, wx, output_size: int
             pl.BlockSpec((GROUP, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, p, WIN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec(
             (GROUP, p, p, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
