@@ -245,7 +245,19 @@ def annotations_to_instances_rotated(
         if len(annos)
         else np.zeros((0, 5), np.float32)
     )
-    boxes = np.asarray(RotatedBoxes(boxes).clip(image_size).tensor, dtype=np.float32)
+    # numpy re-statement of RotatedBoxes.clip (nearly-axis-aligned-only rule):
+    # this runs per sample on the host data path, so no eager jnp dispatch here
+    h, w = image_size
+    a = (boxes[:, 4] + 180.0) % 360.0 - 180.0
+    nearly_aligned = np.abs(a) <= 1.0
+    x1 = np.clip(boxes[:, 0] - boxes[:, 2] / 2.0, 0, w)
+    y1 = np.clip(boxes[:, 1] - boxes[:, 3] / 2.0, 0, h)
+    x2 = np.clip(boxes[:, 0] + boxes[:, 2] / 2.0, 0, w)
+    y2 = np.clip(boxes[:, 1] + boxes[:, 3] / 2.0, 0, h)
+    clipped = np.stack(
+        [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, boxes[:, 4]], axis=-1
+    )
+    boxes = np.where(nearly_aligned[:, None], clipped, boxes).astype(np.float32)
     target = Instances(image_size)
     target.gt_boxes = boxes
     target.gt_classes = np.asarray(
@@ -267,8 +279,12 @@ def filter_empty_instances(
     r = []
     if by_box:
         b = instances.gt_boxes
-        widths = b[:, 2] - b[:, 0]
-        heights = b[:, 3] - b[:, 1]
+        if b.shape[-1] == 5:  # rotated XYWHA: nonempty is w>thr & h>thr
+            widths = b[:, 2]
+            heights = b[:, 3]
+        else:
+            widths = b[:, 2] - b[:, 0]
+            heights = b[:, 3] - b[:, 1]
         r.append((widths > box_threshold) & (heights > box_threshold))
     if instances.has("gt_masks") and by_mask:
         gm = instances.gt_masks

@@ -79,3 +79,17 @@ def test_annotations_to_instances_rotated():
 
     empty = du.annotations_to_instances_rotated([], (100, 200))
     assert empty.gt_boxes.shape == (0, 5)
+
+def test_filter_empty_instances_rotated():
+    # rotated (N,5) XYWHA instances filter on w>thr & h>thr, like the
+    # reference's RotatedBoxes.nonempty() — not on the XYXY arithmetic
+    annos = [
+        {"bbox": [50.0, 40.0, 30.0, 10.0, 45.0], "bbox_mode": BoxMode.XYWHA_ABS, "category_id": 1},
+        {"bbox": [60.0, 45.0, 0.0, 10.0, 10.0], "bbox_mode": BoxMode.XYWHA_ABS, "category_id": 2},
+        # cx < w would wrongly survive / die under the XYXY formula
+        {"bbox": [5.0, 90.0, 8.0, 6.0, -30.0], "bbox_mode": BoxMode.XYWHA_ABS, "category_id": 0},
+    ]
+    inst = du.annotations_to_instances_rotated(annos, (100, 200))
+    kept = du.filter_empty_instances(inst)
+    assert kept.gt_classes.tolist() == [1, 0]
+    np.testing.assert_allclose(kept.gt_boxes[1], [5.0, 90.0, 8.0, 6.0, -30.0])
