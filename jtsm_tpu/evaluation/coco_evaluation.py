@@ -71,7 +71,9 @@ def batched_outputs_to_coco_json(
     b, d = outputs["scores"].shape
     for i in range(b):
         valid = outputs["valid"][i]
-        img_id = int(image_ids[i])
+        img_id = image_ids[i]
+        # cityscapes-style datasets use string image ids
+        img_id = img_id if isinstance(img_id, str) else int(img_id)
         h, w = int(orig_sizes[i][0]), int(orig_sizes[i][1])
         for j in range(d):
             if not valid[j]:
