@@ -17,11 +17,14 @@ from __future__ import annotations
 
 import copy
 import functools
+import logging
 import inspect
 import os
 from typing import Any, Dict, List
 
 import yaml
+
+logger = logging.getLogger(__name__)
 
 _VALID_TYPES = (int, float, bool, str, type(None), tuple, list)
 
@@ -210,7 +213,17 @@ def _load_yaml_with_base(filename: str) -> Dict:
     child's keys are merged over it.
     """
     with open(filename, "r") as f:
-        cfg = yaml.safe_load(f)
+        try:
+            cfg = yaml.safe_load(f)
+        except yaml.constructor.ConstructorError:
+            # reference yamls may carry python tags like
+            # ``!!python/object/apply:eval`` (e.g. Base-RetinaNet.yaml anchor
+            # SIZES); the reference loads those with allow_unsafe=True
+            # (detectron2/config/config.py:29). Same trust model here: configs
+            # are first-party files.
+            f.seek(0)
+            logger.warning(f"Loading {filename} with unsafe yaml (python tags)")
+            cfg = yaml.unsafe_load(f)
     if cfg is None:
         cfg = {}
     if BASE_KEY in cfg:

@@ -9,9 +9,10 @@ from ..config import CfgNode as CN
 def add_wsl_config(cfg: CN) -> None:
     _C = cfg
 
-    # the WSL plane defaults to precomputed (MCG/SS) proposals; UWSOD yamls
-    # opt back into a learned RPN with PROPOSAL_GENERATOR.NAME = "RPNWSL"
-    _C.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
+    # NOTE: add_wsl_config does NOT touch PROPOSAL_GENERATOR.NAME (upstream
+    # wsl/config/defaults.py leaves the d2 default "RPN"); the WSOD yamls set
+    # "PrecomputedProposals" themselves via their Base-* files, so the fully
+    # supervised faster_rcnn_WSR_* yamls keep a learned RPN like upstream.
 
     _C.WSL = CN()
     _C.WSL.ITER_SIZE = 1

@@ -64,11 +64,25 @@ def image_level_gt_stuff(gt_sem_seg: Array, num_stuff: int, ignore_value: int = 
 
 
 class DiscriminativeAdaptionNeck(nn.Module):
-    """2 x 4096 FC 'DAN' (reference box_head.py:106)."""
+    """2 x 4096 FC 'DAN' (reference box_head.py:106). Also registered as a
+    plain ROI_BOX_HEAD so the reference's faster_rcnn_WSR_* yamls (which set
+    ROI_BOX_HEAD.NAME: DiscriminativeAdaptionNeck under StandardROIHeads)
+    build verbatim."""
 
     dims: Sequence[int] = (4096, 4096)
     dropout: float = 0.5
     dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg, input_shape=None):
+        import jax.numpy as _jnp
+
+        return dict(
+            dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
+            dtype=_jnp.bfloat16
+            if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+            else _jnp.float32,
+        )
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -609,3 +623,10 @@ class WSRes5ROIHeads(_Res5ROIHeads):
     for the fully-supervised C4 Res5 second stage over a WS-ResNet trunk —
     structurally identical to the core Res5ROIHeads; registered so the
     reference faster_rcnn_WSR_*_C4 yamls work verbatim."""
+
+
+from ...modeling.roi_heads.box_head import ROI_BOX_HEAD_REGISTRY  # noqa: E402
+
+ROI_BOX_HEAD_REGISTRY._do_register(
+    "DiscriminativeAdaptionNeck", DiscriminativeAdaptionNeck
+)

@@ -207,7 +207,8 @@ class HRNet(Backbone):
 
 
 class HRFPN(Backbone):
-    """HRNet -> 5-level 256-ch pyramid (p2..p6, strides 4..64)."""
+    """HRNet -> 5-level 256-ch pyramid (p1..p5, strides 4..64 — the
+    reference hrfpn.py:123 names levels p1..p5 with stride 2**(i+2))."""
 
     bottom_up: HRNet
     out_channels: int = 256
@@ -236,7 +237,7 @@ class HRFPN(Backbone):
                 use_bias=False, norm=self.norm, activation=nn.relu,
                 dtype=self.dtype, name=f"reduce{i}",
             )(cat)
-            out[f"p{i + 2}"] = Conv2d(
+            out[f"p{i + 1}"] = Conv2d(
                 self.out_channels, kernel_size=3, padding=1, dtype=self.dtype,
                 name=f"fpn_conv{i}",
             )(y)
@@ -244,7 +245,7 @@ class HRFPN(Backbone):
 
     def output_shape(self) -> Dict[str, ShapeSpec]:
         return {
-            f"p{i + 2}": ShapeSpec(channels=self.out_channels, stride=4 * 2**i)
+            f"p{i + 1}": ShapeSpec(channels=self.out_channels, stride=4 * 2**i)
             for i in range(self.n_out_features)
         }
 

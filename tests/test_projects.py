@@ -404,13 +404,14 @@ def test_hrnet_hrfpn_backbone():
     x = jnp.zeros((1, 64, 64, 3))
     variables = fpn.init(jax.random.key(0), x)
     out, _ = fpn.apply(variables, x, mutable=["batch_stats"])
-    assert out["p2"].shape == (1, 16, 16, 32)
-    assert out["p6"].shape == (1, 1, 1, 32)
+    # reference hrfpn.py:123 names levels p1..p5 (strides 4..64)
+    assert out["p1"].shape == (1, 16, 16, 32)
+    assert out["p5"].shape == (1, 1, 1, 32)
     shapes = fpn.output_shape()
-    assert shapes["p2"].stride == 4 and shapes["p6"].stride == 64
+    assert shapes["p1"].stride == 4 and shapes["p5"].stride == 64
     # eval mode without mutable batch_stats also works (running stats)
     out2 = fpn.apply(variables, x)
-    assert out2["p4"].shape == out["p4"].shape
+    assert out2["p3"].shape == out["p3"].shape
 
 
 def _trident_tiny_cfg(test_branch_idx):

@@ -82,6 +82,9 @@ def _wsl_cfg(heads: str):
     cfg = get_cfg()
     add_wsl_config(cfg)
     cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNWSL"
+    # like the shipped WSOD yamls (add_wsl_config no longer overrides the
+    # core RPN default)
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
     cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
     cfg.MODEL.VGG.CONV5_DILATION = 2
     cfg.MODEL.ROI_HEADS.NAME = heads
