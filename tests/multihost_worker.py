@@ -1,0 +1,84 @@
+"""Worker for tests/test_multihost.py: a REAL 2-process jax.distributed run
+on CPU exercising the world>1 branches of jtsm_tpu.utils.comm, the samplers'
+rank sharding, and a sharded-eval merge.
+
+Run as: python tests/multihost_worker.py <coordinator> <num_procs> <pid> <outdir>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    coordinator, num_procs, pid, outdir = (
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=pid
+    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import numpy as np
+
+    from jtsm_tpu.data.samplers import InferenceSampler, TrainingSampler
+    from jtsm_tpu.utils import comm
+
+    out = {"pid": pid}
+    out["world"] = comm.get_world_size()
+    out["rank"] = comm.get_rank()
+
+    comm.synchronize()
+
+    # object all_gather with rank-dependent payload sizes
+    payload = {"rank": pid, "blob": "x" * (10 + 100 * pid), "v": [pid] * (pid + 1)}
+    gathered = comm.all_gather(payload)
+    out["all_gather"] = [g["rank"] for g in gathered]
+    out["all_gather_blob_lens"] = [len(g["blob"]) for g in gathered]
+
+    g0 = comm.gather({"r": pid}, dst=0)
+    out["gather_dst0"] = [d["r"] for d in g0] if g0 else None
+
+    out["shared_seed_equal"] = None
+    np.random.seed(1234 + pid)  # deliberately different per process
+    seed = comm.shared_random_seed()
+    seeds = comm.all_gather(seed)
+    out["shared_seed_equal"] = len(set(seeds)) == 1
+
+    out["reduce_dict"] = comm.reduce_dict({"loss": float(pid + 1)}, average=True)
+
+    # TrainingSampler rank sharding: the two ranks' index streams partition
+    # the shuffled sequence
+    ts = TrainingSampler(size=12, shuffle=True, seed=7)
+    it = iter(ts)
+    out["training_indices"] = [int(next(it)) for _ in range(12)]
+
+    # InferenceSampler: exact, disjoint, order-preserving partition
+    inf = InferenceSampler(size=11)
+    out["inference_indices"] = [int(i) for i in inf]
+
+    # sharded eval merge: each rank "evaluates" its partition and rank 0
+    # merges — union must equal the full set
+    preds = [{"image_id": int(i), "score": float(i) / 10} for i in out["inference_indices"]]
+    merged = comm.gather(preds, dst=0)
+    if comm.is_main_process():
+        flat = sorted(p["image_id"] for chunk in merged for p in chunk)
+        out["merged_ids"] = flat
+
+    comm.synchronize()
+    with open(os.path.join(outdir, f"rank{pid}.json"), "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
