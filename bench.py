@@ -107,7 +107,8 @@ def main():
     fwd, variables, b = build_fwd()
     t0 = time.time()
     float(fwd(variables, 0))
-    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_seconds = time.time() - t0
+    print(f"compile+first run: {compile_seconds:.1f}s", file=sys.stderr)
     float(fwd(variables, 1))  # warmup
 
     iters = int(os.environ.get("BENCH_ITERS", "6"))
@@ -131,6 +132,10 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "imgs/sec",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+                # visibility for the cold-start story: seconds from first
+                # dispatch to first result (near-zero when the shipped
+                # dev/xla_cache warmed the persistent compilation cache)
+                "compile_seconds": round(compile_seconds, 1),
             }
         )
     )

@@ -57,9 +57,13 @@ class ROIPooler:
             (output_size, output_size) if isinstance(output_size, int) else tuple(output_size)
         )
         self.scales = tuple(scales)
-        # reference semantics: sampling_ratio=0 means adaptive; static graphs
-        # need a fixed ratio — 2 matches zoo numerics within noise.
-        self.sampling_ratio = int(sampling_ratio) if sampling_ratio > 0 else 2
+        # reference semantics: sampling_ratio=0 means per-ROI adaptive —
+        # reproduced exactly by the gather path (ops/roi_align.py adaptive
+        # mode). The Pallas resident fast path keeps a fixed ratio of 2 in
+        # that case (the deliberate TPU production trade: ≤2px-bin grids
+        # differ only for boxes in the lower half of each FPN level bracket).
+        self.sampling_ratio = int(sampling_ratio)
+        self._pallas_ratio = self.sampling_ratio if self.sampling_ratio > 0 else 2
         # "" is the reference PointRend convention (projects/PointRend
         # Base-PointRend-RCNN-FPN.yaml POOLER_TYPE: "" — the torch head reads
         # image features directly); this redesign pools for the coarse head
@@ -135,7 +139,7 @@ class ROIPooler:
                 batch_indices,
                 levels,
                 self.output_size[0],
-                self.sampling_ratio,
+                self._pallas_ratio,
                 rois_per_image,
             )
         return roi_align_multilevel(

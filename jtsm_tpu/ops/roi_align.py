@@ -7,11 +7,18 @@ arithmetic, so XLA differentiates it (the backward becomes scatter-adds) and
 fuses the interpolation weights with the gather. Layout is NHWC.
 
 Semantics implemented: ROIAlign **v2** (``aligned=True`` — half-pixel
-correction, reference roi_align.py:44) and v1 (aligned=False). Sampling
-ratio must be static; the reference's adaptive ``sampling_ratio=0``
-(ceil(roi/out)) is dynamic per box, which cannot be compiled to a static
-graph — callers pass an explicit ratio (2 reproduces the standard zoo
-settings within noise).
+correction, reference roi_align.py:44) and v1 (aligned=False).
+
+Sampling ratio: a positive value is a static grid like the reference's.
+``sampling_ratio=0`` reproduces the reference's **adaptive** semantics
+(per-ROI grid ``ceil(roi_size/out)``, ROIAlign_cpu.cpp:181) exactly, with a
+static graph: samples are laid out on a fixed ``ADAPTIVE_MAX_RATIO`` grid
+and positions/averaging divisors are computed with the *dynamic* per-ROI
+ratio, masking the unused slots. Exact for ROIs whose bin size is <=
+ADAPTIVE_MAX_RATIO px (all FPN-assigned boxes, and C4 boxes up to
+``ADAPTIVE_MAX_RATIO * stride * output_size`` px); larger ROIs fall back to
+the capped grid. Costs ADAPTIVE_MAX_RATIO^2/4 more samples than ratio 2 on
+the gather path, so the production TPU default stays a fixed ratio.
 """
 
 from __future__ import annotations
@@ -23,33 +30,68 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# static sample-grid size backing the adaptive (sampling_ratio=0) mode
+ADAPTIVE_MAX_RATIO = 4
 
-def _sample_grid(boxes: Array, ph: int, pw: int, s: int, spatial_scale: float, aligned: bool):
-    """Per-ROI bilinear sample coordinates, (R, P*S) along each axis."""
+
+def _axis_positions(p: int, s: int, bin_size: Array, origin: Array, ratio: Array | None):
+    """Sample positions along one axis: (R, p*s) coords + validity mask.
+
+    ``ratio`` None -> static grid (every slot live, within-bin offsets
+    (k+0.5)/s). Otherwise ``ratio`` is the per-ROI adaptive grid count
+    (R,) and slot k is live iff k < ratio, at offset (k+0.5)/ratio
+    (ROIAlign_cpu.cpp:181 RoIAlignForward adaptive branch).
+    """
+    bins = jnp.arange(p, dtype=jnp.float32)[:, None]  # (p, 1)
+    slots = jnp.arange(s, dtype=jnp.float32)[None, :]  # (1, s)
+    if ratio is None:
+        grid = (bins + (slots + 0.5) / s).reshape(-1)  # (p*s,)
+        pos = origin[:, None] + grid[None, :] * bin_size[:, None]
+        valid = jnp.ones(pos.shape, bool)
+        return pos, valid
+    rr = ratio.astype(jnp.float32)[:, None, None]  # (R, 1, 1)
+    grid = bins[None] + (slots[None] + 0.5) / rr  # (R, p, s)
+    pos = origin[:, None, None] + grid * bin_size[:, None, None]
+    valid = jnp.broadcast_to(slots[None] < rr, pos.shape)
+    return pos.reshape(pos.shape[0], -1), valid.reshape(pos.shape[0], -1)
+
+
+def _roi_geometry(boxes: Array, ph: int, pw: int, spatial_scale, aligned: bool):
     offset = 0.5 if aligned else 0.0
-    boxes = boxes.astype(jnp.float32) * spatial_scale - offset
-
-    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    sc = jnp.asarray(spatial_scale, jnp.float32)
+    if sc.ndim == 1:  # per-ROI scale (multilevel path)
+        sc = sc[:, None]
+    bx = boxes.astype(jnp.float32) * sc - offset
+    x0, y0, x1, y1 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
     roi_w = x1 - x0
     roi_h = y1 - y0
     if not aligned:
         roi_w = jnp.maximum(roi_w, 1.0)
         roi_h = jnp.maximum(roi_h, 1.0)
+    return x0, y0, roi_w / pw, roi_h / ph
 
-    bin_w = roi_w / pw
-    bin_h = roi_h / ph
 
-    grid_y = (
-        jnp.arange(ph, dtype=jnp.float32)[:, None]
-        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-    ).reshape(-1)
-    grid_x = (
-        jnp.arange(pw, dtype=jnp.float32)[:, None]
-        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-    ).reshape(-1)
+def _grids(boxes, ph, pw, s, spatial_scale, aligned, adaptive):
+    """(ys, xs, yvalid, xvalid, count): coordinates, live masks, and the
+    per-ROI averaging divisor."""
+    x0, y0, bin_w, bin_h = _roi_geometry(boxes, ph, pw, spatial_scale, aligned)
+    if adaptive:
+        ry = jnp.clip(jnp.ceil(bin_h), 1, s).astype(jnp.int32)
+        rx = jnp.clip(jnp.ceil(bin_w), 1, s).astype(jnp.int32)
+        ys, yv = _axis_positions(ph, s, bin_h, y0, ry)
+        xs, xv = _axis_positions(pw, s, bin_w, x0, rx)
+        count = (ry * rx).astype(jnp.float32)
+    else:
+        ys, yv = _axis_positions(ph, s, bin_h, y0, None)
+        xs, xv = _axis_positions(pw, s, bin_w, x0, None)
+        count = jnp.full((boxes.shape[0],), float(s * s), jnp.float32)
+    return ys, xs, yv, xv, count
 
-    ys = y0[:, None] + grid_y[None, :] * bin_h[:, None]
-    xs = x0[:, None] + grid_x[None, :] * bin_w[:, None]
+
+def _sample_grid(boxes: Array, ph: int, pw: int, s: int, spatial_scale, aligned: bool):
+    """Static-grid sample coordinates, (R, P*S) along each axis (the
+    pre-adaptive interface, still used by wsl/ops.py MOIPool)."""
+    ys, xs, _, _, _ = _grids(boxes, ph, pw, s, spatial_scale, aligned, False)
     return ys, xs
 
 
@@ -86,6 +128,9 @@ def _gather_interpolate(
     ph: int,
     pw: int,
     s: int,
+    y_live=None,  # (R, ph*s) adaptive live-slot masks (None = all live)
+    x_live=None,
+    count=None,  # (R,) averaging divisor (None = s*s)
 ):
     c = feat_flat.shape[-1]
     n = feat_flat.shape[0]
@@ -119,9 +164,14 @@ def _gather_interpolate(
         + v10 * wy * (one - wx)
         + v11 * wy * wx
     )
-    val = jnp.where(zero[..., None], jnp.asarray(0.0, dt), val)
+    dead = zero
+    if y_live is not None:
+        dead = dead | ~(y_live[:, :, None] & x_live[:, None, :])
+    val = jnp.where(dead[..., None], jnp.asarray(0.0, dt), val)
     val = val.reshape(r, ph, s, pw, s, c)
-    return val.mean(axis=(2, 4))
+    if count is None:
+        return val.mean(axis=(2, 4))
+    return val.sum(axis=(2, 4)) / count[:, None, None, None].astype(dt)
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
@@ -135,16 +185,18 @@ def roi_align(
 ) -> Array:
     """features: (H, W, C); boxes: (R, 4) XYXY in image coords -> (R, P, P, C)."""
     ph, pw = (output_size, output_size) if isinstance(output_size, int) else output_size
-    s = max(int(sampling_ratio), 1)
+    adaptive = int(sampling_ratio) == 0
+    s = ADAPTIVE_MAX_RATIO if adaptive else max(int(sampling_ratio), 1)
     h, w, c = features.shape
     r = boxes.shape[0]
 
-    ys, xs = _sample_grid(boxes, ph, pw, s, spatial_scale, aligned)
+    ys, xs, yv, xv, count = _grids(boxes, ph, pw, s, spatial_scale, aligned, adaptive)
     ylo, yfrac, y_oob = _prep(ys, h)
     xlo, xfrac, x_oob = _prep(xs, w)
     row_base = jnp.zeros((r,), dtype=jnp.int32)
     return _gather_interpolate(
-        features.reshape(h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s
+        features.reshape(h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s,
+        yv if adaptive else None, xv if adaptive else None, count if adaptive else None,
     )
 
 
@@ -166,15 +218,17 @@ def roi_align_batched(
     """
     b, h, w, c = features.shape
     ph, pw = (output_size, output_size) if isinstance(output_size, int) else output_size
-    s = max(int(sampling_ratio), 1)
+    adaptive = int(sampling_ratio) == 0
+    s = ADAPTIVE_MAX_RATIO if adaptive else max(int(sampling_ratio), 1)
     r = boxes.shape[0]
 
-    ys, xs = _sample_grid(boxes, ph, pw, s, spatial_scale, aligned)
+    ys, xs, yv, xv, count = _grids(boxes, ph, pw, s, spatial_scale, aligned, adaptive)
     ylo, yfrac, y_oob = _prep(ys, h)
     xlo, xfrac, x_oob = _prep(xs, w)
     row_base = batch_indices.astype(jnp.int32) * (h * w)
     return _gather_interpolate(
-        features.reshape(b * h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s
+        features.reshape(b * h * w, c), row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, w, r, ph, pw, s,
+        yv if adaptive else None, xv if adaptive else None, count if adaptive else None,
     )
 
 
@@ -196,7 +250,8 @@ def roi_align_multilevel(
     loop (detectron2/modeling/poolers.py:190-245).
     """
     ph, pw = (output_size, output_size) if isinstance(output_size, int) else output_size
-    s = max(int(sampling_ratio), 1)
+    adaptive = int(sampling_ratio) == 0
+    s = ADAPTIVE_MAX_RATIO if adaptive else max(int(sampling_ratio), 1)
     r = boxes.shape[0]
     c = features[0].shape[-1]
     b = features[0].shape[0]
@@ -223,31 +278,13 @@ def roi_align_multilevel(
     row_base = level_starts[lvl] + batch_indices.astype(jnp.int32) * roi_h * roi_w
 
     # sample grid with per-ROI scale
-    offset = 0.5 if aligned else 0.0
-    bx = boxes.astype(jnp.float32) * roi_scale[:, None] - offset
-    x0, y0, x1, y1 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
-    rw = x1 - x0
-    rh = y1 - y0
-    if not aligned:
-        rw = jnp.maximum(rw, 1.0)
-        rh = jnp.maximum(rh, 1.0)
-    bin_w = rw / pw
-    bin_h = rh / ph
-    grid_y = (
-        jnp.arange(ph, dtype=jnp.float32)[:, None]
-        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-    ).reshape(-1)
-    grid_x = (
-        jnp.arange(pw, dtype=jnp.float32)[:, None]
-        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-    ).reshape(-1)
-    ys = y0[:, None] + grid_y[None, :] * bin_h[:, None]
-    xs = x0[:, None] + grid_x[None, :] * bin_w[:, None]
+    ys, xs, yv, xv, count = _grids(boxes, ph, pw, s, roi_scale, aligned, adaptive)
 
     ylo, yfrac, y_oob = _prep(ys, roi_h[:, None])
     xlo, xfrac, x_oob = _prep(xs, roi_w[:, None])
     return _gather_interpolate(
-        flat, row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, roi_w, r, ph, pw, s
+        flat, row_base, ylo, yfrac, y_oob, xlo, xfrac, x_oob, roi_w, r, ph, pw, s,
+        yv if adaptive else None, xv if adaptive else None, count if adaptive else None,
     )
 
 

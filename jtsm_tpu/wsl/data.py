@@ -55,6 +55,57 @@ def convert_mcg_mat_to_pickle(mat_dir: str, out_path: str, image_ids: List) -> N
         )
 
 
+def convert_mcg_seg_mat_to_pickle(mat_dir: str, out_path: str, image_ids: List) -> None:
+    """MCG segment-proposal .mat -> aggregate pickle with superpixel maps +
+    per-proposal one-hot membership (reference tools/proposal_convert.py
+    ``convert_mcg_seg_i``: mat keys ``superpixels`` (HxW, 1-based),
+    ``labels`` (per-proposal 1-based superpixel id lists), ``scores``;
+    proposal boxes are the XYXY extents of the member superpixels)."""
+    from scipy.io import loadmat
+
+    ids, all_boxes, all_scores, all_sp, all_oh = [], [], [], [], []
+    for image_id in image_ids:
+        mat = loadmat(os.path.join(mat_dir, f"{image_id}.mat"))
+        superpixels = np.asarray(mat["superpixels"]).astype(np.int32) - 1
+        labels = mat["labels"].ravel()
+        scores = np.asarray(mat["scores"]).reshape(-1).astype(np.float32)
+        mask_h, mask_w = superpixels.shape
+        num_proposals = len(labels)
+        num_superpixels = int(superpixels.max()) + 1
+
+        poses = [np.where(superpixels == sp_id) for sp_id in range(num_superpixels)]
+        boxes = np.zeros((num_proposals, 4), np.float32)
+        oh = np.zeros((num_proposals, num_superpixels), bool)
+        for j in range(num_proposals):
+            x1, y1, x2, y2 = mask_w - 1, mask_h - 1, 0, 0
+            for sp_id in np.asarray(labels[j]).reshape(-1):
+                sp_id = int(sp_id) - 1  # 1-based -> 0-based
+                oh[j, sp_id] = True
+                ys, xs = poses[sp_id]
+                y1 = min(y1, ys.min())
+                x1 = min(x1, xs.min())
+                y2 = max(y2, ys.max())
+                x2 = max(x2, xs.max())
+            boxes[j] = (x1, y1, x2, y2)
+        ids.append(image_id)
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+        all_sp.append(superpixels)
+        all_oh.append(oh)
+    with open(out_path, "wb") as f:
+        pickle.dump(
+            {
+                "ids": ids,
+                "boxes": all_boxes,
+                "objectness_logits": all_scores,
+                "superpixels": all_sp,
+                "oh_labels": all_oh,
+                "bbox_mode": int(BoxMode.XYXY_ABS),
+            },
+            f,
+        )
+
+
 def transform_proposals_seg(
     dataset_dict: dict,
     image_shape: Tuple[int, int],

@@ -1,6 +1,9 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jtsm_tpu.ops import roi_align, roi_align_batched
 
@@ -222,3 +225,41 @@ def test_resident_pallas_backward_interpret(monkeypatch):
     for a, r in zip(gp, gr):
         assert float(jnp.abs(r).max()) > 0  # both levels exercised
         assert float(jnp.abs(a - r).max()) < 1e-3
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/detectron2"), reason="reference absent"
+)
+@pytest.mark.parametrize("aligned", [True, False])
+def test_adaptive_sampling_matches_reference_cpu_op(aligned):
+    """sampling_ratio=0 (per-ROI adaptive grid, ROIAlign_cpu.cpp:181) must
+    match the reference's own compiled CPU kernel exactly, including ROIs
+    whose bins need 1..4 samples per axis."""
+    from tests.refkit.stubs import _build_ref_ops
+
+    torch = pytest.importorskip("torch")
+    ref_ops = _build_ref_ops()
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 24, 32, 8).astype(np.float32)  # (B, H, W, C)
+    # box sizes spanning adaptive ratios 1..4 at scale 0.5, output 7:
+    # bin px = size*0.5/7 -> sizes up to 7*4/0.5=56
+    sizes = rng.uniform(3.0, 55.0, (40, 2)).astype(np.float32)
+    x0y0 = rng.uniform(-5.0, 40.0, (40, 2)).astype(np.float32)
+    boxes = np.concatenate([x0y0, x0y0 + sizes], axis=1)
+    bidx = rng.randint(0, 2, (40,)).astype(np.int32)
+
+    got = roi_align_batched(
+        jnp.asarray(feats), jnp.asarray(boxes), jnp.asarray(bidx),
+        7, 0.5, 0, aligned,
+    )
+    rois = torch.from_numpy(
+        np.concatenate([bidx[:, None].astype(np.float32), boxes], axis=1)
+    )
+    want = ref_ops.roi_align_forward(
+        torch.from_numpy(feats.transpose(0, 3, 1, 2).copy()),
+        rois, 0.5, 7, 7, 0, aligned,
+    ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-5
+    )
