@@ -128,8 +128,16 @@ class COCOEval:
         kpt_oks_sigmas=None,
         use_native: bool = True,
         max_dets: Sequence[int] = MAX_DETS,
+        iou_fn=None,
     ):
-        assert iou_type in ("bbox", "segm", "keypoints"), iou_type
+        """``iou_type="custom"`` runs the full COCO per-threshold matching
+        machinery over a caller-supplied similarity matrix: ``iou_fn(dets,
+        gts, img_id) -> (D, G)``. Used by DensePose GPS/GPSm (reference
+        densepose_coco_evaluation.py:569 computeOgps feeding the standard
+        evaluateImg)."""
+        assert iou_type in ("bbox", "segm", "keypoints", "custom"), iou_type
+        assert (iou_type == "custom") == (iou_fn is not None)
+        self.iou_fn = iou_fn
         self.iou_type = iou_type
         self.use_native = use_native
         self.max_dets = tuple(max_dets)
@@ -335,6 +343,8 @@ class COCOEval:
             }
 
     def _compute_iou(self, dets: List[dict], gts: List[dict], img_id) -> np.ndarray:
+        if self.iou_type == "custom":
+            return np.asarray(self.iou_fn(dets, gts, img_id), dtype=np.float64)
         iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], dtype=bool)
         if self.iou_type == "bbox":
             d = np.asarray([det["bbox"] for det in dets], dtype=np.float64).reshape(-1, 4)

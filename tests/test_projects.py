@@ -379,6 +379,61 @@ def test_densepose_gps():
     assert s < 0.01
 
 
+def test_densepose_evaluator_coco_machinery():
+    """GPS AP through the full COCO per-threshold matching machinery with
+    per-part normalization (reference densepose_coco_evaluation.py:318+):
+    a perfect detection scores AP 100; a wrong-part detection scores 0."""
+    from densepose.evaluation import DensePoseCOCOEvaluator
+
+    from jtsm_tpu.data.catalog import DatasetCatalog
+
+    name = "toy_densepose_eval"
+    anno = {
+        "bbox": [10.0, 10.0, 40.0, 40.0],  # XYWH
+        "dp_x": [64.0, 128.0, 192.0],  # in 0..255 gt-box space
+        "dp_y": [64.0, 128.0, 192.0],
+        "dp_I": [1, 2, 3],
+        "dp_U": [0.2, 0.5, 0.8],
+        "dp_V": [0.3, 0.6, 0.9],
+    }
+    if name not in DatasetCatalog:
+        DatasetCatalog.register(
+            name,
+            lambda: [
+                {
+                    "image_id": 0,
+                    "height": 64,
+                    "width": 64,
+                    "annotations": [dict(anno)],
+                }
+            ],
+        )
+
+    def make_maps(correct):
+        hm = wm = 32
+        patch = np.zeros((hm, wm), np.int32)
+        u = np.zeros((hm, wm), np.float32)
+        v = np.zeros((hm, wm), np.float32)
+        for k in range(3):
+            # gt point k at fraction (k+1)/4 of the box
+            iy = int((k + 1) / 4 * (hm - 1))
+            ix = int((k + 1) / 4 * (wm - 1))
+            patch[iy, ix] = anno["dp_I"][k] if correct else anno["dp_I"][k] + 10
+            u[iy, ix] = anno["dp_U"][k]
+            v[iy, ix] = anno["dp_V"][k]
+        return patch, u, v
+
+    for correct, want_ap in ((True, 100.0), (False, 0.0)):
+        ev = DensePoseCOCOEvaluator(name, eval_mode="gps")
+        ev.reset()
+        patch, u, v = make_maps(correct)
+        det = {"box": [10.0, 10.0, 50.0, 50.0], "score": 0.9,
+               "patch_map": patch, "u_map": u, "v_map": v}
+        ev.process({"image_ids": [0]}, {"densepose": [[det]]})
+        res = ev.evaluate()["densepose"]
+        assert res["AP-GPS"] == pytest.approx(want_ap, abs=1e-6), (correct, res)
+
+
 def test_hrnet_hrfpn_backbone():
     """HRNet multi-resolution backbone + HRFPN neck output contract
     (reference densepose/modeling/hrnet.py, hrfpn.py)."""
