@@ -39,14 +39,16 @@ def main():
 
     os.makedirs(ship_dir, exist_ok=True)
     after = set(os.listdir(cache_dir))
-    # ship every entry the bench graph needs (init + step); prune previously
-    # shipped files that no longer correspond to the current graph
+    # ship only the entry families the bench graph uses (init lambda, step,
+    # and the small init helpers) — the cache dir may also hold entries from
+    # test/dryrun runs that would bloat the repo
+    keep_prefixes = ("jit_step-", "jit__lambda-", "jit__multi_slice", "jit__truncated_normal")
     for f in os.listdir(ship_dir):
         os.remove(os.path.join(ship_dir, f))
     shipped = 0
     for f in sorted(after):
         src = os.path.join(cache_dir, f)
-        if os.path.getsize(src) < 50 * 1024 * 1024:
+        if f.startswith(keep_prefixes) and os.path.getsize(src) < 50 * 1024 * 1024:
             shutil.copy(src, os.path.join(ship_dir, f))
             shipped += 1
     print(f"shipped {shipped} cache entries ({sum(os.path.getsize(os.path.join(ship_dir, f)) for f in os.listdir(ship_dir)) / 1e6:.1f} MB) to {ship_dir}")
