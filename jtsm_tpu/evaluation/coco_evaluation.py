@@ -29,31 +29,35 @@ logger = logging.getLogger(__name__)
 
 
 def _paste_mask_np(mask: np.ndarray, box: np.ndarray, h: int, w: int, thresh=0.5) -> np.ndarray:
-    """28x28 prob mask -> full-image bool mask (host-side, numpy bilinear)."""
+    """28x28 prob mask -> full-image bool mask (host-side, numpy bilinear).
+
+    Matches the reference's ``_do_paste_mask`` (mask_ops.py:19) exactly:
+    grid_sample with align_corners=False and ZERO padding — taps outside the
+    mask contribute 0, so edge values fade over the outer half pixel (edge
+    replication there measurably shifts mask AP for box-filling masks)."""
     s = mask.shape[0]
     x0, y0, x1, y1 = box
 
-    def axis_coords(lo, hi, size):
+    def axis_taps(lo, hi, size):
         c = (np.arange(size) + 0.5 - lo) / max(hi - lo, 1e-6) * s - 0.5
-        return c
+        i0 = np.floor(c).astype(int)
+        f = c - i0
+        v0 = (i0 >= 0) & (i0 < s)
+        v1 = (i0 + 1 >= 0) & (i0 + 1 < s)
+        return np.clip(i0, 0, s - 1), np.clip(i0 + 1, 0, s - 1), f, v0, v1
 
-    ys = axis_coords(y0, y1, h)
-    xs = axis_coords(x0, x1, w)
-    y_in = (ys > -1.0) & (ys < s)
-    x_in = (xs > -1.0) & (xs < s)
-    ysc = np.clip(ys, 0, s - 1)
-    xsc = np.clip(xs, 0, s - 1)
-    y0i = np.clip(np.floor(ysc).astype(int), 0, s - 2)
-    x0i = np.clip(np.floor(xsc).astype(int), 0, s - 2)
-    fy = ysc - y0i
-    fx = xsc - x0i
+    y0i, y1i, fy, vy0, vy1 = axis_taps(y0, y1, h)
+    x0i, x1i, fx, vx0, vx1 = axis_taps(x0, x1, w)
+    w00 = (1 - fy)[:, None] * (1 - fx)[None, :] * (vy0[:, None] & vx0[None, :])
+    w01 = (1 - fy)[:, None] * fx[None, :] * (vy0[:, None] & vx1[None, :])
+    w10 = fy[:, None] * (1 - fx)[None, :] * (vy1[:, None] & vx0[None, :])
+    w11 = fy[:, None] * fx[None, :] * (vy1[:, None] & vx1[None, :])
     out = (
-        mask[np.ix_(y0i, x0i)] * (1 - fy)[:, None] * (1 - fx)[None, :]
-        + mask[np.ix_(y0i, x0i + 1)] * (1 - fy)[:, None] * fx[None, :]
-        + mask[np.ix_(y0i + 1, x0i)] * fy[:, None] * (1 - fx)[None, :]
-        + mask[np.ix_(y0i + 1, x0i + 1)] * fy[:, None] * fx[None, :]
+        mask[np.ix_(y0i, x0i)] * w00
+        + mask[np.ix_(y0i, x1i)] * w01
+        + mask[np.ix_(y1i, x0i)] * w10
+        + mask[np.ix_(y1i, x1i)] * w11
     )
-    out = out * (y_in[:, None] & x_in[None, :])
     return out >= thresh
 
 

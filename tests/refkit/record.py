@@ -170,8 +170,8 @@ def _record(name: str) -> dict:
 
 
 # ---------------------------------------------------------------- trained AP
-TRAIN_VERSION = "t2"
-TRAIN_ITERS = 400
+TRAIN_VERSION = "t4"
+TRAIN_ITERS = 600
 N_TRAIN_IMAGES = 24
 IMG_SIZE = 128
 N_CLASSES = 3
@@ -185,13 +185,17 @@ def make_synthetic_detection_set(rng):
     colors = [(200, 40, 40), (40, 200, 40), (40, 40, 200)]
     for _ in range(N_TRAIN_IMAGES):
         img = rng.randint(0, 60, (IMG_SIZE, IMG_SIZE, 3)).astype(np.uint8)
-        n = rng.randint(1, 4)
         anns = []
-        for _k in range(n):
-            w = rng.randint(24, 64)
-            h = rng.randint(24, 64)
-            x0 = rng.randint(0, IMG_SIZE - w)
-            y0 = rng.randint(0, IMG_SIZE - h)
+        # disjoint quadrant placement: overlapping rects paint over each
+        # other, which makes class/box evidence ambiguous at this tiny scale
+        half = IMG_SIZE // 2
+        quads = [(0, 0), (half, 0), (0, half), (half, half)]
+        rng.shuffle(quads)
+        for qx, qy in quads[: rng.randint(1, 4)]:
+            w = rng.randint(28, half - 8)
+            h = rng.randint(28, half - 8)
+            x0 = qx + rng.randint(2, half - w - 2)
+            y0 = qy + rng.randint(2, half - h - 2)
             c = rng.randint(0, N_CLASSES)
             col = np.asarray(colors[c]) + rng.randint(-20, 20, 3)
             img[y0 : y0 + h, x0 : x0 + w] = np.clip(col, 0, 255)
@@ -223,7 +227,7 @@ def trained_cfg_overrides(cfg):
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
     cfg.MODEL.RESNETS.NORM = "BN" if False else "FrozenBN"
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = N_CLASSES
-    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.5
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 512
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 128
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 1024
@@ -280,7 +284,7 @@ def _record_trained() -> dict:
 
     from detectron2.utils.events import EventStorage
 
-    opt = torch.optim.SGD(model.parameters(), lr=0.0025, momentum=0.9)
+    opt = torch.optim.SGD(model.parameters(), lr=0.005, momentum=0.9)
     model.train()
     order = np.arange(N_TRAIN_IMAGES)
     step_rng = np.random.RandomState(99)

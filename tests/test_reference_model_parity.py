@@ -387,3 +387,134 @@ def test_mask_head_parity(case):
     ours = np.asarray(logits).transpose(0, 3, 1, 2)
     assert ours.shape == rec["mask_logits"].shape
     assert np.abs(ours - rec["mask_logits"]).max() < 2e-3
+
+
+def test_ap_parity_trained_model():
+    """AP-level parity: the reference Mask R-CNN R18-FPN is briefly TRAINED
+    (torch CPU, seeded) on a synthetic detection set; its weights are
+    converted and both models run inference on the full set. Box and mask AP
+    (computed by THIS repo's COCOEval for both, isolating model numerics
+    from evaluator differences) must agree within 0.3 — the north-star
+    tolerance (BASELINE.md). Reference: the whole
+    GeneralizedRCNN.forward inference path (rcnn.py:125-246)."""
+    from tests.refkit.record import (
+        IMG_SIZE,
+        N_CLASSES,
+        N_TRAIN_IMAGES,
+        get_trained_case,
+        trained_cfg_overrides,
+    )
+
+    from jtsm_tpu.checkpoint import convert_d2_state_dict_to_variables
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.data.rle import rle_string_encode
+    from jtsm_tpu.evaluation.coco_evaluation import batched_outputs_to_coco_json
+    from jtsm_tpu.evaluation.cocoeval import COCOEval
+    from jtsm_tpu.modeling import build_model
+
+    rec = get_trained_case()
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        )
+    )
+    trained_cfg_overrides(cfg)
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+
+    n, s = N_TRAIN_IMAGES, IMG_SIZE
+    imgs = np.stack([rec[f"image{i}"] for i in range(n)]).transpose(0, 2, 3, 1)
+    batch = {
+        "image": jnp.asarray(imgs),
+        "image_sizes": jnp.asarray([[s, s]] * n, jnp.int32),
+        "orig_sizes": jnp.asarray([[s, s]] * n, jnp.int32),
+    }
+    template = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.key(0), "sampling": jax.random.key(0)},
+            batch,
+            train=False,
+        )
+    )
+    sd = {k[3:]: rec[k] for k in rec if k.startswith("sd.")}
+    converted, matched, unmatched = convert_d2_state_dict_to_variables(
+        sd, dict(template)
+    )
+    assert unmatched == ["pixel_mean", "pixel_std"], unmatched[:10]
+    converted = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype) if isinstance(x, jax.ShapeDtypeStruct) else x,
+        converted,
+    )
+
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(lambda v, b: model.apply(v, b, train=False))(converted, batch)
+
+    # COCO-format gt
+    images = [{"id": i, "height": s, "width": s} for i in range(n)]
+    annotations = []
+    for i in range(n):
+        for b, c, m in zip(rec[f"gt_boxes{i}"], rec[f"gt_classes{i}"], rec[f"gt_masks{i}"]):
+            x0, y0, x1, y1 = [float(v) for v in b]
+            annotations.append(
+                {
+                    "id": len(annotations) + 1,
+                    "image_id": i,
+                    "category_id": int(c) + 1,
+                    "bbox": [x0, y0, x1 - x0, y1 - y0],
+                    "segmentation": rle_string_encode(m.astype(bool)),
+                    "area": float((x1 - x0) * (y1 - y0)),
+                    "iscrowd": 0,
+                }
+            )
+    gt = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": c + 1, "name": f"c{c}"} for c in range(N_CLASSES)],
+    }
+
+    # reference detections
+    ref_dets = []
+    for i in range(n):
+        for b, sc, c, m in zip(
+            rec[f"pred_boxes{i}"],
+            rec[f"pred_scores{i}"],
+            rec[f"pred_classes{i}"],
+            rec[f"pred_masks{i}"],
+        ):
+            x0, y0, x1, y1 = [float(v) for v in b]
+            ref_dets.append(
+                {
+                    "image_id": i,
+                    "category_id": int(c) + 1,
+                    "score": float(sc),
+                    "bbox": [x0, y0, x1 - x0, y1 - y0],
+                    "segmentation": rle_string_encode(m.astype(bool)),
+                }
+            )
+
+    # my detections (shift category ids to 1-based like the gt above)
+    my_dets = batched_outputs_to_coco_json(
+        {k: np.asarray(v) for k, v in out.items()},
+        np.arange(n),
+        np.asarray([[s, s]] * n),
+        None,
+        True,
+    )
+    for d in my_dets:
+        d["category_id"] += 1
+
+    results = {}
+    for iou_type in ("bbox", "segm"):
+        ap_ref = COCOEval(gt, iou_type).evaluate(ref_dets)["AP"] * 100
+        ap_jax = COCOEval(gt, iou_type).evaluate(my_dets)["AP"] * 100
+        results[iou_type] = (ap_ref, ap_jax)
+
+    (bb_ref, bb_jax), (sg_ref, sg_jax) = results["bbox"], results["segm"]
+    # the comparison is only meaningful if the trained model actually works
+    assert bb_ref > 20.0, f"reference box AP too low to compare: {bb_ref}"
+    assert abs(bb_ref - bb_jax) <= 0.3, results
+    assert abs(sg_ref - sg_jax) <= 0.3, results
