@@ -71,6 +71,20 @@ def default_argument_parser(epilog=None):
 
 def default_setup(cfg: CfgNode, args) -> None:
     """Reference defaults.py:112: output dir, logging, seeds, cfg dump."""
+    # Honor JAX_PLATFORMS even where a sitecustomize force-registers an
+    # accelerator plugin and overwrites jax_platforms (observed: the axon
+    # TPU terminal sets "axon,cpu", silently ignoring the env var — which
+    # sent "CPU" gate runs to the TPU). Must happen before anything
+    # initializes a backend (collect_env_info below calls jax.devices()).
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except RuntimeError as e:  # backends already initialized
+            logger.warning(f"Could not apply JAX_PLATFORMS={env_platforms}: {e}")
+
     output_dir = cfg.OUTPUT_DIR
     if comm.is_main_process() and output_dir:
         os.makedirs(output_dir, exist_ok=True)
