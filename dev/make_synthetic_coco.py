@@ -23,6 +23,7 @@ _THING = [c for c in COCO_CATEGORIES if c["isthing"]]
 COCO_80 = [c["id"] for c in _THING]  # the real 80 thing ids (1..90, gaps)
 _STUFF = [c for c in COCO_CATEGORIES if not c["isthing"]]
 STUFF_0 = _STUFF[0]["id"]  # dataset id of stuff contiguous id 1
+STUFF_1 = _STUFF[1]["id"]  # dataset id of stuff contiguous id 2
 
 
 def make_images(img_dir, n, rng):
@@ -47,16 +48,42 @@ def class_color(cat_id):
     return np.asarray([r, g, b], np.uint8)
 
 
-BG_COLOR = np.asarray([120, 120, 120], np.uint8)
+STUFF_A_COLOR = np.asarray([95, 115, 205], np.uint8)  # "sky"-like band
+STUFF_B_COLOR = np.asarray([95, 175, 95], np.uint8)  # "ground"-like band
+
+
+def stuff_split_row(info):
+    """Deterministic per-image row splitting the two textured stuff bands
+    (45-55% of the height) — large stuff regions with distinct appearance
+    so mined STUFF supervision, not thing detections, drives the sem-seg
+    and PQ_st pins of the weakly-supervised gates."""
+    h = info["height"]
+    return int(h * (0.45 + 0.1 * ((info["id"] * 37) % 11) / 10.0))
+
+
+def paint_stuff(img, info):
+    h, w = info["height"], info["width"]
+    split = stuff_split_row(info)
+    img[:split] = STUFF_A_COLOR
+    # horizontal stripe texture on band A
+    img[0:split:6] = np.clip(STUFF_A_COLOR.astype(np.int16) - 35, 0, 255)
+    img[split:] = STUFF_B_COLOR
+    # checker texture on band B
+    yy, xx = np.mgrid[split:h, 0:w]
+    img[split:][((yy - split) // 8 + xx // 8)[: h - split] % 2 == 0] = np.clip(
+        STUFF_B_COLOR.astype(np.int16) + 30, 0, 255
+    )
+    return split
 
 
 def render_images(img_dir, infos, anns_by_image, rng):
-    """Paint each scene: gray stuff background + per-class colored thing
+    """Paint each scene: two textured stuff bands + per-class colored thing
     rects (instances order = paint order, matching the panoptic id maps),
     plus mild pixel noise so features are not constant."""
     for info in infos:
         h, w = info["height"], info["width"]
-        img = np.broadcast_to(BG_COLOR, (h, w, 3)).copy()
+        img = np.zeros((h, w, 3), np.uint8)
+        paint_stuff(img, info)
         for a in anns_by_image.get(info["id"], []):
             x, y, bw, bh = (int(round(v)) for v in a["bbox"])
             img[y : y + bh, x : x + bw] = class_color(int(a["category_id"]))
@@ -148,10 +175,24 @@ def main():
         _abi.setdefault(a["image_id"], []).append(a)
     render_images(os.path.join(coco, "val2017"), infos, _abi, rng)
 
-    # person_keypoints_val2017_100.json
+    # person_keypoints_val2017_100.json — keypoint annotations DERIVE from
+    # the instance boxes (the rects actually painted in the images), so the
+    # keypoint gate measures localization of visible evidence; every rect is
+    # a "person" with the deterministic 5x4 keypoint grid
+    kp_anns = []
+    for a in inst["annotations"]:
+        x, y, bw, bh = a["bbox"]
+        kps = []
+        for k in range(17):
+            fx = 0.15 + 0.7 * (k % 5) / 4.0
+            fy = 0.15 + 0.7 * (k // 5) / 3.0
+            kps += [x + fx * bw, y + fy * bh, 2]
+        kp_anns.append(
+            dict(a, category_id=1, keypoints=kps, num_keypoints=17)
+        )
     kp = {
         "images": infos,
-        "annotations": make_instances(infos, rng, with_kpts=True),
+        "annotations": kp_anns,
         "categories": categories(with_kpts=True),
     }
     with open(os.path.join(ann_dir, "person_keypoints_val2017_100.json"), "w") as f:
@@ -173,12 +214,17 @@ def main():
         seg_id = 1
         ids = np.zeros((h, w), np.uint32)
         segments = []
-        # one stuff background, then every instance rect on top
-        ids[:, :] = seg_id
+        # two textured stuff bands (matching paint_stuff), then instances
+        split = stuff_split_row(info)
+        ids[:split] = 1
+        ids[split:] = 2
         segments.append(
-            {"id": seg_id, "category_id": STUFF_0, "iscrowd": 0, "area": int(h * w)}
+            {"id": 1, "category_id": STUFF_0, "iscrowd": 0, "area": int(split * w)}
         )
-        seg_id += 1
+        segments.append(
+            {"id": 2, "category_id": STUFF_1, "iscrowd": 0, "area": int((h - split) * w)}
+        )
+        seg_id = 3
         for a in anns_by_image.get(info["id"], []):
             x, y, bw, bh = (int(round(v)) for v in a["bbox"])
             ids[y : y + bh, x : x + bw] = seg_id
@@ -202,8 +248,8 @@ def main():
         png = info["file_name"].replace(".jpg", ".png")
         Image.fromarray(rgb).save(os.path.join(pan_dir, png))
         # stuff sem-seg (separated-format convention): thing pixels = 0,
-        # the stuff background = its contiguous id (1)
-        sem = np.where(ids == 1, 1, 0).astype(np.uint8)
+        # stuff bands = their contiguous ids (1, 2)
+        sem = np.where(ids == 1, 1, np.where(ids == 2, 2, 0)).astype(np.uint8)
         Image.fromarray(sem).save(os.path.join(stuff_dir, png))
         pan_anns.append(
             {
@@ -231,13 +277,22 @@ def main():
     # segments give the reference), and per-proposal one-hot membership.
     import pickle
 
+    # own seeded stream: proposal jitter must not depend on how many draws
+    # earlier sections consumed
+    rng = np.random.default_rng(1)
     ids_list, boxes_list, logits_list, sp_list, oh_list = [], [], [], [], []
     cell = 24
     for info in infos:
         h, w = info["height"], info["width"]
-        sp = (np.arange(h)[:, None] // cell) * ((w + cell - 1) // cell) + (
-            np.arange(w)[None, :] // cell
-        )
+        # background grid split at the stuff-band boundary so each band is
+        # an exact union of superpixels (MCG superpixels follow appearance
+        # boundaries; the stuff mining relies on that)
+        split = stuff_split_row(info)
+        ncols = (w + cell - 1) // cell
+        row_a = np.arange(h)[:, None] // cell
+        row_b = (split + cell - 1) // cell + (np.arange(h)[:, None] - split) // cell
+        row_idx = np.where(np.arange(h)[:, None] < split, row_a, row_b)
+        sp = row_idx * ncols + (np.arange(w)[None, :] // cell)
         next_id = int(sp.max()) + 1
         gt = []
         for a in anns_by_image.get(info["id"], []):
@@ -252,9 +307,15 @@ def main():
         # stuff-covering candidates: the full image + quadrants, so the MIL
         # stuff branch has background-dominant proposals to mine (real MCG
         # segment proposals cover stuff regions too)
+        split = stuff_split_row(info)
         stuff_boxes = np.asarray(
             [
                 [0, 0, w - 1, h - 1],
+                # the two stuff bands themselves (MCG segment proposals
+                # cover real stuff regions; the mined stuff branch needs
+                # candidates that isolate each band)
+                [0, 0, w - 1, split - 1],
+                [0, split, w - 1, h - 1],
                 [0, 0, w // 2, h // 2],
                 [w // 2, 0, w - 1, h // 2],
                 [0, h // 2, w // 2, h - 1],
