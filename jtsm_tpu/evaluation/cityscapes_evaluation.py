@@ -28,7 +28,7 @@ import numpy as np
 
 from ..data.catalog import DatasetCatalog, MetadataCatalog
 from ..data.datasets.cityscapes_labels import id2label, labels, name2label
-from ..data.rle import rle_string_encode
+from ..data.rle import rle_area, rle_string_encode
 from ..structures import BoxMode
 from ..structures.masks import polygons_to_bitmask
 from ..utils import comm
@@ -62,9 +62,19 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
                     )
                     rle = rle_string_encode(mask)
                     area = float(mask.sum())
-                else:
+                elif isinstance(segm, dict):
                     rle = segm
-                    area = float(bbox[2] * bbox[3])
+                    area = float(rle_area(segm))
+                else:
+                    # box-only annotation: synthesize the box mask so
+                    # segm-mode IoU stays well-defined
+                    mask = np.zeros((h, w), dtype=bool)
+                    x0, y0 = int(bbox[0]), int(bbox[1])
+                    x1 = min(int(np.ceil(bbox[0] + bbox[2])), w)
+                    y1 = min(int(np.ceil(bbox[1] + bbox[3])), h)
+                    mask[max(y0, 0) : y1, max(x0, 0) : x1] = True
+                    rle = rle_string_encode(mask)
+                    area = float(mask.sum())
                 annotations.append(
                     {
                         "id": len(annotations) + 1,

@@ -74,7 +74,98 @@ def gps_similarity(
     return float(np.sum(sim * valid) / np.maximum(valid.sum(), 1))
 
 
-def _ogps_pair(det: dict, ann: dict, gpsm: bool) -> float:
+def _gt_fg_on_canvas(ann, xs: np.ndarray, ys: np.ndarray, img_hw=None):
+    """Rasterize the gt person foreground onto a pixel grid whose pixel
+    centers are ``xs`` x ``ys`` (image coordinates).
+
+    Source priority follows the reference computeDPIoU
+    (densepose_coco_evaluation.py:386-411): the merged 14-part ``dp_masks``
+    (256x256 charts scaled into the gt box), else the COCO ``segmentation``
+    (polygons in image coords / RLE at its own size). Returns None when
+    neither is present (caller falls back to the dp-point scatter)."""
+    from jtsm_tpu.data.rle import decode_segmentation
+
+    gx, gy, gw, gh = [float(v) for v in ann["bbox"]]
+    dp_masks = ann.get("dp_masks")
+    if dp_masks:
+        fg256 = np.zeros((256, 256), bool)
+        for part in dp_masks:
+            if part:
+                fg256 |= decode_segmentation(part, 256, 256)
+        u = (xs - gx) / max(gw, 1e-3)
+        v = (ys - gy) / max(gh, 1e-3)
+        iu = np.clip((u * 256).astype(int), 0, 255)
+        iv = np.clip((v * 256).astype(int), 0, 255)
+        m = fg256[iv[:, None], iu[None, :]]
+        inside = ((u >= 0) & (u < 1))[None, :] & ((v >= 0) & (v < 1))[:, None]
+        return m & inside
+    seg = ann.get("segmentation")
+    if seg is not None:
+        if isinstance(seg, dict):
+            sh, sw = seg.get("size", img_hw or (0, 0))
+            if sh and sw:
+                full = decode_segmentation(seg, sh, sw)
+                iu = np.clip(xs.astype(int), 0, sw - 1)
+                iv = np.clip(ys.astype(int), 0, sh - 1)
+                m = full[iv[:, None], iu[None, :]]
+                inside = ((xs >= 0) & (xs < sw))[None, :] & (
+                    (ys >= 0) & (ys < sh)
+                )[:, None]
+                return m & inside
+        elif isinstance(seg, list) and seg:
+            # polygons are in image coords: shift/scale into the canvas grid
+            from jtsm_tpu.structures.masks import polygons_to_bitmask
+
+            sx = xs[1] - xs[0] if len(xs) > 1 else 1.0
+            sy = ys[1] - ys[0] if len(ys) > 1 else 1.0
+            polys = []
+            for p in seg:
+                p = np.asarray(p, np.float64).copy()
+                p[0::2] = (p[0::2] - (xs[0] - 0.5 * sx)) / sx
+                p[1::2] = (p[1::2] - (ys[0] - 0.5 * sy)) / sy
+                polys.append(p)
+            return polygons_to_bitmask(polys, len(ys), len(xs))
+    return None
+
+
+def _dp_mask_iou(det: dict, ann: dict, img_hw=None):
+    """Whole-image mask IoU between the detection's predicted foreground
+    chart and the gt foreground (reference computeDPIoU :367-424), computed
+    on a canvas covering the union of the two boxes at the detection-grid
+    pixel size (pixels outside both boxes are background in both masks, so
+    they cancel out of the whole-image IoU). Returns None if the gt has no
+    mask source."""
+    hm, wm = det["patch_map"].shape
+    db = det["box"]
+    dx0, dy0 = float(db[0]), float(db[1])
+    dw = max(float(db[2]) - dx0, 1e-3)
+    dh = max(float(db[3]) - dy0, 1e-3)
+    gx, gy, gw, gh = [float(v) for v in ann["bbox"]]
+    sx, sy = dw / wm, dh / hm
+    x0, y0 = min(dx0, gx), min(dy0, gy)
+    x1, y1 = max(dx0 + dw, gx + gw), max(dy0 + dh, gy + gh)
+    cw = min(int(np.ceil((x1 - x0) / sx)), 4 * wm + 512)
+    ch = min(int(np.ceil((y1 - y0) / sy)), 4 * hm + 512)
+    xs = x0 + (np.arange(cw) + 0.5) * sx
+    ys = y0 + (np.arange(ch) + 0.5) * sy
+    gt_fg = _gt_fg_on_canvas(ann, xs, ys, img_hw)
+    if gt_fg is None:
+        return None
+    ix = ((xs - dx0) / sx).astype(int)
+    iy = ((ys - dy0) / sy).astype(int)
+    in_det = ((ix >= 0) & (ix < wm))[None, :] & ((iy >= 0) & (iy < hm))[:, None]
+    pred_fg = (
+        det["patch_map"][
+            np.clip(iy, 0, hm - 1)[:, None], np.clip(ix, 0, wm - 1)[None, :]
+        ]
+        > 0
+    ) & in_det
+    inter = np.logical_and(pred_fg, gt_fg).sum()
+    union = np.logical_or(pred_fg, gt_fg).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+def _ogps_pair(det: dict, ann: dict, gpsm: bool, img_hw=None) -> float:
     """OGPS between one detection (box XYXY + patch/u/v maps over the box)
     and one gt annotation with dp_* point labels (reference computeOgps
     inner loop)."""
@@ -108,14 +199,19 @@ def _ogps_pair(det: dict, ann: dict, gpsm: bool) -> float:
         kappa=point_kappas(gt_i),
     )
     if gpsm:
-        pred_fg = det["patch_map"] > 0
-        gt_fg = np.zeros_like(pred_fg)
-        gxs = np.clip((px / dw * (wm - 1)).astype(int), 0, wm - 1)
-        gys = np.clip((py / dh * (hm - 1)).astype(int), 0, hm - 1)
-        gt_fg[gys[inside], gxs[inside]] = True
-        inter = np.logical_and(pred_fg, gt_fg).sum()
-        union = np.logical_or(pred_fg, gt_fg).sum()
-        gps = float(np.sqrt(gps * (inter / max(union, 1))))
+        iou = _dp_mask_iou(det, ann, img_hw)
+        if iou is None:
+            # no gt mask source: scatter the gt dp points (coarse lower
+            # bound, only hit by mask-less annotations)
+            pred_fg = det["patch_map"] > 0
+            gt_fg = np.zeros_like(pred_fg)
+            gxs = np.clip((px / dw * (wm - 1)).astype(int), 0, wm - 1)
+            gys = np.clip((py / dh * (hm - 1)).astype(int), 0, hm - 1)
+            gt_fg[gys[inside], gxs[inside]] = True
+            inter = np.logical_and(pred_fg, gt_fg).sum()
+            union = np.logical_or(pred_fg, gt_fg).sum()
+            iou = inter / max(union, 1)
+        gps = float(np.sqrt(gps * iou))
     return gps
 
 
@@ -155,6 +251,12 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
                     "dp_U": ann["dp_U"],
                     "dp_V": ann["dp_V"],
                 }
+                # gt foreground sources for the GPSm mask IoU (reference
+                # computeDPIoU: dp_masks else segmentation)
+                if ann.get("dp_masks"):
+                    a["dp_masks"] = ann["dp_masks"]
+                if ann.get("segmentation") is not None:
+                    a["segmentation"] = ann["segmentation"]
                 annotations.append(a)
         self._gt = {
             "images": images,
@@ -188,28 +290,32 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
             return {}
 
         detections = []
-        det_payload = {}
         for p in preds:
             for d in p["dets"]:
                 x0, y0, x1, y1 = [float(v) for v in d["box"]]
-                det = {
-                    "image_id": p["image_id"],
-                    "category_id": 1,
-                    "score": float(d.get("score", 1.0)),
-                    "bbox": [x0, y0, x1 - x0, y1 - y0],
-                }
-                det_payload[id(det)] = d
-                detections.append(det)
+                detections.append(
+                    {
+                        "image_id": p["image_id"],
+                        "category_id": 1,
+                        "score": float(d.get("score", 1.0)),
+                        "bbox": [x0, y0, x1 - x0, y1 - y0],
+                        # COCOEval ignores unknown keys; carrying the dense
+                        # payload on the dict survives any copy/filter
+                        "_dp_payload": d,
+                    }
+                )
 
         gpsm = self._eval_mode == "gpsm"
+        img_dims = {im["id"]: (im["height"], im["width"]) for im in self._gt["images"]}
 
         def ogps_fn(dets, gts, img_id):
             m = np.zeros((len(dets), len(gts)))
+            hw = img_dims.get(img_id)
             for i, det in enumerate(dets):
-                payload = det_payload[id(det)]
+                payload = det["_dp_payload"]
                 for j, ann in enumerate(gts):
                     if not ann.get("iscrowd", 0):
-                        m[i, j] = _ogps_pair(payload, ann, gpsm)
+                        m[i, j] = _ogps_pair(payload, ann, gpsm, hw)
             return m
 
         ev = COCOEval(self._gt, iou_type="custom", iou_fn=ogps_fn, use_native=False)

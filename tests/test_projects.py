@@ -434,6 +434,60 @@ def test_densepose_evaluator_coco_machinery():
         assert res["AP-GPS"] == pytest.approx(want_ap, abs=1e-6), (correct, res)
 
 
+def test_densepose_evaluator_gpsm_mask_iou():
+    """GPSm folds in whole-image mask IoU built from the gt dp_masks
+    (reference computeDPIoU :386-392: merged 256x256 part charts scaled to
+    the gt box), NOT a scatter of the sparse dp points — a dense predicted
+    foreground with perfect points must reach AP 100 with a full gt mask,
+    and AP 50 with a half gt mask (IoU 0.5 -> GPSm ~0.707 matches 5/10
+    COCO thresholds)."""
+    from densepose.evaluation import DensePoseCOCOEvaluator
+
+    from jtsm_tpu.data.catalog import DatasetCatalog
+    from jtsm_tpu.data.rle import rle_string_encode
+
+    hm = wm = 32
+    anno_base = {
+        "bbox": [10.0, 10.0, 40.0, 40.0],  # XYWH
+        "dp_x": [64.0, 128.0, 192.0],
+        "dp_y": [64.0, 128.0, 192.0],
+        "dp_I": [1, 1, 1],
+        "dp_U": [0.2, 0.5, 0.8],
+        "dp_V": [0.3, 0.6, 0.9],
+    }
+    full = np.ones((256, 256), bool)
+    half = np.zeros((256, 256), bool)
+    half[:, :128] = True
+
+    patch = np.ones((hm, wm), np.int32)  # dense predicted foreground
+    u = np.zeros((hm, wm), np.float32)
+    v = np.zeros((hm, wm), np.float32)
+    for k in range(3):
+        iy = ix = int((k + 1) / 4 * (hm - 1))
+        u[iy, ix] = anno_base["dp_U"][k]
+        v[iy, ix] = anno_base["dp_V"][k]
+    det = {"box": [10.0, 10.0, 50.0, 50.0], "score": 0.9,
+           "patch_map": patch, "u_map": u, "v_map": v}
+
+    for tag, gt_mask, want_ap in (("full", full, 100.0), ("half", half, 50.0)):
+        name = f"toy_densepose_gpsm_{tag}"
+        anno = dict(anno_base)
+        anno["dp_masks"] = [rle_string_encode(gt_mask)] + [None] * 13
+        if name not in DatasetCatalog:
+            DatasetCatalog.register(
+                name,
+                lambda anno=anno: [
+                    {"image_id": 0, "height": 64, "width": 64,
+                     "annotations": [anno]}
+                ],
+            )
+        ev = DensePoseCOCOEvaluator(name, eval_mode="gpsm")
+        ev.reset()
+        ev.process({"image_ids": [0]}, {"densepose": [[dict(det)]]})
+        res = ev.evaluate()["densepose"]
+        assert res["AP-GPSm"] == pytest.approx(want_ap, abs=1e-6), (tag, res)
+
+
 def test_hrnet_hrfpn_backbone():
     """HRNet multi-resolution backbone + HRFPN neck output contract
     (reference densepose/modeling/hrnet.py, hrfpn.py)."""
