@@ -29,13 +29,38 @@ import numpy as np
 _CACHE_DIR = os.environ.get("JAX_CACHE_DIR", "/tmp/jtsm_jax_cache")
 _SHIPPED = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dev", "xla_cache")
 if os.path.isdir(_SHIPPED):
+    import gzip as _gzip
     import shutil
 
     os.makedirs(_CACHE_DIR, exist_ok=True)
     for _f in os.listdir(_SHIPPED):
-        _dst = os.path.join(_CACHE_DIR, _f)
+        if _f == "PRIMED_FOR":
+            continue
+        _dst = os.path.join(_CACHE_DIR, _f[:-3] if _f.endswith(".gz") else _f)
         if not os.path.exists(_dst):
-            shutil.copy(os.path.join(_SHIPPED, _f), _dst)
+            if _f.endswith(".gz"):
+                with _gzip.open(os.path.join(_SHIPPED, _f), "rb") as _s, open(
+                    _dst, "wb"
+                ) as _d:
+                    shutil.copyfileobj(_s, _d)
+            else:
+                shutil.copy(os.path.join(_SHIPPED, _f), _dst)
+
+
+def _primed_for_this_bench() -> bool:
+    """True when dev/xla_cache was primed for this exact bench.py (its
+    sha256 is recorded in dev/xla_cache/PRIMED_FOR by the primer). The
+    persistent-cache key drifts with trace-time details of this file, so a
+    shipped entry only hits when the bytes match."""
+    marker = os.path.join(_SHIPPED, "PRIMED_FOR")
+    if not os.path.exists(marker):
+        return False
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        cur = hashlib.sha256(f.read()).hexdigest()
+    with open(marker) as f:
+        return f.read().strip() == cur
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
@@ -103,12 +128,91 @@ def build_fwd():
     return jax.jit(step), variables, b
 
 
+_EXEC_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "dev", "bench_exec.pkl"
+)
+
+
+def _load_aot(variables):
+    """Deserialize the shipped AOT-compiled flagship executable
+    (dev/bench_exec.pkl, written by dev/prime_xla_cache.py). This skips XLA
+    compilation entirely — unlike the persistent compilation cache, whose
+    key drifts with trace-time details (three distinct jit_step keys
+    observed for byte-identical graphs: import-vs-__main__ runs and
+    unrelated bench.py edits each shifted it), the serialized executable is
+    loaded unconditionally. Returns None if absent or incompatible (then
+    the jit + persistent-cache path below compiles as before).
+
+    Measured trade (dev chip): local persistent-cache HIT ~50 s to first
+    result; AOT load+first call 185-495 s (the ~243 MB raw executable rides
+    the tunnel); local MISS 160-1712 s depending on server-side compile
+    cache. So when the shipped cache was primed for this exact bench.py
+    (sha marker) the jit path is preferred and this loader stands down."""
+    if os.environ.get("BENCH_NO_AOT"):
+        return None
+    if _primed_for_this_bench() and not os.environ.get("BENCH_FORCE_AOT"):
+        print("shipped cache primed for this bench.py; using jit path", file=sys.stderr)
+        return None
+    path = _EXEC_PATH if os.path.exists(_EXEC_PATH) else _EXEC_PATH + ".gz"
+    if not os.path.exists(path):
+        return None
+    try:
+        import gzip
+        import pickle
+
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        from jax.experimental import serialize_executable
+
+        return serialize_executable.deserialize_and_load(payload, in_tree, out_tree)
+    except Exception as e:  # backend/version mismatch -> recompile path
+        print(f"AOT executable load failed ({e!r}); falling back to jit", file=sys.stderr)
+        return None
+
+
 def main():
+    entries_before = set(os.listdir(_CACHE_DIR)) if os.path.isdir(_CACHE_DIR) else set()
     fwd, variables, b = build_fwd()
+    aot = _load_aot(variables)
+    if aot is not None:
+        fwd = aot
+        print("using shipped AOT executable (no XLA compile)", file=sys.stderr)
     t0 = time.time()
     float(fwd(variables, 0))
     compile_seconds = time.time() - t0
     print(f"compile+first run: {compile_seconds:.1f}s", file=sys.stderr)
+    # persistent-cache visibility: a new jit_step entry written during this
+    # run means the shipped dev/xla_cache MISSED (key drift — re-prime with
+    # dev/prime_xla_cache.py)
+    new_entries = sorted(
+        f for f in os.listdir(_CACHE_DIR) if f not in entries_before
+    ) if os.path.isdir(_CACHE_DIR) else []
+    cache_hit = aot is not None or not any(
+        f.startswith("jit_step-") for f in new_entries
+    )
+    if new_entries:
+        print(f"cache entries written (= misses): {new_entries}", file=sys.stderr)
+
+    if os.environ.get("BENCH_SERIALIZE"):
+        # AOT-export the compiled executable for shipping (run right after
+        # a compile so lower+compile hits the just-written cache entry)
+        import pickle
+
+        from jax.experimental import serialize_executable
+
+        lowered = fwd.lower(variables, 0) if hasattr(fwd, "lower") else None
+        if lowered is not None:
+            import gzip
+
+            payload, in_tree, out_tree = serialize_executable.serialize(
+                lowered.compile()
+            )
+            dst = os.environ["BENCH_SERIALIZE"]
+            opener = gzip.open if dst.endswith(".gz") else open
+            with opener(dst, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree), f)
+            print(f"AOT executable serialized to {dst}", file=sys.stderr)
     float(fwd(variables, 1))  # warmup
 
     iters = int(os.environ.get("BENCH_ITERS", "6"))
@@ -136,6 +240,7 @@ def main():
                 # dispatch to first result (near-zero when the shipped
                 # dev/xla_cache warmed the persistent compilation cache)
                 "compile_seconds": round(compile_seconds, 1),
+                "cache_hit": cache_hit,
             }
         )
     )

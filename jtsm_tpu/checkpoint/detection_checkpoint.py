@@ -87,9 +87,26 @@ class DetectionCheckpointer:
             return {}
         if path.endswith(".orbax"):
             return self.load_orbax(path)
-        with open(path, "rb") as f:
-            data = pickle.load(f)
-        self.variables = data.pop("variables")
+        if path.endswith(".ckpt.gz"):
+            import gzip
+
+            with gzip.open(path, "rb") as f:
+                data = pickle.load(f)
+        else:
+            with open(path, "rb") as f:
+                data = pickle.load(f)
+        variables = data.pop("variables")
+        # float16 is a storage-only dtype here (committed fixture
+        # checkpoints ship f16 to halve their size; compute dtypes are
+        # f32/bf16) — upcast on load
+        import jax
+
+        self.variables = jax.tree_util.tree_map(
+            lambda a: a.astype("float32")
+            if hasattr(a, "dtype") and a.dtype == "float16"
+            else a,
+            variables,
+        )
         for key in list(self.checkpointables.keys() if checkpointables is None else checkpointables):
             if key in data:
                 obj = self.checkpointables.get(key)
