@@ -53,12 +53,18 @@ STUFF_B_COLOR = np.asarray([95, 175, 95], np.uint8)  # "ground"-like band
 
 
 def stuff_split_row(info):
-    """Deterministic per-image row splitting the two textured stuff bands
-    (45-55% of the height) — large stuff regions with distinct appearance
-    so mined STUFF supervision, not thing detections, drives the sem-seg
-    and PQ_st pins of the weakly-supervised gates."""
-    h = info["height"]
-    return int(h * (0.45 + 0.1 * ((info["id"] * 37) % 11) / 10.0))
+    """Fixed 50%-height row splitting the two textured stuff bands — large
+    stuff regions with distinct appearance so mined STUFF supervision, not
+    thing detections, drives the sem-seg and PQ_st pins of the
+    weakly-supervised gates.
+
+    The split MUST NOT vary per image: an id-dependent split turns the
+    band boundary into a global image-identity cue, and on an 8-image set
+    the MIL image classifier can fit the labels from that cue alone —
+    localization gradients vanish, pseudo-gt mining collapses to arbitrary
+    boxes, and the weakly-supervised gate scores AP 0 (observed when the
+    split was ``0.45 + 0.1 * f(id)``)."""
+    return int(info["height"] * 0.5)
 
 
 def paint_stuff(img, info):
@@ -197,6 +203,51 @@ def main():
     }
     with open(os.path.join(ann_dir, "person_keypoints_val2017_100.json"), "w") as f:
         json.dump(kp, f)
+
+    # densepose_synth_100.json — every rect is a "person" whose dense
+    # surface labels DERIVE from position within the box: a 6x4 part grid
+    # (24 parts, the COCO-DensePose chart count) with U/V = the fractional
+    # box coordinates. Like the keypoint grid, this gives the IUV head a
+    # LEARNABLE target (relative position within the visible rect), so the
+    # DensePose gate asserts real GPS/GPSm numbers. dp_masks carries the
+    # full-foreground chart (rects are fully foreground), exercising the
+    # reference getDensePoseMask path in GPSm.
+    from jtsm_tpu.data.rle import rle_string_encode as _rle_enc
+
+    full_mask_rle = _rle_enc(np.ones((256, 256), bool))
+    dp_anns = []
+    for a in inst["annotations"]:
+        dp_x, dp_y, dp_i, dp_u, dp_v = [], [], [], [], []
+        for k in range(24):
+            c, r = k % 6, k // 6
+            fx = (c + 0.5) / 6.0
+            fy = (r + 0.5) / 4.0
+            dp_x.append(fx * 255.0)
+            dp_y.append(fy * 255.0)
+            dp_i.append(k + 1)
+            dp_u.append(fx)
+            dp_v.append(fy)
+        dp_anns.append(
+            dict(
+                a,
+                category_id=1,
+                dp_x=dp_x,
+                dp_y=dp_y,
+                dp_I=dp_i,
+                dp_U=dp_u,
+                dp_V=dp_v,
+                dp_masks=[full_mask_rle] + [None] * 13,
+            )
+        )
+    with open(os.path.join(ann_dir, "densepose_synth_100.json"), "w") as f:
+        json.dump(
+            {
+                "images": infos,
+                "annotations": dp_anns,
+                "categories": [{"id": 1, "name": "person"}],
+            },
+            f,
+        )
 
     # panoptic: id map PNGs + stuff sem-seg PNGs. Thing segments are painted
     # FROM THE INSTANCES ANNOTATIONS so box/mask GT and panoptic GT agree

@@ -19,8 +19,9 @@ fi
 for cfg in "${CFG_LIST[@]}"; do
   name=$(basename "$cfg" .yaml)
   case "$cfg" in
-    *projects/WSL/*) BIN="python $ROOT/projects/WSL/tools/train_net.py" ;;
-    *)               BIN="python $ROOT/tools/train_net.py" ;;
+    *projects/WSL/*)       BIN="python $ROOT/projects/WSL/tools/train_net.py" ;;
+    *projects/DensePose/*) BIN="python $ROOT/projects/DensePose/train_net.py" ;;
+    *)                     BIN="python $ROOT/tools/train_net.py" ;;
   esac
   OUTPUT=/tmp/jtsm_repin_out/$name
   rm -rf "$OUTPUT"

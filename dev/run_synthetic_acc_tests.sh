@@ -21,21 +21,32 @@ OUTPUT=${OUTPUT:-/tmp/jtsm_synth_acc_output}
 CFG_LIST=( "${@:1}" )
 if [[ ${#CFG_LIST[@]} -eq 0 ]]; then
   CFG_LIST=( "$ROOT"/configs/quick_schedules/*_synthetic_training_acc_test.yaml
-             "$ROOT"/projects/WSL/configs/quick_schedules/*_synthetic_training_acc_test.yaml )
+             "$ROOT"/projects/WSL/configs/quick_schedules/*_synthetic_training_acc_test.yaml
+             "$ROOT"/projects/DensePose/configs/quick_schedules/*_synthetic_training_acc_test.yaml
+             # eval-only gates over the COMMITTED fixture checkpoints
+             # (+-0.02 pins; weights baked into the yamls)
+             "$ROOT"/configs/quick_schedules/*_synthetic_inference_acc_test.yaml
+             "$ROOT"/projects/WSL/configs/quick_schedules/*_synthetic_inference_acc_test.yaml )
 fi
 for cfg in "${CFG_LIST[@]}"; do
   # WSL configs need the project trainer (add_wsl_config + SP loaders)
   case "$cfg" in
-    *projects/WSL/*) BIN="python $ROOT/projects/WSL/tools/train_net.py" ;;
-    *)               BIN="python $ROOT/tools/train_net.py" ;;
+    *projects/WSL/*)       BIN="python $ROOT/projects/WSL/tools/train_net.py" ;;
+    *projects/DensePose/*) BIN="python $ROOT/projects/DensePose/train_net.py" ;;
+    *)                     BIN="python $ROOT/tools/train_net.py" ;;
   esac
   echo "========================================================================"
   echo "Running $cfg ..."
   echo "========================================================================"
   rm -rf "$OUTPUT"
-  $BIN --config-file "$cfg" OUTPUT_DIR "$OUTPUT"
-  $BIN --eval-only --config-file "$cfg" \
-    MODEL.WEIGHTS "$OUTPUT/model_final.ckpt" OUTPUT_DIR "$OUTPUT"
+  if [[ "$cfg" == *_inference_acc_test* ]]; then
+    # eval-only: MODEL.WEIGHTS in the yaml points at the committed fixture
+    ( cd "$ROOT" && $BIN --eval-only --config-file "$cfg" OUTPUT_DIR "$OUTPUT" )
+  else
+    $BIN --config-file "$cfg" OUTPUT_DIR "$OUTPUT"
+    $BIN --eval-only --config-file "$cfg" \
+      MODEL.WEIGHTS "$OUTPUT/model_final.ckpt" OUTPUT_DIR "$OUTPUT"
+  fi
   rm -rf "$OUTPUT"
 done
 echo "All synthetic accuracy gates passed."

@@ -149,5 +149,14 @@ class DatasetMapper:
             if self.recompute_boxes and instances.has("gt_masks"):
                 gm = instances.gt_masks
                 instances.gt_boxes = np.asarray(gm.get_bounding_boxes().tensor)
+            # project hook (e.g. DensePose attaches per-gt surface-point
+            # fields); runs BEFORE filtering so the fields are sliced by
+            # the same keep mask as every other instance field
+            self._attach_extra_annotations(annos, instances, image_shape, transforms)
             dataset_dict["instances"] = utils.filter_empty_instances(instances)
         return dataset_dict
+
+    def _attach_extra_annotations(self, annos, instances, image_shape, transforms):
+        """Subclass hook: attach additional per-instance fields derived from
+        the (transformed) annotations. Fields set on ``instances`` here are
+        filtered/collated like the built-in gt_* fields."""

@@ -454,6 +454,14 @@ def instances_to_static_targets(
         kk = k.shape[1] if k.ndim == 3 else 17
         out["gt_keypoints"] = np.zeros((g, kk, 3), np.float32)
         out["gt_keypoints"][:n] = k[:n]
+    # project extension fields (e.g. the DensePose mapper's per-gt surface
+    # points gt_dp_*): ndarray fields named gt_dp_* pad along the instance
+    # dim and collate like the built-in targets
+    for name, value in instances.get_fields().items():
+        if name.startswith("gt_dp_"):
+            v = np.asarray(value)
+            out[name] = np.zeros((g,) + v.shape[1:], v.dtype)
+            out[name][:n] = v[:n]
     return out
 
 

@@ -37,6 +37,7 @@ from .data_samplers import (
     MaskFromDensePoseSampler,
     PredictionToGroundTruthSampler,
 )
+from .data import register_builtin  # noqa: F401 — registers builtin datasets
 from .roi_heads import DensePoseROIHeads, DensePoseV1ConvXHead
 from .test_time_augmentation import DensePoseGeneralizedRCNNWithTTA
 from .video import (

@@ -16,6 +16,7 @@ from typing import Dict, List
 import numpy as np
 
 from jtsm_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+from jtsm_tpu.data.dataset_mapper import DatasetMapper
 from jtsm_tpu.data.datasets.coco import load_coco_json
 
 
@@ -35,8 +36,44 @@ def register_densepose(name: str, json_file: str, image_root: str) -> None:
         name, lambda: load_densepose_annotations(json_file, image_root, name)
     )
     MetadataCatalog.get(name).set(
-        json_file=json_file, image_root=image_root, evaluator_type="densepose"
+        json_file=json_file,
+        image_root=image_root,
+        evaluator_type="densepose",
+        thing_classes=["person"],
     )
+
+
+def register_builtin(root: str = None) -> None:
+    """Lazy builtin registration under $JTSM_DATASETS (reference
+    densepose/data/datasets/builtin.py): the real COCO-DensePose splits,
+    plus the offline synthetic split fabricated by
+    dev/make_synthetic_coco.py (densepose_synth_100.json over the rendered
+    val2017 scenes) that the quick-schedule gate trains on."""
+    import os
+
+    root = root or os.environ.get("JTSM_DATASETS", "datasets")
+    splits = {
+        "densepose_coco_2014_minival": (
+            "coco/annotations/densepose_minival2014.json",
+            "coco/val2014",
+        ),
+        "densepose_coco_2014_minival_100": (
+            "coco/annotations/densepose_minival2014_100.json",
+            "coco/val2014",
+        ),
+        "densepose_coco_synth_100": (
+            "coco/annotations/densepose_synth_100.json",
+            "coco/val2017",
+        ),
+    }
+    for name, (json_file, image_root) in splits.items():
+        if name not in DatasetCatalog:
+            register_densepose(
+                name, os.path.join(root, json_file), os.path.join(root, image_root)
+            )
+
+
+register_builtin()
 
 
 def densepose_targets_from_annotations(
@@ -65,6 +102,50 @@ def densepose_targets_from_annotations(
         out["gt_dp_v"][i, :n] = np.asarray(ann["dp_V"], np.float32)[:n]
         out["gt_dp_valid"][i, :n] = True
     return out
+
+
+class DatasetMapperDensePose(DatasetMapper):
+    """DatasetMapper that threads the dp_* surface-point annotations into
+    the static batch (reference densepose/data/dataset_mapper.py): per-gt
+    point targets attach as ``gt_dp_*`` Instances fields (sliced by the
+    same empty-filter as every gt field, padded/collated by
+    build_static_batch), so DensePoseROIHeads sees its training targets
+    from the REAL data path, not just unit-test fixtures.
+
+    dp_x/dp_y are gt-box-relative (0..255), so scaling transforms need no
+    point update. Horizontal flips mirror x, swap the left/right part
+    labels (DP_HFLIP_PART_SWAP) and mirror U; the reference additionally
+    remaps U/V through per-part SMPL mirror tables (UV_symmetry_*.mat,
+    downloaded at runtime — not redistributable here), so flipped-point UV
+    supervision is approximate. Datasets that need exact parity should
+    train with INPUT.RANDOM_FLIP "none"."""
+
+    max_dp_points = 196
+
+    def _attach_extra_annotations(self, annos, instances, image_shape, transforms):
+        if not any("dp_x" in a for a in annos):
+            return
+        from jtsm_tpu.data.transforms import HFlipTransform
+
+        flipped = any(isinstance(t, HFlipTransform) for t in transforms.transforms)
+        if flipped:
+            from .converters import DP_HFLIP_PART_SWAP
+
+            swap = np.arange(25)
+            for s, d in DP_HFLIP_PART_SWAP.items():
+                swap[s] = d
+            annos = [dict(a) for a in annos]
+            for a in annos:
+                if "dp_x" not in a:
+                    continue
+                a["dp_x"] = (255.0 - np.asarray(a["dp_x"], np.float32)).tolist()
+                a["dp_I"] = swap[np.asarray(a["dp_I"], int)].tolist()
+                a["dp_U"] = (1.0 - np.asarray(a["dp_U"], np.float32)).tolist()
+        targets = densepose_targets_from_annotations(
+            annos, np.asarray(instances.gt_boxes), max_points=self.max_dp_points
+        )
+        for k, v in targets.items():
+            setattr(instances, k, v)
 
 
 def apply_category_maps(dataset_dicts, category_map):

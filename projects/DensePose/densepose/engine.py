@@ -105,13 +105,42 @@ def build_bootstrap_loaders(cfg: CfgNode, predictor) -> List:
 
 class Trainer(DefaultTrainer):
     """Reference densepose/engine/trainer.py: combined annotated +
-    bootstrapped loaders when BOOTSTRAP_DATASETS is configured."""
+    bootstrapped loaders when BOOTSTRAP_DATASETS is configured, plus the
+    DensePose evaluator stack (box AP + GPS + GPSm) for datasets whose
+    evaluator_type is "densepose" (reference Trainer.build_evaluator)."""
+
+    @classmethod
+    def build_evaluator(cls, cfg: CfgNode, dataset_name: str, output_folder=None):
+        from jtsm_tpu.data.catalog import MetadataCatalog
+
+        if MetadataCatalog.get(dataset_name).get("evaluator_type") == "densepose":
+            import os
+
+            from jtsm_tpu.evaluation import COCOEvaluator, DatasetEvaluators
+
+            from .evaluation import DensePoseCOCOEvaluator
+
+            if output_folder is None:
+                output_folder = os.path.join(cfg.OUTPUT_DIR, "inference")
+            return DatasetEvaluators(
+                [
+                    COCOEvaluator(dataset_name, output_dir=output_folder),
+                    DensePoseCOCOEvaluator(dataset_name, eval_mode="gps"),
+                    DensePoseCOCOEvaluator(dataset_name, eval_mode="gpsm"),
+                ]
+            )
+        return super().build_evaluator(cfg, dataset_name, output_folder)
 
     @classmethod
     def build_train_loader(cls, cfg: CfgNode):
         from jtsm_tpu.data import build_detection_train_loader
 
-        base_loader = build_detection_train_loader(cfg)
+        from .data import DatasetMapperDensePose
+
+        mapper = (
+            DatasetMapperDensePose(cfg, True) if cfg.MODEL.DENSEPOSE_ON else None
+        )
+        base_loader = build_detection_train_loader(cfg, mapper=mapper)
         if not cfg.BOOTSTRAP_DATASETS:
             return base_loader
         logger.info(

@@ -269,16 +269,47 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         self._predictions = []
 
     def process(self, inputs, outputs):
-        """outputs must carry per-detection densepose dicts under
-        'densepose': list (B) of lists of {box, score?, patch_map, u_map,
-        v_map}."""
-        b = len(outputs.get("densepose", []))
+        """Accepts either pre-built per-detection densepose dicts under
+        'densepose' (list (B) of lists of {box, score?, patch_map, u_map,
+        v_map}) or RAW batched model outputs carrying the chart maps the
+        DensePose ROI heads attach at inference (boxes/scores/valid +
+        dp_patch/dp_u/dp_v, each (B, D, S, S)) — the format
+        inference_on_dataset hands evaluators."""
+        if "densepose" in outputs:
+            b = len(outputs["densepose"])
+            for i in range(b):
+                self._predictions.append(
+                    {
+                        "image_id": int(inputs["image_ids"][i]),
+                        "dets": outputs["densepose"][i],
+                    }
+                )
+            return
+        if "dp_patch" not in outputs:
+            return
+        boxes = np.asarray(outputs["boxes"])
+        scores = np.asarray(outputs["scores"])
+        valid = np.asarray(outputs["valid"])
+        patch = np.asarray(outputs["dp_patch"])
+        u = np.asarray(outputs["dp_u"])
+        v = np.asarray(outputs["dp_v"])
+        b, d = scores.shape
         for i in range(b):
+            dets = []
+            for j in range(d):
+                if not valid[i, j]:
+                    continue
+                dets.append(
+                    {
+                        "box": boxes[i, j].tolist(),
+                        "score": float(scores[i, j]),
+                        "patch_map": patch[i, j],
+                        "u_map": u[i, j],
+                        "v_map": v[i, j],
+                    }
+                )
             self._predictions.append(
-                {
-                    "image_id": int(inputs["image_ids"][i]),
-                    "dets": outputs["densepose"][i],
-                }
+                {"image_id": int(inputs["image_ids"][i]), "dets": dets}
             )
 
     def evaluate(self):
@@ -320,13 +351,15 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
 
         ev = COCOEval(self._gt, iou_type="custom", iou_fn=ogps_fn, use_native=False)
         stats = ev.evaluate(detections)
-        key = "GPSm" if gpsm else "GPS"
+        # reference task naming (quick_schedules yamls pin
+        # ["densepose_gps"/"densepose_gpsm", "AP", ...])
+        task = "densepose_gpsm" if gpsm else "densepose_gps"
         ret = OrderedDict(
             {
-                "densepose": {
-                    f"AP-{key}": 100 * stats["AP"],
-                    f"AP50-{key}": 100 * stats["AP50"],
-                    f"AP75-{key}": 100 * stats["AP75"],
+                task: {
+                    "AP": 100 * stats["AP"],
+                    "AP50": 100 * stats["AP50"],
+                    "AP75": 100 * stats["AP75"],
                 }
             }
         )

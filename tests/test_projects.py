@@ -430,8 +430,8 @@ def test_densepose_evaluator_coco_machinery():
         det = {"box": [10.0, 10.0, 50.0, 50.0], "score": 0.9,
                "patch_map": patch, "u_map": u, "v_map": v}
         ev.process({"image_ids": [0]}, {"densepose": [[det]]})
-        res = ev.evaluate()["densepose"]
-        assert res["AP-GPS"] == pytest.approx(want_ap, abs=1e-6), (correct, res)
+        res = ev.evaluate()["densepose_gps"]
+        assert res["AP"] == pytest.approx(want_ap, abs=1e-6), (correct, res)
 
 
 def test_densepose_evaluator_gpsm_mask_iou():
@@ -484,8 +484,8 @@ def test_densepose_evaluator_gpsm_mask_iou():
         ev = DensePoseCOCOEvaluator(name, eval_mode="gpsm")
         ev.reset()
         ev.process({"image_ids": [0]}, {"densepose": [[dict(det)]]})
-        res = ev.evaluate()["densepose"]
-        assert res["AP-GPSm"] == pytest.approx(want_ap, abs=1e-6), (tag, res)
+        res = ev.evaluate()["densepose_gpsm"]
+        assert res["AP"] == pytest.approx(want_ap, abs=1e-6), (tag, res)
 
 
 def test_hrnet_hrfpn_backbone():
