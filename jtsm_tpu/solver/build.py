@@ -149,6 +149,16 @@ def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
         if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
             clip = optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+        elif cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "full_model":
+            # whole-model global-norm clip (the reference's optional
+            # global_clipper path, solver/build.py:60 "for future use with
+            # detr"). Preserves the gradient DIRECTION across tensors —
+            # per-parameter clipping instead normalizes each tensor
+            # individually, which at small CLIP_VALUE degenerates into
+            # per-tensor normalized-gradient descent (loss scale stops
+            # mattering); the delicate WSDDN MIL sharpening in the JTSM
+            # gate diverges under that but trains well under a global clip.
+            clip = optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
         else:
             clip = clip_per_param_norm(
                 cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE,

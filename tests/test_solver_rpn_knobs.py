@@ -54,6 +54,42 @@ def test_clip_matches_torch_clip_grad_norm():
         )
 
 
+def test_clip_full_model_is_global_norm():
+    """CLIP_TYPE full_model (the reference's optional global_clipper path,
+    solver/build.py:60): every leaf is scaled by the SAME factor
+    clip/||g||_global, preserving the cross-tensor gradient direction —
+    unlike per-parameter "norm" clipping, which rescales each tensor
+    independently."""
+    from jtsm_tpu.solver.build import build_optimizer
+
+    cfg = get_cfg()
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "full_model"
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    # two same-group (kernel) leaves so per-group lr/wd cannot differ
+    params = {
+        "params": {"a": {"kernel": jnp.zeros((2, 2))}, "b": {"kernel": jnp.zeros((3,))}}
+    }
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = {
+        "params": {
+            "a": {"kernel": jnp.full((2, 2), 3.0)},
+            "b": {"kernel": jnp.full((3,), 0.01)},
+        }
+    }
+    updates, _ = tx.update(grads, state, params)
+    ka = float(np.asarray(updates["params"]["a"]["kernel"])[0, 0])
+    kb = float(np.asarray(updates["params"]["b"]["kernel"])[0])
+    # both leaves scaled by the SAME global factor: update ratio == grad
+    # ratio (3.0 / 0.01). A per-parameter clip would normalize the large
+    # leaf only, collapsing the ratio toward ~1/0.01 x (1/3).
+    np.testing.assert_allclose(ka / kb, 3.0 / 0.01, rtol=1e-4)
+    # and the large leaf was actually clipped: |update| << lr * |grad|
+    lr0 = float(cfg.SOLVER.BASE_LR) * float(cfg.SOLVER.WARMUP_FACTOR)
+    assert abs(ka) < lr0 * 3.0 * 0.6  # 1/gnorm ~ 1/6 scaling applied
+
+
 def _tiny_rpn(boundary_thresh):
     from jtsm_tpu.layers.shape_spec import ShapeSpec
     from jtsm_tpu.modeling.proposal_generator.rpn import RPN
