@@ -41,6 +41,11 @@ for cfg in "${CFG_LIST[@]}"; do
   rm -rf "$OUTPUT"
   if [[ "$cfg" == *_inference_acc_test* ]]; then
     # eval-only: MODEL.WEIGHTS in the yaml points at the committed fixture
+    ckpt=$(grep -oE 'tests/fixtures/gate_ckpts/[a-z_]+\.ckpt\.gz' "$cfg" | head -1)
+    if [[ -n "$ckpt" && ! -f "$ROOT/$ckpt" ]]; then
+      echo "SKIP $cfg (fixture $ckpt not built; run dev/make_inference_gate_ckpts.py)"
+      continue
+    fi
     ( cd "$ROOT" && $BIN --eval-only --config-file "$cfg" OUTPUT_DIR "$OUTPUT" )
   else
     $BIN --config-file "$cfg" OUTPUT_DIR "$OUTPUT"
