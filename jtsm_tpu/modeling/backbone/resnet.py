@@ -321,6 +321,12 @@ class ResNet(Backbone):
         max_stage = max(out_stage_idx) if out_stage_idx else 2
 
         is_basic = self.depth in (18, 34)
+        if is_basic:
+            # reference resnet.py:604 — basic-block depths have fixed
+            # 64-wide res2; reject silently-ignored narrower settings
+            assert self.res2_out_channels == 64, (
+                "Must set MODEL.RESNETS.RES2_OUT_CHANNELS = 64 for R18/R34"
+            )
         in_channels = self.stem_out_channels
         out_channels = self.res2_out_channels if not is_basic else 64
         bottleneck_channels = self.num_groups * self.width_per_group
@@ -427,6 +433,12 @@ class ResNet(Backbone):
 @BACKBONE_REGISTRY.register()
 def build_resnet_backbone(cfg: CfgNode, input_shape: ShapeSpec) -> ResNet:
     """Reference resnet.py:563."""
+    if cfg.MODEL.RESNETS.DEPTH in (18, 34):
+        # reference resnet.py:604 — basic-block depths have fixed 64-wide
+        # res2; reject silently-ignored narrower settings at build time
+        assert cfg.MODEL.RESNETS.RES2_OUT_CHANNELS == 64, (
+            "Must set MODEL.RESNETS.RES2_OUT_CHANNELS = 64 for R18/R34"
+        )
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     return ResNet(
         depth=cfg.MODEL.RESNETS.DEPTH,

@@ -76,7 +76,8 @@ def test_csc_training_injects_cpg_until_cutoff(tmp_path):
     cfg.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
     cfg.MODEL.BACKBONE.NAME = "build_resnet_backbone"
     cfg.MODEL.RESNETS.DEPTH = 18
-    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 32
+    # basic-block depths have fixed 64-wide res2 (reference assert)
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
     cfg.MODEL.RESNETS.OUT_FEATURES = ["res4"]
     cfg.MODEL.RESNETS.NORM = "FrozenBN"
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
