@@ -62,6 +62,10 @@ def add_densepose_config(cfg):
     _C.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS = 2
     _C.MODEL.ROI_DENSEPOSE_HEAD.NUM_PATCHES = 24
     _C.MODEL.ROI_DENSEPOSE_HEAD.HEATMAP_SIZE = 112
+    # static per-gt surface-point capacity in the batch (the reference pads
+    # to DensePoseDataRelative's 196; smaller synthetic sets can shrink it
+    # — the point-loss work scales with it)
+    _C.MODEL.ROI_DENSEPOSE_HEAD.MAX_DP_POINTS = 196
     _C.MODEL.ROI_DENSEPOSE_HEAD.DECONV_KERNEL = 4
     _C.MODEL.ROI_DENSEPOSE_HEAD.UP_SCALE = 2
     _C.MODEL.ROI_DENSEPOSE_HEAD.FG_IOU_THRESHOLD = 0.7

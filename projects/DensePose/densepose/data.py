@@ -120,7 +120,7 @@ class DatasetMapperDensePose(DatasetMapper):
     supervision is approximate. Datasets that need exact parity should
     train with INPUT.RANDOM_FLIP "none"."""
 
-    max_dp_points = 196
+    max_dp_points = 196  # overridden from cfg by Trainer.build_train_loader
 
     def _attach_extra_annotations(self, annos, instances, image_shape, transforms):
         if not any("dp_x" in a for a in annos):

@@ -137,9 +137,10 @@ class Trainer(DefaultTrainer):
 
         from .data import DatasetMapperDensePose
 
-        mapper = (
-            DatasetMapperDensePose(cfg, True) if cfg.MODEL.DENSEPOSE_ON else None
-        )
+        mapper = None
+        if cfg.MODEL.DENSEPOSE_ON:
+            mapper = DatasetMapperDensePose(cfg, True)
+            mapper.max_dp_points = cfg.MODEL.ROI_DENSEPOSE_HEAD.MAX_DP_POINTS
         base_loader = build_detection_train_loader(cfg, mapper=mapper)
         if not cfg.BOOTSTRAP_DATASETS:
             return base_loader

@@ -9,9 +9,9 @@ dev/make_inference_gate_ckpts.py), so the pins hold with zero downloads
 and no training noise: they cover RPN decode, NMS, mask paste, the
 panoptic fusion, the WSL ensemble/no_paste path, and every evaluator.
 
-The full 6-family sweep lives in dev/run_synthetic_acc_tests.sh; pytest
-runs the two flagship families (supervised Mask R-CNN + weakly-supervised
-JTSM) to keep suite time bounded.
+The full sweep (incl. shell-only tiers) lives in
+dev/run_synthetic_acc_tests.sh; pytest drives every family with a
+committed fixture.
 """
 
 import os
@@ -23,13 +23,37 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXDIR = os.path.join(ROOT, "tests", "fixtures", "gate_ckpts")
 
+_CORE = os.path.join(ROOT, "tools", "train_net.py")
 CASES = [
     (
         "mask_rcnn",
-        os.path.join(ROOT, "tools", "train_net.py"),
+        _CORE,
         os.path.join(
             ROOT,
             "configs/quick_schedules/mask_rcnn_R_18_FPN_synthetic_inference_acc_test.yaml",
+        ),
+    ),
+    (
+        "rpn",
+        _CORE,
+        os.path.join(
+            ROOT, "configs/quick_schedules/rpn_R_18_synthetic_inference_acc_test.yaml"
+        ),
+    ),
+    (
+        "retinanet",
+        _CORE,
+        os.path.join(
+            ROOT,
+            "configs/quick_schedules/retinanet_R_18_synthetic_inference_acc_test.yaml",
+        ),
+    ),
+    (
+        "panoptic_fpn",
+        _CORE,
+        os.path.join(
+            ROOT,
+            "configs/quick_schedules/panoptic_fpn_R_18_synthetic_inference_acc_test.yaml",
         ),
     ),
     (
