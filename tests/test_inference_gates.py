@@ -57,6 +57,14 @@ CASES = [
         ),
     ),
     (
+        "keypoint_rcnn",
+        _CORE,
+        os.path.join(
+            ROOT,
+            "configs/quick_schedules/keypoint_rcnn_R_18_synthetic_inference_acc_test.yaml",
+        ),
+    ),
+    (
         "jtsm",
         os.path.join(ROOT, "projects", "WSL", "tools", "train_net.py"),
         os.path.join(
