@@ -34,6 +34,62 @@ def install_stubs():
     stubs.install()
 
 
+def import_reference_wsl():
+    """import_reference() plus the reference WSL project: compiles the
+    reference's own WSL CPU ops (projects/WSL/wsl/layers/csrc) as a torch
+    extension registered as ``wsl._C`` (see csrc/ref_wsl_ops_binding.cpp for
+    the exact surface and the CPU exclusions), registers stand-ins for the
+    two deps absent from the environment (skimage, pydensecrf — only
+    touched by code paths the parity cases never execute), and imports
+    ``wsl`` from /root/reference/projects/WSL."""
+    import_reference()
+    import types
+
+    from . import stubs
+
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        measure = types.ModuleType("skimage.measure")
+
+        def _unused(*a, **k):
+            raise NotImplementedError(
+                "refkit stub: skimage.measure is only used by "
+                "binary_mask_to_polygon paths the parity cases do not run"
+            )
+
+        measure.find_contours = _unused
+        measure.approximate_polygon = _unused
+        sk.measure = measure
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.measure"] = measure
+    if "pydensecrf" not in sys.modules:
+        pd = types.ModuleType("pydensecrf")
+        dc = types.ModuleType("pydensecrf.densecrf")
+        ut = types.ModuleType("pydensecrf.utils")
+
+        def _unused(*a, **k):
+            raise NotImplementedError("refkit stub: pydensecrf not available")
+
+        dc.DenseCRF2D = _unused
+        ut.unary_from_softmax = _unused
+        pd.densecrf = dc
+        pd.utils = ut
+        sys.modules["pydensecrf"] = pd
+        sys.modules["pydensecrf.densecrf"] = dc
+        sys.modules["pydensecrf.utils"] = ut
+
+    if "wsl._C" not in sys.modules:
+        sys.modules["wsl._C"] = stubs.build_ref_wsl_ops()
+
+    wsl_root = _REFERENCE_ROOT + "/projects/WSL"
+    if wsl_root not in sys.path:
+        sys.path.insert(0, wsl_root)
+    import wsl  # noqa: F401
+    import wsl.modeling.roi_heads.roi_heads_jtsm  # noqa: F401
+
+    return wsl
+
+
 def import_reference():
     """Install stubs, put /root/reference on sys.path, import detectron2."""
     install_stubs()

@@ -37,6 +37,38 @@ def _build_ref_ops():
     )
 
 
+def build_ref_wsl_ops():
+    """Compile the reference's WSL CPU ops (MOIPool/ROILoopPool/ROILabel/
+    ROIMerge/pcl_loss) as a torch extension exposing vision.cpp's names
+    (cached). Returned module doubles as ``wsl._C``."""
+    import torch.utils.cpp_extension as ce
+
+    csrc = "/root/reference/projects/WSL/wsl/layers/csrc"
+    build_dir = os.environ.get(
+        "JTSM_REF_WSL_OPS_BUILD", "/tmp/jtsm_ref_wsl_ops_build"
+    )
+    os.makedirs(build_dir, exist_ok=True)
+    return ce.load(
+        name="jtsm_ref_wsl_ops",
+        sources=[
+            os.path.join(os.path.dirname(__file__), "csrc/ref_wsl_ops_binding.cpp"),
+            f"{csrc}/MOIPool/MOIPool_cpu.cpp",
+            f"{csrc}/ROILabel/ROILabel_cpu.cpp",
+            f"{csrc}/ROILoopPool/ROILoopPool_cpu.cpp",
+            f"{csrc}/ROIMerge/ROIMerge_cpu.cpp",
+            f"{csrc}/pcl_loss/pcl_loss_cpu.cpp",
+        ],
+        extra_include_paths=[
+            csrc,
+            # empty <TH/TH.h> stand-in (removed from modern torch; the
+            # reference kernels include it but use nothing from it)
+            os.path.join(os.path.dirname(__file__), "csrc/compat"),
+        ],
+        build_directory=build_dir,
+        verbose=False,
+    )
+
+
 # ------------------------------------------------------------- torchvision
 def _nms(boxes, scores, iou_threshold):
     """Exact greedy NMS with torchvision's IoU convention (no +1)."""
