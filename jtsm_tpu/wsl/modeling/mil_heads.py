@@ -120,10 +120,15 @@ def mil_image_loss(
 
 
 class OICROutputLayers(nn.Module):
-    """One refinement branch: (K+1)-way classifier (+ optional box reg)."""
+    """One refinement branch: (K+1)-way classifier (+ optional box reg).
+
+    ``reg_classes`` mirrors the reference's class-specific regression
+    default (fast_rcnn_oicr.py:488 ``num_bbox_reg_classes = num_classes``
+    unless CLS_AGNOSTIC_BBOX_REG): deltas are (R, reg_classes * 4)."""
 
     num_classes: int
     with_reg: bool = False
+    reg_classes: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -137,7 +142,7 @@ class OICROutputLayers(nn.Module):
         deltas = None
         if self.with_reg:
             deltas = Linear(
-                features=4,
+                features=4 * self.reg_classes,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.normal(0.001),
                 name="refine_reg",
@@ -145,24 +150,47 @@ class OICROutputLayers(nn.Module):
         return logits, deltas
 
 
+def _pgt_gather_boxes(boxes: Array, topi: Array) -> Array:
+    """(R, 4) shared or (R, C, 4) per-class-regressed boxes -> (C, K, 4)
+    mined boxes (reference get_pgt_top_k :1185-1199: with class-specific
+    regression the mined box for class c is that class's regressed box)."""
+    if boxes.ndim == 3:
+        c = topi.shape[0]
+        return boxes[topi, jnp.arange(c)[:, None], :]
+    return boxes[topi]
+
+
 def get_pgt_top_k(
-    boxes: Array,  # (R, 4)
+    boxes: Array,  # (R, 4) or (R, C, 4) per-class regressed
     scores: Array,  # (R, C) source scores (MIL or previous branch fg slice)
     valid: Array,  # (R,)
     image_labels: Array,  # (C,) multi-hot
     top_k: int = 1,
+    img_weights: Optional[Array] = None,  # (C,) pred_class_img_logits
 ) -> Dict[str, Array]:
     """Mine top-k scoring proposals per present image class
     (reference roi_heads_jtsm.py:1168). Returns fixed (C, top_k) pgt boxes,
-    weights (source scores) and validity."""
+    mined scores, supervision weights and validity.
+
+    ``weight`` follows the reference's ``need_weight`` path (:1263): the
+    image-level class logit ``pred_class_img_logits[c]`` when
+    ``img_weights`` is given, else the mined proposal score (the MIST
+    miner's behavior — its targets zip gt_weights=pgt_scores, :1074)."""
     masked = jnp.where(valid[:, None], scores, -jnp.inf)  # (R, C)
     topv, topi = jax.lax.top_k(masked.T, top_k)  # (C, K)
     pgt_valid = (image_labels[:, None] > 0) & jnp.isfinite(topv)
-    pgt_boxes = boxes[topi]  # (C, K, 4)
-    pgt_weight = jnp.where(pgt_valid, topv, 0.0)
+    pgt_boxes = _pgt_gather_boxes(boxes, topi)  # (C, K, 4)
+    pgt_score = jnp.where(pgt_valid, topv, 0.0)
+    if img_weights is None:
+        pgt_weight = pgt_score
+    else:
+        pgt_weight = jnp.where(
+            pgt_valid, jnp.broadcast_to(img_weights[:, None], topv.shape), 0.0
+        )
     return {
         "boxes": pgt_boxes,
         "weight": pgt_weight,
+        "score": pgt_score,
         "valid": pgt_valid,
         "classes": jnp.broadcast_to(
             jnp.arange(scores.shape[1])[:, None], topv.shape
@@ -195,14 +223,20 @@ def get_pgt_mist(
     cand_valid = (
         (image_labels[:, None] > 0) & in_pct & jnp.isfinite(topv)
     )  # (C, k)
-    flat_boxes = boxes[topi].reshape(c * k, 4)
+    pgt_boxes = _pgt_gather_boxes(boxes, topi)
+    flat_boxes = pgt_boxes.reshape(c * k, 4)
     flat_scores = jnp.where(cand_valid, topv, -jnp.inf).reshape(c * k)
     keep = nms_mask(flat_boxes, flat_scores, iou_thresh).reshape(c, k)
 
     pgt_valid = cand_valid & keep
+    # the reference MIST targets carry gt_weights = pgt_SCORES
+    # (roi_heads_jtsm.py:1074 zips pgt_scores into the weights slot), so
+    # under MIST weight == mined score — unlike the top-k miner
+    pgt_score = jnp.where(pgt_valid, topv, 0.0)
     return {
-        "boxes": boxes[topi],
-        "weight": jnp.where(pgt_valid, topv, 0.0),
+        "boxes": pgt_boxes,
+        "weight": pgt_score,
+        "score": pgt_score,
         "valid": pgt_valid,
         "classes": jnp.broadcast_to(jnp.arange(c)[:, None], topv.shape),
         "idx": topi,
@@ -275,3 +309,45 @@ def oicr_branch_loss(
     """Weighted CE averaged over proposals (reference fast_rcnn_oicr.py:282)."""
     ce = softmax_cross_entropy(logits, labels)
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights > 0), 1.0)
+
+
+def oicr_branch_loss_terms(
+    logits: Array,  # (R, K+1)
+    labels: Array,  # (R,)
+    weights: Array,  # (R,)
+) -> Tuple[Array, Array]:
+    """Per-image (weighted CE sum, valid-weight count) for the reference's
+    BATCH-level normalizer (fast_rcnn_oicr.py:247-297: OICROutputs gets the
+    whole batch's proposals, so loss_cls = sum(ce * w) / count(w > 1e-12)
+    over ALL images, not a per-image mean). Callers sum both terms over
+    the batch and divide once."""
+    ce = softmax_cross_entropy(logits, labels)
+    return jnp.sum(ce * weights), jnp.sum((weights > 1e-12).astype(jnp.float32))
+
+
+def oicr_reg_loss_sum(
+    deltas: Array,  # (R, reg_classes * 4)
+    labels: Array,  # (R,) supervision classes (bg = num_classes)
+    weights: Array,  # (R,)
+    fg: Array,  # (R,) bool foreground mask
+    prop_boxes: Array,  # (R, 4)
+    pgt_boxes: Array,  # (R, 4) matched pgt boxes
+    box2box_transform,
+    beta: float = 0.0,
+) -> Array:
+    """Per-image 'smooth_l1_weighted' regression sum (reference
+    fast_rcnn_oicr.py:350-362): the fg proposal's class delta block vs the
+    deltas to its matched pgt box, elementwise smooth-l1 times the proposal
+    weight, summed. The caller divides by the batch proposal count
+    (:378 ``loss_box_reg / self.gt_classes.numel()``)."""
+    from ...ops.losses import smooth_l1_loss
+
+    r = deltas.shape[0]
+    t = box2box_transform.get_deltas(prop_boxes, pgt_boxes)
+    if deltas.shape[-1] == 4:
+        d = deltas
+    else:
+        nrc = deltas.shape[-1] // 4
+        d = deltas.reshape(r, nrc, 4)[jnp.arange(r), jnp.clip(labels, 0, nrc - 1)]
+    per = smooth_l1_loss(d, t, beta).sum(-1)
+    return jnp.sum(per * weights * fg.astype(per.dtype))

@@ -41,7 +41,8 @@ from .mil_heads import (
     get_pgt_top_k,
     label_proposals_by_pgt,
     mil_image_loss,
-    oicr_branch_loss,
+    oicr_branch_loss_terms,
+    oicr_reg_loss_sum,
     wsddn_scores,
 )
 from .roi_heads_wsl import (
@@ -136,6 +137,7 @@ class JTSMROIHeads(nn.Module):
     refine_reg: Sequence[bool] = (True, True, True, True)
     refine_mist: bool = False  # MIST mining for the refine branches (:682)
     dan_dims: Sequence[int] = (4096, 4096)
+    dan_dropout: float = 0.5  # reference box_head.py:66 fc dropout
     box2box_transform: Optional[Box2BoxTransform] = None
     sp_on: bool = True
     sp_grid_stride: int = 4  # MOIPool membership grid (see wsl/ops.moi_pool)
@@ -283,38 +285,50 @@ class JTSMROIHeads(nn.Module):
                     )
                 )(feat, proposals, superpixels, oh_labels)
             pooled = pooled.reshape(b * r, p, p, -1)
-            # mask-area rescale (reference :615-630): weight proposal features
-            # by how much of the box the superpixel mask covers
-            area_ratio = jnp.clip(valid_frac.mean(axis=(2, 3)), 1e-3, 1.0)  # (B, R)
+            # bins with any member-superpixel coverage (argmax != -1 in the
+            # reference kernel)
+            nonempty = jnp.sum(valid_frac > 0, axis=(2, 3)).astype(jnp.float32)
         else:
-            flat_boxes = proposals.reshape(b * r, 4)
-            batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-            pooled = self.pooler(feats, flat_boxes, batch_idx, rois_per_image=r)
-            area_ratio = jnp.ones((b, r))
+            # no superpixels: plain RoIPool (the MOIPool kernel family's
+            # max-pool semantics without masking; reference MOIPool_cpu.cpp)
+            from ..ops import roi_pool
 
-        x = DiscriminativeAdaptionNeck(dims=self.dan_dims, dtype=self.dtype, name="dan")(
-            pooled, train=train
-        )
+            pooled, valid_bins = jax.vmap(
+                lambda f, bx: roi_pool(f, bx, spatial_scale, p)
+            )(feat, proposals)
+            pooled = pooled.reshape(b * r, p, p, -1)
+            nonempty = jnp.sum(valid_bins, axis=(2, 3)).astype(jnp.float32)
+
+        # mask-area rescale + objectness scaling (reference :608-633): the
+        # pooled features are MULTIPLIED by P^2/(nonempty_bins + 1) and by
+        # (objectness + 1) before the box head
+        mask_scale = (p * p) / (nonempty + 1.0)  # (B, R)
+        feat_scale = mask_scale
+        if self.use_obn:
+            obj = jnp.where(valid, proposal_scores, 0.0)
+            feat_scale = feat_scale * (obj + 1.0)
+        pooled = pooled * feat_scale.reshape(b * r, 1, 1, 1).astype(pooled.dtype)
+
+        x = DiscriminativeAdaptionNeck(
+            dims=self.dan_dims, dropout=self.dan_dropout, dtype=self.dtype, name="dan"
+        )(pooled, train=train)
         cls_logit, det_logit = MILOutputLayers(
             num_classes=self.joint_classes, dtype=self.dtype, name="mil"
         )(x)
         cls_logit = cls_logit.reshape(b, r, -1)
         det_logit = det_logit.reshape(b, r, -1)
-        # mask-area + objectness weighting (:615-633): both act as additive
-        # shifts on the detection logits (multiplicative on the softmax-ed
-        # proposal distribution)
-        det_logit = det_logit + jnp.log(jnp.clip(area_ratio, 1e-6))[:, :, None]
-        if self.use_obn:
-            obj = jnp.where(valid, jax.nn.sigmoid(proposal_scores), 1e-6)
-            det_logit = det_logit + jnp.log(obj)[:, :, None]
 
         mil = jax.vmap(wsddn_scores)(cls_logit, det_logit, valid)  # (B, R, Cj)
 
+        # refinement branches are (things + 1)-way with class-specific
+        # regression (reference _init_box_head :384 OICROutputLayers over
+        # ROI_HEADS.NUM_CLASSES, fast_rcnn_oicr.py:488)
         branches = []
         for k in range(self.refine_num):
             logits, deltas = OICROutputLayers(
-                num_classes=self.joint_classes,
+                num_classes=self.num_classes,
                 with_reg=self.refine_reg[k] if k < len(self.refine_reg) else False,
+                reg_classes=self.num_classes,
                 dtype=self.dtype,
                 name=f"refine{k}",
             )(x)
@@ -352,59 +366,89 @@ class JTSMROIHeads(nn.Module):
     def _losses(
         self, proposals, valid, mil, branches, targets, superpixels, oh_labels, b, r, feats, images=None
     ):
+        ct = self.num_classes
         img_labels = self._joint_labels(targets, b)
         losses = {
             "loss_mil": jax.vmap(
                 lambda m, l: mil_image_loss(m, l, self.mean_loss)
             )(mil, img_labels).mean()
         }
+        # image-level class probabilities: the supervision weights of every
+        # top-k mining step (reference predict_probs_img fast_rcnn_tsm.py:840
+        # feeding get_pgt_top_k's need_weight path :1263)
+        img_probs = jnp.clip(mil.sum(axis=1), 1e-6, 1.0 - 1e-6)  # (B, Cj)
+        n_prop = jnp.maximum(jnp.sum(valid), 1.0)  # real proposals in batch
 
-        source = mil
+        # refinement cascade over THING classes (reference :678-724 mines
+        # with self.num_classes/gt_classes_img_int — stuff is MIL-only)
+        source = mil[:, :, :ct]
+        src_boxes = proposals  # (B, R, 4), per-class (B, R, Ct, 4) after reg
         for k, (logits, deltas) in enumerate(branches):
             has_reg = deltas is not None
-            deltas_in = deltas if has_reg else jnp.zeros((b, r, 4))
+            deltas_in = deltas if has_reg else jnp.zeros((b, r, 4 * ct))
 
-            def mine_and_loss(bx, src, v, lbl, lg, dl, has_reg=has_reg):
+            def mine_and_terms(bx, sbx, src, v, lbl, imgw, lg, dl, has_reg=has_reg):
                 if self.refine_mist:
                     # MIST (:682): top-15% + cross-class NMS diversification
-                    pgt = get_pgt_mist(bx, src, v, lbl)
+                    pgt = get_pgt_mist(sbx, src, v, lbl)
                 else:
-                    pgt = get_pgt_top_k(bx, src, v, lbl, top_k=1)
-                sup = label_proposals_by_pgt(bx, v, pgt, self.joint_classes)
-                loss_cls = oicr_branch_loss(lg, sup["labels"], sup["weights"])
+                    pgt = get_pgt_top_k(
+                        sbx, src, v, lbl, top_k=1, img_weights=imgw
+                    )
+                sup = label_proposals_by_pgt(bx, v, pgt, ct)
+                cls_sum, cls_cnt = oicr_branch_loss_terms(
+                    lg, sup["labels"], sup["weights"]
+                )
                 if has_reg:
-                    t = self.box2box_transform.get_deltas(bx, sup["matched_pgt_boxes"])
-                    reg = smooth_l1_loss(dl, t, 0.0).sum(-1)
-                    fg_w = sup["weights"] * sup["fg"]
-                    loss_reg = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)
+                    reg_sum = oicr_reg_loss_sum(
+                        dl,
+                        sup["labels"],
+                        sup["weights"],
+                        sup["fg"],
+                        bx,
+                        sup["matched_pgt_boxes"],
+                        self.box2box_transform,
+                    )
+                    nxt_boxes = self.box2box_transform.apply_deltas(
+                        dl.reshape(-1, 4),
+                        jnp.broadcast_to(bx[:, None, :], (bx.shape[0], ct, 4)).reshape(-1, 4),
+                    ).reshape(bx.shape[0], ct, 4)
                 else:
-                    loss_reg = jnp.asarray(0.0)
-                nxt = jax.nn.softmax(lg, axis=-1)[:, : self.joint_classes]
-                return loss_cls, loss_reg, nxt
+                    reg_sum = jnp.asarray(0.0)
+                    nxt_boxes = bx
+                nxt = jax.nn.softmax(lg, axis=-1)[:, :ct]
+                return cls_sum, cls_cnt, reg_sum, nxt, nxt_boxes
 
-            loss_cls, loss_reg, source = jax.vmap(mine_and_loss)(
+            cls_sum, cls_cnt, reg_sum, source, src_boxes = jax.vmap(mine_and_terms)(
                 proposals,
+                jax.lax.stop_gradient(src_boxes),
                 jax.lax.stop_gradient(source),
                 valid,
-                img_labels,
+                img_labels[:, :ct],
+                img_probs[:, :ct],
                 branches[k][0],
                 deltas_in,
             )
             # reference :681-686: under MIST, branch 0 is up-weighted 3x
             term_weight = 3.0 if (self.refine_mist and k == 0) else 1.0
-            losses[f"loss_refine_cls{k}"] = loss_cls.mean() * term_weight
+            # batch-level normalizers (fast_rcnn_oicr.py:297 / :378)
+            losses[f"loss_refine_cls{k}"] = (
+                cls_sum.sum() / jnp.maximum(cls_cnt.sum(), 1.0) * term_weight
+            )
             if has_reg:
-                losses[f"loss_refine_reg{k}"] = loss_reg.mean() * term_weight
+                losses[f"loss_refine_reg{k}"] = reg_sum.sum() / n_prop * term_weight
 
         aux = {}
         if self.ps_on and superpixels is not None:
             # paint at the seg head's stride: the head immediately strides
             # full-res targets, so the full-res per-pixel gather was 16x
-            # wasted work (18 ms of the step at 480x864 batch 4)
+            # wasted work (18 ms of the step at 480x864 batch 4).
+            # Mined from the MIL scores (reference :673-677 runs
+            # get_pgt_sem_seg on predictions[0], BEFORE the refinement loop)
             aux["pgt_sem_seg"] = self._mine_sem_seg(
                 proposals,
                 valid,
-                jax.lax.stop_gradient(source),
+                jax.lax.stop_gradient(mil),
                 img_labels,
                 superpixels[:, :: self.pgt_stride, :: self.pgt_stride],
                 oh_labels,
@@ -423,48 +467,59 @@ class JTSMROIHeads(nn.Module):
                     b,
                     r,
                     images,
+                    img_probs=img_probs,
+                    src_boxes=jax.lax.stop_gradient(src_boxes),
                 )
             )
         return aux, losses
 
-    def _mine_sem_seg(self, proposals, valid, scores, img_labels, superpixels, oh_labels):
+    def _mine_sem_seg(self, proposals, valid, mil, img_labels, superpixels, oh_labels):
         """Paint mined top-1 masks into a per-pixel pseudo sem-seg label map
-        (reference get_pgt_sem_seg :2024): the canvas starts at 0 ("things" —
-        the reference's `torch.zeros` default; its `== 0 -> 255` ignore
-        conversion is commented out), mined masks are painted in ASCENDING
-        score order so the highest-score class wins each pixel, stuff classes
-        paint their stuff id and thing classes paint 0 (the reference's
-        `class - num_classes + 1` is <= 0 for things)."""
-        b = proposals.shape[0]
-        hs, ws = superpixels.shape[1:]
-        cj = self.joint_classes
+        (reference get_pgt_sem_seg :2025): only the present STUFF classes are
+        mined (the reference mines gt_classes_img_int_stuff; things are never
+        painted, so the canvas keeps 0 = "things" elsewhere — its `== 0 ->
+        255` ignore conversion is commented out upstream). Masks are painted
+        in ASCENDING mined-score order so the highest-score class wins each
+        pixel, then any present class whose value got fully painted over is
+        force-painted back (:2066-2068).
+
+        Object evidence is the proposal's superpixel union rather than the
+        reference's host GrabCut (get_grabcut_process :1820 via
+        object_evidence :1924) — the deliberate TPU-side redesign; GrabCut
+        evidence remains available for the mask branch via
+        WSL.OBJECT_EVIDENCE."""
         ct = self.num_classes
+        cs = self.num_classes_stuff - 1  # stuff classes (excl. 0 = things)
 
         def one(bx, v, sc, lbl, sp, oh):
-            pgt = get_pgt_top_k(bx, sc, v, lbl, top_k=1)
-            ridx = pgt["idx"][:, 0]  # (Cj,)
-            present = pgt["valid"][:, 0]  # (Cj,)
-            weight = pgt["weight"][:, 0]  # (Cj,) mined score
+            pgt = get_pgt_top_k(bx, sc[:, ct:], v, lbl[ct:], top_k=1)
+            ridx = pgt["idx"][:, 0]  # (Cs,)
+            present = pgt["valid"][:, 0]  # (Cs,)
+            score = pgt["score"][:, 0]  # (Cs,) mined score (ranking key)
             # the painted label is constant WITHIN a superpixel, so resolve
-            # the winning class in superpixel space (Cj x S table) and gather
+            # the winning class in superpixel space (Cs x S table) and gather
             # per pixel ONCE. (A per-(class, pixel) gather was 72% of the
             # JTSM train step, 432 ms at batch 4.)
-            ohc = oh[ridx]  # (Cj, S)
-            covers = ohc & present[:, None]  # (Cj, S)
+            ohc = oh[ridx]  # (Cs, S)
+            covers = ohc & present[:, None]  # (Cs, S)
             # highest mined score wins (reference paints score-ascending)
-            w_sp = jnp.where(covers, weight[:, None], -jnp.inf)  # (Cj, S)
+            w_sp = jnp.where(covers, score[:, None], -jnp.inf)  # (Cs, S)
             win = jnp.argmax(w_sp, axis=0)  # (S,)
             any_sp = covers.any(axis=0)  # (S,)
-            paint_vals = jnp.where(
-                jnp.arange(cj) < ct, 0, jnp.arange(cj) - ct + 1
-            ).astype(jnp.int32)
+            paint_vals = jnp.arange(1, cs + 1, dtype=jnp.int32)
             out_sp = jnp.where(any_sp, paint_vals[win], 0)  # (S,) 0 = things
+            # force-missing pass: paint a present class's mask over the
+            # canvas if its value vanished entirely
+            for c in range(cs):
+                absent = ~jnp.any(out_sp == c + 1)
+                out_sp = jnp.where(absent & covers[c], c + 1, out_sp)
             return out_sp[sp]  # (hs, ws): one per-pixel gather
 
-        return jax.vmap(one)(proposals, valid, scores, img_labels, superpixels, oh_labels)
+        return jax.vmap(one)(proposals, valid, mil, img_labels, superpixels, oh_labels)
 
     def _mask_losses(
-        self, proposals, valid, scores, img_labels, superpixels, oh_labels, feats, b, r, images=None
+        self, proposals, valid, scores, img_labels, superpixels, oh_labels, feats, b, r,
+        images=None, img_probs=None, src_boxes=None,
     ):
         """Mask PGT mining + base head + self-training refinery (reference
         _forward_mask :754-946).
@@ -488,10 +543,19 @@ class JTSMROIHeads(nn.Module):
         ct = self.num_classes
         k_nn = max(1, min(self.mask_mined_top_k, r))
         cm = min(self.mask_capacity, ct * k_nn)
+        if img_probs is None:
+            img_probs = jnp.ones((b, scores.shape[-1]))
+        if src_boxes is None:
+            src_boxes = proposals
 
-        def mine(bx, v, sc, lbl):
+        def mine(bx, sbx, v, sc, lbl, imgw):
             thing_scores = sc[:, :ct]
-            pgt = get_pgt_top_k(bx, thing_scores, v, lbl[:ct], top_k=1)
+            # mined from the LAST refinement branch's scores/boxes with the
+            # image-logit weights (reference _forward_mask :821-828 mines
+            # prev_pred_boxes/prev_pred_scores with need_weight=True)
+            pgt = get_pgt_top_k(
+                sbx, thing_scores, v, lbl[:ct], top_k=1, img_weights=imgw[:ct]
+            )
             pboxes = pgt["boxes"][:, 0]  # (Ct, 4)
             pvalid = pgt["valid"][:, 0] & (pgt["weight"][:, 0] > 0)
             pw = pgt["weight"][:, 0]
@@ -514,7 +578,7 @@ class JTSMROIHeads(nn.Module):
             return bx[ridx], cls, ok, ridx, topw
 
         boxes, cls, ok, ridx, weights = jax.vmap(mine)(
-            proposals, valid, scores, img_labels
+            proposals, src_boxes, valid, scores, img_labels, img_probs
         )
 
         if self.object_evidence_mode == "grabcut" and images is not None:
@@ -577,19 +641,28 @@ class JTSMROIHeads(nn.Module):
         self, proposals, valid, mil, branches, image_sizes, feats, b, r,
         superpixels=None, oh_labels=None,
     ):
-        avg = jnp.zeros((b, r, self.joint_classes))
+        ct = self.num_classes
+        # ensemble over the refinement branches: softmax probs averaged and
+        # the class-specific deltas averaged before ONE decode (reference
+        # OICROutputLayers.inference with predictions_K ->
+        # predict_probs_K / predict_boxes_K, fast_rcnn_oicr.py:712-786)
+        avg = jnp.zeros((b, r, ct))
         for logits, _ in branches:
-            avg = avg + jax.nn.softmax(logits, axis=-1)[..., : self.joint_classes]
+            avg = avg + jax.nn.softmax(logits, axis=-1)[..., :ct]
         avg = avg / max(self.refine_num, 1)
 
         final_boxes = proposals
-        last_deltas = branches[-1][1]
-        if last_deltas is not None:
+        reg_deltas = [d for _, d in branches if d is not None]
+        if reg_deltas:
+            mean_deltas = sum(reg_deltas) / len(reg_deltas)  # (B, R, Ct*4)
             final_boxes = self.box2box_transform.apply_deltas(
-                last_deltas.reshape(-1, 4), proposals.reshape(-1, 4)
-            ).reshape(b, r, 4)
+                mean_deltas.reshape(-1, 4),
+                jnp.broadcast_to(
+                    proposals[:, :, None, :], (b, r, ct, 4)
+                ).reshape(-1, 4),
+            ).reshape(b, r, ct, 4)
 
-        thing_scores = avg[..., : self.num_classes]
+        thing_scores = avg
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(
                 bx,

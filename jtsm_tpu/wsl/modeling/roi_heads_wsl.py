@@ -39,6 +39,8 @@ from .mil_heads import (
     label_proposals_by_pgt,
     mil_image_loss,
     oicr_branch_loss,
+    oicr_branch_loss_terms,
+    oicr_reg_loss_sum,
     wsddn_scores,
 )
 
@@ -330,13 +332,14 @@ class OICRROIHeads(nn.Module):
             )
         return None, None
 
-    def _mine(self, bx, src, v, lbl):
-        """Branch PGT mining: MIST (top-15% + NMS) when WSL.REFINE_MIST,
-        else top-1 per present class (reference get_pgt_mist :1038 /
-        get_pgt_top_k :1168)."""
+    def _mine(self, bx, src, v, lbl, img_weights=None):
+        """Branch PGT mining: MIST (top-15% + NMS, weights = mined scores)
+        when WSL.REFINE_MIST, else top-1 per present class with the
+        image-logit weights (reference get_pgt_mist :1038 /
+        get_pgt_top_k :1168 need_weight)."""
         if self.refine_mist:
             return get_pgt_mist(bx, src, v, lbl)
-        return get_pgt_top_k(bx, src, v, lbl, top_k=1)
+        return get_pgt_top_k(bx, src, v, lbl, top_k=1, img_weights=img_weights)
 
     def _prepare_features(self, feats, b):
         """Hook for MRRP subclasses to unfold branch-folded features."""
@@ -383,6 +386,9 @@ class OICRROIHeads(nn.Module):
             OICROutputLayers(
                 num_classes=self.num_classes,
                 with_reg=self.refine_reg[k] if k < len(self.refine_reg) else False,
+                # class-specific regression (reference fast_rcnn_oicr.py:488,
+                # CLS_AGNOSTIC_BBOX_REG defaults False in the WSR configs)
+                reg_classes=self.num_classes,
                 dtype=self.dtype,
                 name=f"refine{k}",
             )
@@ -407,16 +413,24 @@ class OICRROIHeads(nn.Module):
             )
             if gam_logits is not None:
                 losses["loss_gam"] = gam_image_loss(gam_logits, img_labels)
+            # image-level class probabilities: supervision weights of the
+            # top-k miner (reference pred_class_img_logits feeding
+            # get_pgt_top_k's need_weight path, roi_heads_oicr.py:752)
+            img_probs = jnp.clip(mil.sum(axis=1), 1e-6, 1.0 - 1e-6)
+            n_prop = jnp.maximum(jnp.sum(valid), 1.0)
             source = mil  # (B, R, C) probabilities
+            src_boxes = proposals  # per-class (B, R, C, 4) once reg kicks in
             sampling_rng = self.make_rng("sampling") if self.sampling_on else None
             for k, (logits, deltas) in enumerate(branches):
                 has_reg = deltas is not None
-                deltas_in = deltas if has_reg else jnp.zeros((b, r, 4))
+                deltas_in = (
+                    deltas if has_reg else jnp.zeros((b, r, 4 * self.num_classes))
+                )
                 thr, labs = self._branch_matcher(k)
                 src_k = source  # branch k-1's predictions (mil for k == 0)
 
-                def mine_and_loss(bx, src, v, lbl, lg, dl, rng_k, has_reg=has_reg, k=k, thr=thr, labs=labs):
-                    pgt = self._mine(bx, src, v, lbl)
+                def mine_and_terms(bx, sbx, src, v, lbl, imgw, lg, dl, rng_k, has_reg=has_reg, k=k, thr=thr, labs=labs):
+                    pgt = self._mine(sbx, src, v, lbl, imgw)
                     sup = label_proposals_by_pgt(
                         bx, v, pgt, self.num_classes,
                         iou_thresholds=thr, iou_labels=labs,
@@ -436,37 +450,51 @@ class OICRROIHeads(nn.Module):
                             self.num_classes,
                         )
                         w = w * (pos_m | neg_m)
-                    loss_cls = oicr_branch_loss(lg, sup["labels"], w)
+                    cls_sum, cls_cnt = oicr_branch_loss_terms(lg, sup["labels"], w)
                     if has_reg:
-                        t = self.box2box_transform.get_deltas(bx, sup["matched_pgt_boxes"])
-                        reg = smooth_l1_loss(dl, t, 0.0).sum(-1)
-                        fg_w = w * sup["fg"]
-                        loss_reg = jnp.sum(reg * fg_w) / jnp.maximum(jnp.sum(fg_w > 0), 1.0)
+                        reg_sum = oicr_reg_loss_sum(
+                            dl, sup["labels"], w, sup["fg"], bx,
+                            sup["matched_pgt_boxes"], self.box2box_transform,
+                        )
+                        nxt_boxes = self.box2box_transform.apply_deltas(
+                            dl.reshape(-1, 4),
+                            jnp.broadcast_to(
+                                bx[:, None, :], (bx.shape[0], self.num_classes, 4)
+                            ).reshape(-1, 4),
+                        ).reshape(bx.shape[0], self.num_classes, 4)
                     else:
-                        loss_reg = jnp.asarray(0.0)
+                        reg_sum = jnp.asarray(0.0)
+                        nxt_boxes = bx
                     # next source: this branch's softmax fg scores
                     nxt = jax.nn.softmax(lg, axis=-1)[:, : self.num_classes]
-                    return loss_cls, loss_reg, nxt
+                    return cls_sum, cls_cnt, reg_sum, nxt, nxt_boxes
 
                 rngs_k = jax.random.split(
                     jax.random.fold_in(sampling_rng, k) if sampling_rng is not None
                     else jax.random.key(0),
                     b,
                 )
-                loss_cls, loss_reg, source = jax.vmap(mine_and_loss)(
+                cls_sum, cls_cnt, reg_sum, source, src_boxes = jax.vmap(mine_and_terms)(
                     proposals,
+                    jax.lax.stop_gradient(src_boxes),
                     jax.lax.stop_gradient(src_k),
                     valid,
                     img_labels,
+                    img_probs,
                     logits,
                     deltas_in,
                     rngs_k,
                 )
-                # MIST branch-0 upweighting (reference roi_heads_jtsm.py:682)
+                # MIST branch-0 upweighting (reference roi_heads_jtsm.py:682);
+                # batch-level normalizers (fast_rcnn_oicr.py:297 / :378)
                 term_weight = 3.0 if (self.refine_mist and k == 0) else 1.0
-                losses[f"loss_refine_cls{k}"] = loss_cls.mean() * term_weight
+                losses[f"loss_refine_cls{k}"] = (
+                    cls_sum.sum() / jnp.maximum(cls_cnt.sum(), 1.0) * term_weight
+                )
                 if has_reg:
-                    losses[f"loss_refine_reg{k}"] = loss_reg.mean() * term_weight
+                    losses[f"loss_refine_reg{k}"] = (
+                        reg_sum.sum() / n_prop * term_weight
+                    )
 
                 if self.cascade_on and k > 0:
                     # cascade (reference roi_heads_all.py:3081-3099 under
@@ -508,19 +536,24 @@ class OICRROIHeads(nn.Module):
                     losses[f"loss_refine_cls{k}_cascade"] = ce.mean()
             return {}, losses
 
-        # inference: average refinement branch softmax scores
+        # inference: branch-averaged softmax scores and branch-averaged
+        # class-specific deltas decoded once (reference
+        # OICROutputLayers.inference -> predict_probs_K / predict_boxes_K)
         avg = jnp.zeros((b, r, self.num_classes))
         for logits, _ in branches:
             avg = avg + jax.nn.softmax(logits, axis=-1)[..., : self.num_classes]
         avg = avg / max(self.refine_num, 1)
 
         final_boxes = proposals
-        last_deltas = branches[-1][1]
-        if last_deltas is not None:
-            dec = self.box2box_transform.apply_deltas(
-                last_deltas.reshape(-1, 4), proposals.reshape(-1, 4)
-            ).reshape(b, r, 4)
-            final_boxes = dec
+        reg_deltas = [d for _, d in branches if d is not None]
+        if reg_deltas:
+            mean_deltas = sum(reg_deltas) / len(reg_deltas)
+            final_boxes = self.box2box_transform.apply_deltas(
+                mean_deltas.reshape(-1, 4),
+                jnp.broadcast_to(
+                    proposals[:, :, None, :], (b, r, self.num_classes, 4)
+                ).reshape(-1, 4),
+            ).reshape(b, r, self.num_classes, 4)
 
         detections = jax.vmap(
             lambda bx, sc, v, sz: wsl_inference_single(

@@ -646,6 +646,61 @@ def moi_pool_exact(
     return jax.vmap(one)(boxes, oh_labels)
 
 
+def roi_pool(
+    features: Array,  # (H, W, C) single-image feature map
+    boxes: Array,  # (R, 4) XYXY in image coordinates
+    spatial_scale: float = 1.0,
+    output_size: int = 7,
+) -> Tuple[Array, Array]:
+    """Reference-exact plain RoIPool (torchvision semantics; the reference's
+    MOIPool CPU kernel — csrc/MOIPool/MOIPool_cpu.cpp ``RoIPoolForward`` —
+    and the POOLER_TYPE "ROIPool" of the OICR/WSDDN configs): integer
+    rounded roi window, fixed floor/ceil overlapping bins, hard max, empty
+    bins -> 0 with validity False (argmax -1).
+
+    Returns (pooled (R, P, P, C), valid (R, P, P) bool). Pinned against the
+    compiled reference CPU kernel in tests/test_wsl_model_parity.py."""
+    p = output_size
+    h, w, c = features.shape
+    scale = float(spatial_scale)
+
+    def rnd(x):  # C round() on nonnegative coords
+        return jnp.floor(x + 0.5).astype(jnp.int32)
+
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    phs = jnp.arange(p, dtype=jnp.float32)
+
+    def one(box):
+        x1 = rnd(box[0] * scale)
+        y1 = rnd(box[1] * scale)
+        x2 = rnd(box[2] * scale)
+        y2 = rnd(box[3] * scale)
+        roi_w = jnp.maximum(x2 - x1 + 1, 1).astype(jnp.float32)
+        roi_h = jnp.maximum(y2 - y1 + 1, 1).astype(jnp.float32)
+        bh = roi_h / p
+        bw = roi_w / p
+        hstart = jnp.clip(jnp.floor(phs * bh).astype(jnp.int32) + y1, 0, h)
+        hend = jnp.clip(jnp.ceil((phs + 1) * bh).astype(jnp.int32) + y1, 0, h)
+        wstart = jnp.clip(jnp.floor(phs * bw).astype(jnp.int32) + x1, 0, w)
+        wend = jnp.clip(jnp.ceil((phs + 1) * bw).astype(jnp.int32) + x1, 0, w)
+        keep_h = (rows[:, None] >= hstart[None]) & (rows[:, None] < hend[None])
+        keep_w = (cols[:, None] >= wstart[None]) & (cols[:, None] < wend[None])
+        # two-stage masked max: rows -> (P, W, C), then cols -> (P, P, C)
+        colmax = jnp.max(
+            jnp.where(keep_h.T[:, :, None, None], features[None], -jnp.inf),
+            axis=1,
+        )  # (P, W, C)
+        out = jnp.max(
+            jnp.where(keep_w.T[None, :, :, None], colmax[:, None], -jnp.inf),
+            axis=2,
+        )  # (P, P, C)
+        valid = (hend > hstart)[:, None] & (wend > wstart)[None, :]
+        return jnp.where(valid[:, :, None], out, 0.0), valid
+
+    return jax.vmap(one)(boxes)
+
+
 # ---------------------------------------------------------------------------
 # Reference wsl/layers/__init__.py public names. ``crf``/``pcl_loss`` are
 # direct aliases; ``csc``/``roi_merge``/``compute_cpg`` live in
