@@ -169,6 +169,117 @@ def _record(name: str) -> dict:
     return rec
 
 
+# ------------------------------------------------------------- train losses
+TRAINLOSS_VERSION = "tl1"
+
+
+def trainloss_cfg_overrides(cfg):
+    """Applied identically to the reference and repo cfgs: shrink to
+    R18-FPN AND make every sampling step deterministic by budgeting more
+    slots than candidates at positive fraction 1.0 — subsample_labels then
+    keeps EVERYTHING on both sides, so the loss sets coincide and the loss
+    dict can be compared numerically."""
+    trained_cfg_overrides(cfg)
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8192  # > 4092 anchors at 128x128
+    cfg.MODEL.RPN.POSITIVE_FRACTION = 1.0
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 384  # > 256 post-NMS + gt
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+
+
+def get_train_loss_case() -> dict:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"trainloss_r18fpn_{TRAINLOSS_VERSION}.npz")
+    if os.path.exists(path):
+        return dict(np.load(path))
+    rec = _record_train_loss()
+    np.savez_compressed(path, **rec)
+    return rec
+
+
+def _record_train_loss() -> dict:
+    """Reference Mask R-CNN (R18-FPN shrink) train-mode forward on seeded
+    random weights + a fixed synthetic GT batch; records the loss dict
+    (loss_rpn_cls/loss_rpn_loc/loss_cls/loss_box_reg/loss_mask —
+    rpn.py:313-344, fast_rcnn.py:144-260, mask_head.py:40-90) plus the
+    post-sampling proposal sets for diagnosis."""
+    from . import import_reference
+
+    import_reference()
+    import torch
+    from detectron2.config import get_cfg as ref_get_cfg
+    from detectron2.modeling import build_model as ref_build_model
+    from detectron2.structures import BitMasks, Boxes, Instances
+    from detectron2.utils.events import EventStorage
+
+    cfg = ref_get_cfg()
+    cfg.merge_from_file(
+        "/root/reference/configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
+    )
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.WEIGHTS = ""
+    trainloss_cfg_overrides(cfg)
+    torch.manual_seed(17)
+    model = ref_build_model(cfg)
+    model.train()
+    _randomize(model, torch)
+
+    rng = np.random.RandomState(5)
+    images, gts = make_synthetic_detection_set(rng)
+    nb = 4
+    inputs = []
+    for i in range(nb):
+        inst = Instances((IMG_SIZE, IMG_SIZE))
+        inst.gt_boxes = Boxes(
+            torch.tensor([a["bbox"] for a in gts[i]], dtype=torch.float32)
+        )
+        inst.gt_classes = torch.tensor(
+            [a["category_id"] for a in gts[i]], dtype=torch.int64
+        )
+        inst.gt_masks = BitMasks(
+            torch.from_numpy(np.stack([a["mask"] for a in gts[i]]))
+        )
+        inputs.append(
+            {
+                "image": torch.from_numpy(images[i]),
+                "height": IMG_SIZE,
+                "width": IMG_SIZE,
+                "instances": inst,
+            }
+        )
+
+    sampled_props = []
+    rh = model.roi_heads
+    orig = rh.label_and_sample_proposals
+
+    def wrap(proposals, targets):
+        out = orig(proposals, targets)
+        sampled_props.append(out)
+        return out
+
+    rh.label_and_sample_proposals = wrap
+
+    with EventStorage(0), torch.no_grad():
+        losses = model(inputs)
+
+    rec = {}
+    for name, val in losses.items():
+        rec[f"loss.{name}"] = np.asarray(float(val), np.float64)
+    for i, p in enumerate(sampled_props[0]):
+        rec[f"sampled_boxes{i}"] = p.proposal_boxes.tensor.numpy()
+        rec[f"sampled_gt_classes{i}"] = p.gt_classes.numpy()
+    for i in range(nb):
+        rec[f"image{i}"] = images[i]
+        rec[f"gt_boxes{i}"] = np.asarray([a["bbox"] for a in gts[i]], np.float32)
+        rec[f"gt_classes{i}"] = np.asarray(
+            [a["category_id"] for a in gts[i]], np.int64
+        )
+        rec[f"gt_masks{i}"] = np.stack([a["mask"] for a in gts[i]]).astype(np.uint8)
+    for k, v in model.state_dict().items():
+        if "num_batches" not in k and "cell_anchors" not in k:
+            rec["sd." + k] = v.detach().numpy().copy()
+    return rec
+
+
 # ---------------------------------------------------------------- trained AP
 TRAIN_VERSION = "t4"
 TRAIN_ITERS = 600

@@ -518,3 +518,104 @@ def test_ap_parity_trained_model():
     assert bb_ref > 20.0, f"reference box AP too low to compare: {bb_ref}"
     assert abs(bb_ref - bb_jax) <= 0.3, results
     assert abs(sg_ref - sg_jax) <= 0.3, results
+
+
+def test_train_loss_parity():
+    """TRAINING-side loss parity: the reference Mask R-CNN R18-FPN runs its
+    train-mode forward (losses) on seeded random weights + a fixed synthetic
+    GT batch, and the repo model's train-mode apply on the converted weights
+    must reproduce every entry of the loss dict — pinning the loss
+    normalizers (rpn.py:313-344 objectness/smooth-l1, fast_rcnn.py:144-260
+    softmax-CE + box reg, mask_head.py:40-90 28x28-target BCE), exactly the
+    semantics the r4 gate collapse showed can silently drift.
+
+    Sampling determinism: both sides run with slot budgets larger than the
+    candidate counts at positive fraction 1.0 (trainloss_cfg_overrides), so
+    subsample_labels keeps everything and the supervised sets coincide;
+    losses are order-invariant sums over those sets."""
+    from tests.refkit.record import (
+        IMG_SIZE,
+        get_train_loss_case,
+        trainloss_cfg_overrides,
+    )
+
+    from jtsm_tpu.checkpoint import convert_d2_state_dict_to_variables
+    from jtsm_tpu.config import get_cfg
+    from jtsm_tpu.data.detection_utils import _crop_bitmask
+    from jtsm_tpu.modeling import build_model
+
+    rec = get_train_loss_case()
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        )
+    )
+    trainloss_cfg_overrides(cfg)
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    nb, s = 4, IMG_SIZE
+    crop_m = cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION * 4
+    g = max(len(rec[f"gt_classes{i}"]) for i in range(nb))
+    # static-slot sampler: the slot count must not exceed the candidate
+    # count (post-NMS topk + padded gt); any budget >= candidates keeps
+    # everything on both sides, and the roi losses normalize by actual
+    # counts, so the differing slot constants are inert
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = (
+        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN + g
+    )
+    model = build_model(cfg)
+    gt_boxes = np.zeros((nb, g, 4), np.float32)
+    gt_classes = np.zeros((nb, g), np.int32)
+    gt_valid = np.zeros((nb, g), bool)
+    gt_crops = np.zeros((nb, g, crop_m, crop_m), bool)
+    for i in range(nb):
+        n = len(rec[f"gt_classes{i}"])
+        gt_boxes[i, :n] = rec[f"gt_boxes{i}"]
+        gt_classes[i, :n] = rec[f"gt_classes{i}"]
+        gt_valid[i, :n] = True
+        for j in range(n):
+            gt_crops[i, j] = _crop_bitmask(
+                rec[f"gt_masks{i}"][j].astype(bool), gt_boxes[i, j], crop_m
+            )
+
+    imgs = np.stack([rec[f"image{i}"] for i in range(nb)]).transpose(0, 2, 3, 1)
+    batch = {
+        "image": jnp.asarray(imgs),
+        "image_sizes": jnp.asarray([[s, s]] * nb, jnp.int32),
+        "orig_sizes": jnp.asarray([[s, s]] * nb, jnp.int32),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_classes": jnp.asarray(gt_classes),
+        "gt_valid": jnp.asarray(gt_valid),
+        "gt_mask_crops": jnp.asarray(gt_crops),
+    }
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(7)}
+    template = jax.eval_shape(lambda: model.init(rngs, batch, train=True))
+    sd = {k[3:]: rec[k] for k in rec if k.startswith("sd.")}
+    converted, matched, unmatched = convert_d2_state_dict_to_variables(
+        sd, dict(template)
+    )
+    assert unmatched == ["pixel_mean", "pixel_std"], unmatched[:10]
+    converted = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype)
+        if isinstance(x, jax.ShapeDtypeStruct)
+        else x,
+        converted,
+    )
+
+    with jax.default_matmul_precision("highest"):
+        losses = model.apply(
+            converted, batch, train=True, rngs={"sampling": jax.random.key(7)}
+        )
+
+    ref_losses = {k[5:]: float(rec[k]) for k in rec if k.startswith("loss.")}
+    assert set(ref_losses) <= set(map(str, losses)), (sorted(losses), ref_losses)
+    for name, ref_v in sorted(ref_losses.items()):
+        got = float(losses[name])
+        tol = 2e-3 * max(abs(ref_v), 0.01) if name == "loss_mask" else 1e-4 * max(
+            abs(ref_v), 0.01
+        )
+        assert abs(got - ref_v) < tol, (name, got, ref_v)
