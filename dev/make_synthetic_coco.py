@@ -52,24 +52,38 @@ STUFF_A_COLOR = np.asarray([95, 115, 205], np.uint8)  # "sky"-like band
 STUFF_B_COLOR = np.asarray([95, 175, 95], np.uint8)  # "ground"-like band
 
 
-def stuff_split_row(info):
-    """Fixed 50%-height row splitting the two textured stuff bands — large
-    stuff regions with distinct appearance so mined STUFF supervision, not
-    thing detections, drives the sem-seg and PQ_st pins of the
-    weakly-supervised gates.
+def stuff_split_row(info, varied=False):
+    """Row splitting the two textured stuff bands — large stuff regions with
+    distinct appearance so mined STUFF supervision, not thing detections,
+    drives the sem-seg and PQ_st pins of the weakly-supervised gates.
 
-    The split MUST NOT vary per image: an id-dependent split turns the
-    band boundary into a global image-identity cue, and on an 8-image set
-    the MIL image classifier can fit the labels from that cue alone —
-    localization gradients vanish, pseudo-gt mining collapses to arbitrary
-    boxes, and the weakly-supervised gate scores AP 0 (observed when the
-    split was ``0.45 + 0.1 * f(id)``)."""
-    return int(info["height"] * 0.5)
+    Default (shared coco tree): a fixed 50%-height split in EVERY image.
+    The split must not vary continuously per image: an id-dependent split
+    turns the band boundary into a global image-identity cue, and on an
+    8-image set the MIL image classifier can fit the labels from that cue
+    alone — localization gradients vanish, pseudo-gt mining collapses to
+    arbitrary boxes, and the weakly-supervised gate scores AP 0 (observed
+    when the split was ``0.45 + 0.1 * f(id)``).
+
+    ``varied`` (the cocovar tree for the JTSM stuff plane): band PRESENCE
+    varies — id%3 cycles both / A-only / B-only — so the image-level stuff
+    labels carry localization signal for ``get_pgt_sem_seg`` mining
+    (reference roi_heads_jtsm.py:2025). split == h means no band B,
+    split == 0 means no band A; the three discrete layouts avoid the
+    continuous identity cue above."""
+    h = info["height"]
+    if varied:
+        pat = info["id"] % 3
+        if pat == 1:
+            return h  # band A only
+        if pat == 2:
+            return 0  # band B only
+    return int(h * 0.5)
 
 
-def paint_stuff(img, info):
+def paint_stuff(img, info, varied=False):
     h, w = info["height"], info["width"]
-    split = stuff_split_row(info)
+    split = stuff_split_row(info, varied)
     img[:split] = STUFF_A_COLOR
     # horizontal stripe texture on band A
     img[0:split:6] = np.clip(STUFF_A_COLOR.astype(np.int16) - 35, 0, 255)
@@ -82,14 +96,14 @@ def paint_stuff(img, info):
     return split
 
 
-def render_images(img_dir, infos, anns_by_image, rng):
-    """Paint each scene: two textured stuff bands + per-class colored thing
+def render_images(img_dir, infos, anns_by_image, rng, varied=False):
+    """Paint each scene: textured stuff bands + per-class colored thing
     rects (instances order = paint order, matching the panoptic id maps),
     plus mild pixel noise so features are not constant."""
     for info in infos:
         h, w = info["height"], info["width"]
         img = np.zeros((h, w, 3), np.uint8)
-        paint_stuff(img, info)
+        paint_stuff(img, info, varied)
         for a in anns_by_image.get(info["id"], []):
             x, y, bw, bh = (int(round(v)) for v in a["bbox"])
             img[y : y + bh, x : x + bw] = class_color(int(a["category_id"]))
@@ -152,17 +166,17 @@ def categories(with_kpts=False):
     return [{"id": c["id"], "name": c["name"]} for c in _THING]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default=os.environ.get("JTSM_DATASETS", "datasets"))
-    ap.add_argument("--num", type=int, default=8)
-    args = ap.parse_args()
-    rng = np.random.default_rng(0)
-    coco = os.path.join(args.root, "coco")
+def build_tree(root, subdir="coco", num=8, varied=False, full=True):
+    """Write one synthetic tree. ``full`` adds the keypoint/densepose jsons
+    (only the shared coco tree needs them); ``varied`` cycles the stuff-band
+    layout per image (the cocovar tree for the JTSM stuff plane — see
+    stuff_split_row)."""
+    rng = np.random.default_rng(0 if not varied else 7)
+    coco = os.path.join(root, subdir)
     ann_dir = os.path.join(coco, "annotations")
     os.makedirs(ann_dir, exist_ok=True)
 
-    infos = make_images(os.path.join(coco, "val2017"), args.num, rng)
+    infos = make_images(os.path.join(coco, "val2017"), num, rng)
 
     # instances_val2017_100.json
     inst = {
@@ -179,8 +193,19 @@ def main():
     _abi = {}
     for a in inst["annotations"]:
         _abi.setdefault(a["image_id"], []).append(a)
-    render_images(os.path.join(coco, "val2017"), infos, _abi, rng)
+    render_images(os.path.join(coco, "val2017"), infos, _abi, rng, varied)
 
+    if full:
+        _write_person_jsons(inst, infos, ann_dir)
+
+    # panoptic: id map PNGs + stuff sem-seg PNGs. Thing segments are painted
+    # FROM THE INSTANCES ANNOTATIONS so box/mask GT and panoptic GT agree
+    # (the panoptic gates then measure one consistent scene).
+    _write_panoptic_and_proposals(coco, ann_dir, inst, infos, varied)
+    print(f"synthetic COCO written under {coco} ({num} images)")
+
+
+def _write_person_jsons(inst, infos, ann_dir):
     # person_keypoints_val2017_100.json — keypoint annotations DERIVE from
     # the instance boxes (the rects actually painted in the images), so the
     # keypoint gate measures localization of visible evidence; every rect is
@@ -249,9 +274,8 @@ def main():
             f,
         )
 
-    # panoptic: id map PNGs + stuff sem-seg PNGs. Thing segments are painted
-    # FROM THE INSTANCES ANNOTATIONS so box/mask GT and panoptic GT agree
-    # (the panoptic gates then measure one consistent scene).
+
+def _write_panoptic_and_proposals(coco, ann_dir, inst, infos, varied=False):
     anns_by_image = {}
     for a in inst["annotations"]:
         anns_by_image.setdefault(a["image_id"], []).append(a)
@@ -265,8 +289,8 @@ def main():
         seg_id = 1
         ids = np.zeros((h, w), np.uint32)
         segments = []
-        # two textured stuff bands (matching paint_stuff), then instances
-        split = stuff_split_row(info)
+        # textured stuff bands (matching paint_stuff), then instances
+        split = stuff_split_row(info, varied)
         ids[:split] = 1
         ids[split:] = 2
         segments.append(
@@ -338,7 +362,7 @@ def main():
         # background grid split at the stuff-band boundary so each band is
         # an exact union of superpixels (MCG superpixels follow appearance
         # boundaries; the stuff mining relies on that)
-        split = stuff_split_row(info)
+        split = stuff_split_row(info, varied)
         ncols = (w + cell - 1) // cell
         row_a = np.arange(h)[:, None] // cell
         row_b = (split + cell - 1) // cell + (np.arange(h)[:, None] - split) // cell
@@ -358,7 +382,7 @@ def main():
         # stuff-covering candidates: the full image + quadrants, so the MIL
         # stuff branch has background-dominant proposals to mine (real MCG
         # segment proposals cover stuff regions too)
-        split = stuff_split_row(info)
+        split = stuff_split_row(info, varied)
         stuff_boxes = np.asarray(
             [
                 [0, 0, w - 1, h - 1],
@@ -374,6 +398,11 @@ def main():
             ],
             np.float32,
         )
+        # degenerate band boxes drop out when a band is absent (varied tree)
+        stuff_boxes = stuff_boxes[
+            (stuff_boxes[:, 3] > stuff_boxes[:, 1])
+            & (stuff_boxes[:, 2] > stuff_boxes[:, 0])
+        ]
         jit = np.concatenate(
             [gt + rng.normal(0, 3, gt.shape) for _ in range(3)]
             + [gt, stuff_boxes],
@@ -415,7 +444,22 @@ def main():
             },
             f,
         )
-    print(f"synthetic COCO written under {coco} ({args.num} images)")
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default=os.environ.get("JTSM_DATASETS", "datasets"))
+    ap.add_argument("--num", type=int, default=8)
+    ap.add_argument(
+        "--num-varied",
+        type=int,
+        default=12,
+        help="images in the varied-stuff cocovar tree (JTSM stuff plane)",
+    )
+    args = ap.parse_args()
+    build_tree(args.root, "coco", args.num, varied=False, full=True)
+    # cocovar: stuff-band presence varies per image so image-level stuff
+    # labels carry localization signal for the JTSM sem-seg mining
+    build_tree(args.root, "cocovar", args.num_varied, varied=True, full=False)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,16 @@ def _d2_to_flax_path(key: str) -> Tuple[Tuple[str, ...], str]:
             out.append("head")
             i += 1
             continue
+        # RetinaNet towers: torch nn.Sequential([conv, relu] * 4) indexes the
+        # convs at 0/2/4/6; the flax head names them cls_subnet{0..3}
+        if (
+            p in ("cls_subnet", "bbox_subnet")
+            and i + 1 < len(module_path)
+            and module_path[i + 1].isdigit()
+        ):
+            out.append(f"{p}{int(module_path[i + 1]) // 2}")
+            i += 2
+            continue
         out.append(p)
         i += 1
 

@@ -15,6 +15,13 @@ _PREDEFINED_SPLITS_COCO = {
     "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
     "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
     "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+    # synthetic varied-stuff tree (dev/make_synthetic_coco.py cocovar):
+    # stuff-band presence cycles per image so weakly-supervised stuff
+    # mining has image-level localization signal (JTSM gates)
+    "coco_2017_varied_100": (
+        "cocovar/val2017",
+        "cocovar/annotations/instances_val2017_100.json",
+    ),
     "coco_2017_test": ("coco/test2017", "coco/annotations/image_info_test2017.json"),
     "coco_2017_test-dev": (
         "coco/test2017",
@@ -63,6 +70,11 @@ _PREDEFINED_SPLITS_COCO_PANOPTIC = {
         "coco/panoptic_val2017_100",
         "coco/annotations/panoptic_val2017_100.json",
         "coco/panoptic_stuff_val2017_100",
+    ),
+    "coco_2017_varied_100_panoptic": (
+        "cocovar/panoptic_val2017_100",
+        "cocovar/annotations/panoptic_val2017_100.json",
+        "cocovar/panoptic_stuff_val2017_100",
     ),
 }
 

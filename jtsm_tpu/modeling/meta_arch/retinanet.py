@@ -110,6 +110,7 @@ class RetinaNet(nn.Module):
     in_features: Sequence[str]
     pixel_mean: Sequence[float]
     pixel_std: Sequence[float]
+    nms_candidates_test: int = 1024  # NMS matrix cap (reference: none)
     focal_loss_alpha: float = 0.25
     focal_loss_gamma: float = 2.0
     smooth_l1_beta: float = 0.1
@@ -244,16 +245,18 @@ class RetinaNet(nn.Module):
                 boxes = self.box2box_transform.apply_deltas(
                     dl[anchor_idx], anc[anchor_idx]
                 )
-                boxes = clip_boxes(boxes, size_i)
-                keep = (topv > self.score_thresh_test) & nonempty_boxes(boxes)
+                # NMS runs on the UNCLIPPED decoded boxes (reference
+                # inference_single_image:449-492 — clipping happens only in
+                # detector_postprocess afterwards)
+                keep = topv > self.score_thresh_test
                 cand_boxes.append(boxes)
                 cand_scores.append(jnp.where(keep, topv, -jnp.inf))
                 cand_classes.append(cls_idx)
             boxes = jnp.concatenate(cand_boxes, axis=0)
             scores = jnp.concatenate(cand_scores, axis=0)
             classes = jnp.concatenate(cand_classes, axis=0)
-            # cap candidates for the NMS matrix
-            c = min(1024, scores.shape[0])
+            # cap candidates for the NMS matrix (reference: uncapped)
+            c = min(self.nms_candidates_test, scores.shape[0])
             top_scores, idx = jax.lax.top_k(scores, c)
             boxes, classes = boxes[idx], classes[idx]
             keep = batched_nms_mask(boxes, top_scores, classes, self.nms_thresh_test)

@@ -58,6 +58,11 @@ def detector_postprocess_batched(
         boxes = jax.vmap(clip_boxes)(boxes, orig_sizes)
     out = dict(detections)
     out["boxes"] = boxes
+    if boxes.shape[-1] == 4 and "valid" in out:
+        # reference postprocessing.py:61 drops boxes that clipped to empty
+        # (``results[output_boxes.nonempty()]``); here they turn invalid
+        nonempty = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
+        out["valid"] = out["valid"] & nonempty
     if "keypoints" in detections:
         # (B, D, K, 4) = (x, y, logit, prob): x/y follow the box rescale
         kp = detections["keypoints"]
