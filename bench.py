@@ -114,18 +114,35 @@ def build_fwd():
         variables = {**variables, "quant": quant}
         print(f"int8 scopes calibrated: {scopes}", file=sys.stderr)
 
+    paste = bool(os.environ.get("BENCH_PASTE"))
+
     def step(v, seed):
         img = jax.random.uniform(jax.random.key(seed), (b, h, w, 3)) * 255.0
         out = model.apply(v, dict(batch0, image=img), train=False)
         # force materialization of every output head
-        return (
+        acc = (
             out["scores"].sum()
             + out["boxes"].sum()
             + out["masks"].sum()
             + out["classes"].sum()
         )
+        if paste:
+            # BENCH_PASTE=1 folds the device-side full-image mask paste
+            # into the benched step (reference timing includes its GPU
+            # paste — layers/mask_ops.py:74 inside detector_postprocess).
+            # Default excludes it: full-image pasting is eval/serving
+            # specific (COCO eval paste runs host-side at eval), and the
+            # JSON carries includes_mask_paste either way.
+            from jtsm_tpu.ops.paste_masks import paste_masks_in_image
 
-    return jax.jit(step), variables, b
+            d, s = out["masks"].shape[1], out["masks"].shape[-1]
+            full = jax.vmap(
+                lambda m, bx: paste_masks_in_image(m, bx, (h, w), -1.0)
+            )(out["masks"], out["boxes"])
+            acc = acc + (full >= 0.5).sum()
+        return acc
+
+    return jax.jit(step), variables, b, paste
 
 
 _EXEC_PATH = os.path.join(
@@ -173,7 +190,7 @@ def _load_aot(variables):
 
 def main():
     entries_before = set(os.listdir(_CACHE_DIR)) if os.path.isdir(_CACHE_DIR) else set()
-    fwd, variables, b = build_fwd()
+    fwd, variables, b, paste = build_fwd()
     aot = _load_aot(variables)
     if aot is not None:
         fwd = aot
@@ -241,6 +258,12 @@ def main():
                 # dev/xla_cache warmed the persistent compilation cache)
                 "compile_seconds": round(compile_seconds, 1),
                 "cache_hit": cache_hit,
+                # the reference's 0.043 s/im includes its GPU mask paste;
+                # the default benched step materializes per-ROI (D, S, S)
+                # mask probabilities and excludes the full-image paste
+                # (BENCH_PASTE=1 folds the jitted device paste in — see
+                # docs/notes/benchmarks.md)
+                "includes_mask_paste": paste,
             }
         )
     )

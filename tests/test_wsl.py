@@ -487,9 +487,11 @@ def test_trident_mrrp_oicr_heads():
 
 
 def test_jtsm_pgt_sem_seg_painting_semantics():
-    """Reference get_pgt_sem_seg (:2024): zeros ('things') canvas, highest
-    mined score wins a pixel, stuff classes paint their stuff id, thing
-    classes paint 0."""
+    """Reference get_pgt_sem_seg (:2025): zeros ('things') canvas, only the
+    present STUFF classes are mined (things never paint), the highest mined
+    score wins a pixel, and a present class whose value vanished from the
+    canvas is force-painted back (:2066-2068). Pinned model-level against
+    the reference torch head in test_wsl_model_parity.py."""
     from jtsm_tpu.layers import ShapeSpec
     from jtsm_tpu.wsl.modeling.roi_heads_jtsm import JTSMROIHeads
 
@@ -512,27 +514,40 @@ def test_jtsm_pgt_sem_seg_painting_semantics():
     oh = jnp.asarray(
         [[[1, 0, 0, 0], [1, 1, 0, 0], [0, 0, 1, 0]]], bool
     )
-    # class scores: thing class 0 -> proposal 0 (score 0.9);
-    # stuff joint class ct (stuff id 1) -> proposal 1 (score 0.5);
-    # stuff joint class ct+1 (stuff id 2) -> proposal 2 (score 0.7)
+    # thing class 0 scores high on proposal 0 — IRRELEVANT to the canvas
+    # (things are not mined); stuff-1 -> proposal 1 (0.5), stuff-2 ->
+    # proposal 2 (0.7)
     sc = np.zeros((1, r, cj), np.float32)
     sc[0, 0, 0] = 0.9
     sc[0, 1, ct] = 0.5
     sc[0, 2, ct + 1] = 0.7
     lbl = np.zeros((1, cj), np.float32)
     lbl[0, [0, ct, ct + 1]] = 1.0
-    # proposal scores used as validity only
     out = head._mine_sem_seg(
         boxes, valid, jnp.asarray(sc), jnp.asarray(lbl), sp, oh
     )
     m = np.asarray(out)[0]
-    # sp0: thing (0.9) beats stuff-1 (0.5) -> painted 0 (things)
-    assert (m[:2, :2] == 0).all()
-    # sp1: only stuff-1 -> painted stuff id 1
-    assert (m[:2, 2:] == 1).all()
+    # sp0+sp1: stuff-1's mined proposal covers both (the thing's higher
+    # score does not compete)
+    assert (m[:2, :] == 1).all()
     # sp2: stuff-2 -> painted 2; sp3: unmined -> 0 (things canvas)
     assert (m[2:, :2] == 2).all()
     assert (m[2:, 2:] == 0).all()
+
+    # force-missing: stuff-2's only superpixel is also covered by the
+    # higher-scoring stuff-1 candidate; after the winner pass erases
+    # stuff-2 entirely, the reference force-paints it back
+    oh2 = jnp.asarray([[[1, 0, 0, 0], [1, 1, 1, 0], [0, 0, 1, 0]]], bool)
+    sc2 = np.zeros((1, r, cj), np.float32)
+    sc2[0, 1, ct] = 0.9  # stuff-1 covers sp {0, 1, 2}
+    sc2[0, 2, ct + 1] = 0.2  # stuff-2 only covers sp {2}
+    out2 = head._mine_sem_seg(
+        boxes, valid, jnp.asarray(sc2), jnp.asarray(lbl), sp, oh2
+    )
+    m2 = np.asarray(out2)[0]
+    assert (m2[:2, :] == 1).all()
+    assert (m2[2:, :2] == 2).all(), m2  # force-painted back
+    assert (m2[2:, 2:] == 0).all()
 
 
 def test_jtsm_moi_pool_exact_knob():
