@@ -33,13 +33,22 @@ QS = os.path.join(ROOT, "configs", "quick_schedules")
 WSL_QS = os.path.join(ROOT, "projects", "WSL", "configs", "quick_schedules")
 FIXDIR = os.path.join(ROOT, "tests", "fixtures", "gate_ckpts")
 
+DP_QS = os.path.join(ROOT, "projects", "DensePose", "configs", "quick_schedules")
+
 FAMILIES = {
-    "mask_rcnn": (os.path.join(QS, "mask_rcnn_R_18_FPN_synthetic_inference_acc_test.yaml"), False),
-    "keypoint_rcnn": (os.path.join(QS, "keypoint_rcnn_R_18_synthetic_inference_acc_test.yaml"), False),
-    "retinanet": (os.path.join(QS, "retinanet_R_18_synthetic_inference_acc_test.yaml"), False),
-    "rpn": (os.path.join(QS, "rpn_R_18_synthetic_inference_acc_test.yaml"), False),
-    "panoptic_fpn": (os.path.join(QS, "panoptic_fpn_R_18_synthetic_inference_acc_test.yaml"), False),
-    "jtsm": (os.path.join(WSL_QS, "jtsm_synthetic_inference_acc_test.yaml"), True),
+    "mask_rcnn": (os.path.join(QS, "mask_rcnn_R_18_FPN_synthetic_inference_acc_test.yaml"), "core"),
+    "keypoint_rcnn": (os.path.join(QS, "keypoint_rcnn_R_18_synthetic_inference_acc_test.yaml"), "core"),
+    "retinanet": (os.path.join(QS, "retinanet_R_18_synthetic_inference_acc_test.yaml"), "core"),
+    "rpn": (os.path.join(QS, "rpn_R_18_synthetic_inference_acc_test.yaml"), "core"),
+    "panoptic_fpn": (os.path.join(QS, "panoptic_fpn_R_18_synthetic_inference_acc_test.yaml"), "core"),
+    "jtsm": (os.path.join(WSL_QS, "jtsm_synthetic_inference_acc_test.yaml"), "wsl"),
+    "densepose": (os.path.join(DP_QS, "densepose_rcnn_R_18_synthetic_inference_acc_test.yaml"), "densepose"),
+}
+
+TRAINERS = {
+    "core": os.path.join(ROOT, "tools", "train_net.py"),
+    "wsl": os.path.join(ROOT, "projects", "WSL", "tools", "train_net.py"),
+    "densepose": os.path.join(ROOT, "projects", "DensePose", "train_net.py"),
 }
 
 
@@ -64,12 +73,8 @@ def strip_to_fixture(src_ckpt: str, dst: str) -> None:
     print(f"fixture written: {dst} ({os.path.getsize(dst) / 1e6:.1f} MB)")
 
 
-def run(family: str, cfg_path: str, wsl: bool) -> None:
-    trainer = (
-        os.path.join(ROOT, "projects", "WSL", "tools", "train_net.py")
-        if wsl
-        else os.path.join(ROOT, "tools", "train_net.py")
-    )
+def run(family: str, cfg_path: str, kind: str) -> None:
+    trainer = TRAINERS[kind]
     out = f"/tmp/jtsm_infer_gate_{family}"
     subprocess.run(
         [sys.executable, trainer, "--config-file", cfg_path,
@@ -94,9 +99,9 @@ def run(family: str, cfg_path: str, wsl: bool) -> None:
 def main():
     wanted = sys.argv[1:] or list(FAMILIES)
     for family in wanted:
-        cfg_path, wsl = FAMILIES[family]
+        cfg_path, kind = FAMILIES[family]
         print(f"=== {family}: {cfg_path}")
-        run(family, cfg_path, wsl)
+        run(family, cfg_path, kind)
 
 
 if __name__ == "__main__":

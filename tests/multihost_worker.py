@@ -75,6 +75,78 @@ def main():
         flat = sorted(p["image_id"] for chunk in merged for p in chunk)
         out["merged_ids"] = flat
 
+    # ---- cross-process SHARDED TRAIN STEP: a 2-process x 2-local-device
+    # global data mesh runs ONE pjit'd flagship train step — the
+    # DDP-equivalent gradient path across a real process boundary
+    # (reference analog: DDP sync in engine/defaults.py:288-291). The
+    # pytest side asserts the loss equals a single-process 4-device run.
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(root, "__graft_entry__.py")
+    )
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from jtsm_tpu.engine import make_train_step
+    from jtsm_tpu.engine.train_loop import TrainState
+    from jtsm_tpu.modeling import build_model
+    from jtsm_tpu.solver import build_optimizer
+
+    cfg = ge._flagship_cfg(tiny=True)
+    model = build_model(cfg)
+    n_global = jax.device_count()  # 4 = 2 processes x 2 local
+    batch = ge._example_batch(n_global, 128, 128, 4, with_gt=True, mask_crop=28)
+    batch_np = {k: np.asarray(v) for k, v in batch.items()}
+
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "sampling": rng}, batch, train=True)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        frozen=variables.get("frozen", {}),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=rng,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    # every process holds the SAME seeded host values; lift the local rows
+    # to global arrays (state replicated, batch sharded along "data")
+    n_local = n_global // num_procs
+    lo = pid * n_local
+    global_batch = {
+        k: multihost_utils.host_local_array_to_global_array(
+            v[lo : lo + n_local], mesh, P("data")
+        )
+        for k, v in batch_np.items()
+    }
+    state = jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()
+        ),
+        state,
+    )
+
+    train_step = make_train_step(model, tx)
+    with mesh:
+        jitted = jax.jit(
+            train_step, in_shardings=(repl, data_sh), out_shardings=(repl, repl)
+        )
+        new_state, metrics = jitted(state, global_batch)
+        jax.block_until_ready(metrics)
+    out["train_step_losses"] = {
+        k: float(np.asarray(v.addressable_data(0))) for k, v in metrics.items()
+    }
+
     comm.synchronize()
     with open(os.path.join(outdir, f"rank{pid}.json"), "w") as f:
         json.dump(out, f)

@@ -7,7 +7,9 @@ points at zoo checkpoints; here each family evals a committed seeded tiny
 model from tests/fixtures/gate_ckpts/ (built by
 dev/make_inference_gate_ckpts.py), so the pins hold with zero downloads
 and no training noise: they cover RPN decode, NMS, mask paste, the
-panoptic fusion, the WSL ensemble/no_paste path, and every evaluator.
+panoptic fusion, the keypoint heatmap decode + OKS evaluator, the
+DensePose IUV decode + GPS/GPSm evaluator, the WSL ensemble/no_paste
+path, and every evaluator.
 
 The full sweep (incl. shell-only tiers) lives in
 dev/run_synthetic_acc_tests.sh; pytest drives every family with a
@@ -62,6 +64,14 @@ CASES = [
         os.path.join(
             ROOT,
             "configs/quick_schedules/keypoint_rcnn_R_18_synthetic_inference_acc_test.yaml",
+        ),
+    ),
+    (
+        "densepose",
+        os.path.join(ROOT, "projects", "DensePose", "train_net.py"),
+        os.path.join(
+            ROOT,
+            "projects/DensePose/configs/quick_schedules/densepose_rcnn_R_18_synthetic_inference_acc_test.yaml",
         ),
     ),
     (

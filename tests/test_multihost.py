@@ -44,7 +44,9 @@ def ranks(tmp_path_factory):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    # the cross-process train-step compile dominates; generous on a
+    # contended 1-core host
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
     results = []
@@ -102,3 +104,66 @@ def test_two_process_eval_merge_equals_single(ranks):
     by_rank = {r["rank"]: r for r in ranks}
     assert by_rank[0]["merged_ids"] == list(range(11))
     assert "merged_ids" not in by_rank[1]
+
+
+def test_cross_process_sharded_train_step(ranks):
+    """ONE pjit'd flagship train step over a 2-process x 2-local-device
+    global data mesh (the DDP-equivalent gradient path across a real
+    process boundary — reference engine/defaults.py:288-291): both ranks
+    must report the identical replicated loss dict, and it must match a
+    single-process 4-device run of the same seeded step."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    by_rank = {r["rank"]: r for r in ranks}
+    l0, l1 = by_rank[0]["train_step_losses"], by_rank[1]["train_step_losses"]
+    assert set(l0) == set(l1) and len(l0) >= 5, sorted(l0)
+    for k in l0:
+        assert abs(l0[k] - l1[k]) < 1e-6, (k, l0[k], l1[k])
+
+    # single-process 4-device reference run (same helpers, same seeds)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(root, "__graft_entry__.py")
+    )
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+
+    from jtsm_tpu.engine import make_train_step
+    from jtsm_tpu.engine.train_loop import TrainState
+    from jtsm_tpu.modeling import build_model
+    from jtsm_tpu.solver import build_optimizer
+
+    cfg = ge._flagship_cfg(tiny=True)
+    model = build_model(cfg)
+    batch = ge._example_batch(4, 128, 128, 4, with_gt=True, mask_crop=28)
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "sampling": rng}, batch, train=True)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        frozen=variables.get("frozen", {}),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=rng,
+    )
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), ("data",))
+    repl = NamedSharding(mesh, P())
+    with mesh:
+        jitted = jax.jit(
+            make_train_step(model, tx),
+            in_shardings=(repl, NamedSharding(mesh, P("data"))),
+            out_shardings=(repl, repl),
+        )
+        _, metrics = jitted(state, batch)
+        jax.block_until_ready(metrics)
+    single = {k: float(v) for k, v in metrics.items()}
+    assert set(single) == set(l0)
+    for k in single:
+        ref = single[k]
+        # cross-process collectives may reassociate float reductions
+        assert abs(l0[k] - ref) < max(1e-5, 1e-5 * abs(ref)), (k, l0[k], ref)
