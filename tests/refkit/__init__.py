@@ -1,5 +1,7 @@
-"""Harness that makes the REFERENCE detectron2 (/root/reference, torch) importable
-and runnable on CPU, so model-level numeric parity can be asserted against it.
+"""Harness that makes the REFERENCE detectron2 (/root/reference, torch) AND
+its WSL project importable and runnable on CPU, so model-level numeric
+parity can be asserted against them (see docs/notes/reference_parity.md
+for the full proof architecture).
 
 The environment has torch (CPU) but none of the reference's other deps
 (fvcore, torchvision, pycocotools, yacs). `install_stubs()` registers minimal
