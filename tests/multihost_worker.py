@@ -104,7 +104,9 @@ def main():
     batch = ge._example_batch(n_global, 128, 128, 4, with_gt=True, mask_crop=28)
     batch_np = {k: np.asarray(v) for k, v in batch.items()}
 
-    rng = jax.random.key(0)
+    # legacy uint32 key: typed PRNG keys cannot cross np.asarray below,
+    # and the threefry stream is identical to jax.random.key(0)
+    rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "sampling": rng}, batch, train=True)
     tx = build_optimizer(cfg, variables["params"])
     state = TrainState(
