@@ -143,7 +143,12 @@ def main():
         jitted = jax.jit(
             train_step, in_shardings=(repl, data_sh), out_shardings=(repl, repl)
         )
-        new_state, metrics = jitted(state, global_batch)
+        # AOT-compile BEFORE the cross-process barrier: on a contended host
+        # the two workers' local compiles can skew by minutes, and the gloo
+        # context rendezvous at first collective EXECUTION times out at 30 s
+        compiled = jitted.lower(state, global_batch).compile()
+        comm.synchronize()
+        new_state, metrics = compiled(state, global_batch)
         jax.block_until_ready(metrics)
     out["train_step_losses"] = {
         k: float(np.asarray(v.addressable_data(0))) for k, v in metrics.items()
