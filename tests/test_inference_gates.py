@@ -88,7 +88,8 @@ CASES = [
 def _dataset_root():
     root = os.environ.get("JTSM_DATASETS", "/tmp/jtsm_synth_datasets")
     coco = os.path.join(root, "coco")
-    if not os.path.isdir(coco):
+    cocovar = os.path.join(root, "cocovar")  # varied-stuff tree (jtsm gates)
+    if not (os.path.isdir(coco) and os.path.isdir(cocovar)):
         subprocess.run(
             [sys.executable, os.path.join(ROOT, "dev", "make_synthetic_coco.py"),
              "--root", root, "--num", "8"],
