@@ -287,6 +287,26 @@ N_TRAIN_IMAGES = 24
 IMG_SIZE = 128
 N_CLASSES = 3
 
+# Architectures covered by the torch-trained AP-parity tier. "r18fpn" is the
+# flagship Mask R-CNN case; "r18c4" exercises the single-level C4 pathway
+# (res4 features -> RoIAlign -> shared res5 box head, reference
+# roi_heads.py Res5ROIHeads) whose stage parity previously had no AP-level
+# assert. C4 has no mask branch (faster_rcnn_R_50_C4_1x.yaml: MASK_ON False).
+TRAINED_ARCHS = {
+    "r18fpn": dict(
+        config="configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        mask_on=True,
+        iters=TRAIN_ITERS,
+        lr=0.005,
+    ),
+    "r18c4": dict(
+        config="configs/COCO-Detection/faster_rcnn_R_50_C4_1x.yaml",
+        mask_on=False,
+        iters=450,
+        lr=0.01,  # the coarse single-level (stride-16) RPN needs more push
+    ),
+}
+
 
 def make_synthetic_detection_set(rng):
     """(images uint8 (N, 3, S, S) BGR-ish, gts) — colored rectangles on
@@ -320,18 +340,18 @@ def make_synthetic_detection_set(rng):
     return images, gts
 
 
-def get_trained_case() -> dict:
+def get_trained_case(arch: str = "r18fpn") -> dict:
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"trained_r18fpn_{TRAIN_VERSION}.npz")
+    path = os.path.join(CACHE_DIR, f"trained_{arch}_{TRAIN_VERSION}.npz")
     if os.path.exists(path):
         return dict(np.load(path))
-    rec = _record_trained()
+    rec = _record_trained(arch)
     np.savez_compressed(path, **rec)
     return rec
 
 
-def trained_cfg_overrides(cfg):
-    """Shrink Mask R-CNN R50-FPN to R18-FPN for the synthetic AP case —
+def trained_cfg_overrides(cfg, arch: str = "r18fpn"):
+    """Shrink the architecture to R18 scale for the synthetic AP case —
     applied identically to the reference cfg and the repo cfg."""
     cfg.MODEL.RESNETS.DEPTH = 18
     cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
@@ -345,10 +365,21 @@ def trained_cfg_overrides(cfg):
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 256
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 64
     cfg.TEST.DETECTIONS_PER_IMAGE = 16
-    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64], [96], [128]]
+    if arch == "r18c4":
+        # single res4 feature map (stride 16 -> 8x8 at 128px): all anchor
+        # sizes live on the one level, like the reference C4 yaml's
+        # [[32, 64, 128, 256, 512]] scaled to the 28-56 px objects here
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16, 32, 64, 96, 128]]
+        # the res5 box head dominates CPU train cost (~12 s/iter at the
+        # reference 14x14 pool with 64 ROIs/image on the 1-core host) —
+        # shrink pool + ROI budget identically on both sides
+        cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    else:
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64], [96], [128]]
 
 
-def _record_trained() -> dict:
+def _record_trained(arch: str = "r18fpn") -> dict:
     from . import import_reference
 
     import_reference()
@@ -357,13 +388,12 @@ def _record_trained() -> dict:
     from detectron2.modeling import build_model as ref_build_model
     from detectron2.structures import BitMasks, Boxes, Instances
 
+    spec = TRAINED_ARCHS[arch]
     cfg = ref_get_cfg()
-    cfg.merge_from_file(
-        "/root/reference/configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
-    )
+    cfg.merge_from_file(os.path.join("/root/reference", spec["config"]))
     cfg.MODEL.DEVICE = "cpu"
     cfg.MODEL.WEIGHTS = ""
-    trained_cfg_overrides(cfg)
+    trained_cfg_overrides(cfg, arch)
     torch.manual_seed(11)
     model = ref_build_model(cfg)
 
@@ -395,12 +425,12 @@ def _record_trained() -> dict:
 
     from detectron2.utils.events import EventStorage
 
-    opt = torch.optim.SGD(model.parameters(), lr=0.005, momentum=0.9)
+    opt = torch.optim.SGD(model.parameters(), lr=spec["lr"], momentum=0.9)
     model.train()
     order = np.arange(N_TRAIN_IMAGES)
     step_rng = np.random.RandomState(99)
     with EventStorage():
-        for it in range(TRAIN_ITERS):
+        for it in range(spec["iters"]):
             idx = step_rng.choice(order, size=4, replace=False)
             losses = model(to_inputs(idx))
             loss = sum(losses.values())
@@ -427,7 +457,8 @@ def _record_trained() -> dict:
             rec[f"pred_boxes{i}"] = out.pred_boxes.tensor.numpy()
             rec[f"pred_scores{i}"] = out.scores.numpy()
             rec[f"pred_classes{i}"] = out.pred_classes.numpy()
-            rec[f"pred_masks{i}"] = out.pred_masks.numpy().astype(np.uint8)
+            if out.has("pred_masks"):
+                rec[f"pred_masks{i}"] = out.pred_masks.numpy().astype(np.uint8)
 
     for i in range(N_TRAIN_IMAGES):
         rec[f"image{i}"] = images[i]
